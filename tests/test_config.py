@@ -1,0 +1,175 @@
+"""Config subsystem tests: YAML load, $var substitution, feature grammar,
+group/ellipsis expansion, vocab resolution, experiments, toggles."""
+import os
+import textwrap
+
+import pytest
+
+from recommendflow_tpu.config import (
+    Configuration, Feature, FeatureDeal, FeaturePooling, FeatureTower, Features,
+)
+from recommendflow_tpu.utils.str_parser import (
+    str2bool, str2dayno, str2dict, str2list, str2scale,
+)
+
+
+# ------------------------------------------------------------------ str DSL
+def test_str2list_and_dict():
+    assert str2list(" a, b,c ,") == ["a", "b", "c"]
+    assert str2list("1,2,3", trans_type=int) == [1, 2, 3]
+    assert str2dict("a=1;b=x=y") == {"a": "1", "b": "x=y"}
+
+
+def test_str2scale():
+    pred = str2scale("[-0.01, inf)")
+    assert pred(-0.01) and pred(0.5) and not pred(-0.5)
+    pred2 = str2scale("(0, 1]")
+    assert pred2(1) and not pred2(0)
+
+
+def test_str2dayno_forms():
+    assert str2dayno("20221126~20221128", mode="list") == ["20221126", "20221127", "20221128"]
+    assert str2dayno("[20221126~20221128)", mode="list") == ["20221126", "20221127"]
+    assert str2dayno("20221128", mode="list") == ["20221128"]
+    assert str2dayno("20221128-2", mode="list") == ["20221126", "20221127", "20221128"]
+    assert str2dayno("20221128-:2", mode="list") == ["20221126", "20221127"]
+    assert str2dayno("20221128+:1", mode="list") == ["20221129"]
+    pat = str2dayno("20221128-2", mode="patten")
+    assert pat == "2022112{6,7,8}"  # longest common prefix is folded out
+
+
+def test_str2bool():
+    assert str2bool("True") and str2bool("true") and not str2bool("false")
+
+
+# ------------------------------------------------------------ demo config
+def test_demo_config_loads(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    names = conf.train_feature_names
+    assert "user_id" in names and "item_id" in names and "label" in names
+    assert "clk_item_ids" in names  # group expansion
+    f = conf.features.get_feature("clk_item_ids")
+    assert f.deal == FeatureDeal.Hashing and f.vocab_size == 20000
+    assert f.max_len == 16  # from max_len_map
+    assert f.hash_seeds == [2022, 2023]
+    cats = conf.features.get_feature("clk_cat_ids")
+    assert cats.deal == FeatureDeal.Lookup and cats.vocab_size == 16
+    disc = conf.features.get_feature("item_ctr")
+    assert disc.deal == FeatureDeal.Discrete and disc.vocab_size == 5
+    assert disc.vocabs == [0.001, 0.005, 0.01, 0.05, 0.1]
+
+
+def test_dollar_substitution(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    # $train_data replaced inside Train.data
+    assert conf.conf["Train"]["data"] == "/tmp/recflow_demo/train"
+    # $dayno embedded arithmetic string: "$dayno-7" -> "20260817-7"
+    assert conf.conf["Task"]["dayno_conf"]["train"] == "20260817-7"
+
+
+def test_towers_and_deal_attrs(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    assert set(conf.features.user_feature_names) == {"user_id", "clk_item_ids", "clk_cat_ids"}
+    assert set(conf.features.ad_feature_names) == {"item_id", "item_cat_id", "item_ctr", "item_cvr"}
+    assert conf.features.label_names == ["label"]
+    # dynamic deal attrs
+    assert "user_id" in conf.features.hashing_feature_names
+    assert "item_ctr" in conf.features.discrete_feature_names
+
+
+def test_experiments_and_toggles(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    assert set(conf.experiments) == {0, 1}
+    row = conf.active_experiment(1)
+    assert row["loss"] == "cosent_loss"
+    assert not conf.features.contain("clk_cat_ids")  # toggled off
+    assert conf.features.contain("user_id")
+    conf.active_experiment(0)  # no_del does not re-enable; toggles are cumulative
+    assert not conf.features.contain("clk_cat_ids")
+    conf.features.set_feature_valid(name="clk_cat_ids")
+    assert conf.features.contain("clk_cat_ids")
+
+
+def test_feature_filter_or_semantics(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    both = conf.features.feature_filter(deal="hashing|lookup")
+    assert {f.deal for f in both} == {FeatureDeal.Hashing, FeatureDeal.Lookup}
+    none_user = conf.features.feature_except(tower="user")
+    assert all(f.tower != FeatureTower.User for f in none_user)
+
+
+def test_feature_name_equality_dict_key(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    f = conf.features.get_feature("user_id")
+    d = {"user_id": 1}
+    assert d[f.name] == 1 and f == "user_id"
+
+
+# ------------------------------------------------------- inline yaml cases
+def _mini_conf(features_block: str, extra: str = "") -> dict:
+    import yaml
+    text = textwrap.dedent(f"""
+    Features:
+      feature_group: {{}}
+      feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+      features:
+        {features_block}
+    Variables:
+      vocabs: {{}}
+      seeds: 7
+    {extra}
+    """)
+    return yaml.safe_load(text)
+
+
+def test_single_seed_hashing():
+    conf = Configuration(conf=_mini_conf("a,str,user,hashing,100,8,sum,true"))
+    f = conf.features.get_feature("a")
+    assert f.hash_seeds == 7 and f.vocab_size == 100
+
+
+def test_conflicting_feature_names_raise():
+    import yaml
+    text = textwrap.dedent("""
+    Features:
+      feature_group:
+        g1: [x, y]
+        g2: [y, z]
+      feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+      features:
+        g1,str,user,hashing,100,8,sum,true
+        g2,str,user,hashing,100,8,sum,true
+    """)
+    with pytest.raises(ValueError, match="conflict"):
+        Configuration(conf=yaml.safe_load(text))
+
+
+def test_lookup_without_vocab_raises():
+    with pytest.raises(ValueError, match="vocab"):
+        Configuration(conf=_mini_conf("a,int,user,lookup,null,8,sum,true"))
+
+
+def test_auto_vocab_bucket():
+    conf = Configuration(conf=_mini_conf("a,int,user,lookup,500,8,sum,true"))
+    f = conf.features.get_feature("a")
+    assert f.vocab_size == 500 and f.is_auto_vocabs()
+
+
+def test_slot_map_ellipsis(tmp_path):
+    slot_map = tmp_path / "slots.map"
+    slot_map.write_text("".join(f"feat_{i}:StringType:{i}\n" for i in range(10)))
+    import yaml
+    text = textwrap.dedent(f"""
+    Features:
+      feature_group:
+        sparse: [0, 2, ..., 5, 9]
+      feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+      features:
+        sparse,str,user,hashing,1000,8,sum,true
+    Variables:
+      slot_map: {slot_map}
+      seeds: [1, 2]
+    """)
+    conf = Configuration(conf=yaml.safe_load(text))
+    names = conf.train_feature_names
+    assert names == ["feat_0", "feat_2", "feat_3", "feat_4", "feat_5", "feat_9"]
