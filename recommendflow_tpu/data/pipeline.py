@@ -1,0 +1,336 @@
+"""JAX-native input pipeline: record files -> fixed-shape device batches.
+
+Replaces the reference's tf.data stack (backend/core/dataloader.py:155-578)
+with a thread-prefetched numpy pipeline:
+  * path resolution with YYYYMMDD dayno substitution + brace-glob patterns
+    (parity: dataloader.py:92-152, utils/str_parser.py:70-117),
+  * file-granularity shuffle / train-valid split / per-host sharding,
+  * block decode (recordio) -> vectorized CSR -> padded [B, H, L] id arrays
+    with host-side hashing / vocab lookup / bucketization (see schema.py),
+  * fixed batch shapes (the jit contract) with a drop-remainder tail policy,
+  * background-thread prefetch and optional device_put with a Sharding.
+
+Strings never leave the host. Every emitted batch has identical shapes and
+dtypes, so one jit compilation serves the whole epoch.
+"""
+from __future__ import annotations
+
+import glob as globlib
+import itertools
+import os
+import queue
+import random
+import re
+import threading
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from recommendflow_tpu.config.configuration import Configuration
+from recommendflow_tpu.config.proto import FeatureDeal
+from recommendflow_tpu.data import recordio
+from recommendflow_tpu.data.hashing import hash_bucket_array
+from recommendflow_tpu.data.schema import (
+    PAD_ID, BatchSchema, FeatureSlot, compile_schema, encode_discrete, encode_lookup,
+)
+from recommendflow_tpu.utils.str_parser import str2dayno
+
+Batch = Dict[str, np.ndarray]
+
+
+# -------------------------------------------------------------------- paths
+def expand_braces(pattern: str) -> List[str]:
+    """'a{1,2}b' -> ['a1b', 'a2b'] (single brace group, like the dayno DSL)."""
+    m = re.search(r"\{([^{}]*)\}", pattern)
+    if not m:
+        return [pattern]
+    head, tail = pattern[:m.start()], pattern[m.end():]
+    out: List[str] = []
+    for part in m.group(1).split(","):
+        out.extend(expand_braces(head + part + tail))
+    return out
+
+
+def resolve_paths(pattern: str,
+                  dayno: Optional[str] = None,
+                  shuffle: bool = False,
+                  sample_ratio: float = 1.0,
+                  seed: int = 0) -> List[str]:
+    """Resolve a data pattern to concrete record files.
+
+    `dayno` is a day-range DSL expression substituted into a 'YYYYMMDD'
+    placeholder (parity: dataloader.py:364-414). Local filesystem only;
+    HDFS-style URIs should be staged locally first (utils/hdfs.py).
+    """
+    if dayno:
+        pattern = pattern.replace("YYYYMMDD", str2dayno(dayno, mode="patten"))
+    files: List[str] = []
+    for pat in expand_braces(pattern):
+        if os.path.isdir(pat):
+            pat = os.path.join(pat, "*")
+        files.extend(sorted(globlib.glob(pat)))
+    files = [f for f in files if os.path.isfile(f)]
+    rng = random.Random(seed)
+    if sample_ratio < 1.0:
+        k = max(1, int(len(files) * sample_ratio))
+        files = rng.sample(files, k)
+        files.sort()
+    if shuffle:
+        rng.shuffle(files)
+    return files
+
+
+def split_files(files: Sequence[str], valid_ratio: float,
+                seed: int = 0) -> Tuple[List[str], List[str]]:
+    """File-granularity train/valid split (parity: dataloader.py:136-152)."""
+    files = list(files)
+    if valid_ratio <= 0 or len(files) < 2:
+        return files, []
+    rng = random.Random(seed)
+    shuffled = files[:]
+    rng.shuffle(shuffled)
+    n_valid = max(1, int(len(files) * valid_ratio))
+    valid = set(shuffled[:n_valid])
+    return [f for f in files if f not in valid], [f for f in files if f in valid]
+
+
+def shard_for_host(files: Sequence[str], host_id: int, num_hosts: int) -> List[str]:
+    """Static per-host file sharding for multi-host input."""
+    return [f for i, f in enumerate(files) if i % num_hosts == host_id]
+
+
+# ---------------------------------------------------------- batch assembly
+def _pad_csr(values: np.ndarray, splits: np.ndarray, max_len: int,
+             pad_value, dtype) -> Tuple[np.ndarray, np.ndarray]:
+    """CSR (flat values, row_splits) -> padded [n, max_len] + bool mask."""
+    n = len(splits) - 1
+    lengths = np.minimum(np.diff(splits), max_len)
+    valid = np.arange(max_len)[None, :] < lengths[:, None]
+    out = np.full((n, max_len), pad_value, dtype=dtype)
+    if len(values):
+        pos = splits[:-1, None] + np.arange(max_len)[None, :]
+        pos = np.clip(pos, 0, len(values) - 1)
+        gathered = np.asarray(values)[pos]
+        out = np.where(valid, gathered, out)
+    return out, valid
+
+
+def _encode_slot(slot: FeatureSlot, values: np.ndarray,
+                 splits: np.ndarray) -> np.ndarray:
+    """One feature's block column -> device-ready array [n, ...]."""
+    if slot.kind == "dense":
+        out, _ = _pad_csr(values.astype(np.float32), splits, slot.max_len,
+                          -1.0, np.float32)
+        return out
+
+    if slot.kind == "token":
+        ids, valid = _pad_csr(values.astype(np.int64), splits, slot.max_len,
+                              PAD_ID, np.int64)
+        ids = np.where(ids < 0, PAD_ID, ids)  # -1 sentinel -> pad
+        return np.where(valid, ids, PAD_ID).astype(np.int32)
+
+    # sparse: hashing / lookup / discrete -> [n, H, L], ids 1-based, 0 = pad
+    if slot.deal == FeatureDeal.Hashing:
+        flat = values  # object array of strings (or ints/floats stringified)
+        miss = np.asarray([v in ("", "-1", None) for v in flat], dtype=bool) \
+            if flat.dtype == object else (flat < 0)
+        strs = [str(v) for v in flat]
+        branches = []
+        for seed in slot.seeds:
+            ids = hash_bucket_array(strs, seed, slot.num_rows - 1) + 1
+            ids[miss] = PAD_ID
+            padded, valid = _pad_csr(ids, splits, slot.max_len, PAD_ID, np.int64)
+            branches.append(np.where(valid, padded, PAD_ID))
+        return np.stack(branches, axis=1).astype(np.int32)
+
+    if slot.deal == FeatureDeal.Lookup:
+        if slot.vocab is None:
+            # __AUTO__ bucket: raw ints used directly, modulo table size
+            ids = values.astype(np.int64)
+            miss = ids < 0
+            ids = ids % max(slot.num_rows - 1, 1) + 1
+            ids[miss] = PAD_ID
+        else:
+            ids = encode_lookup(values, slot.vocab)
+        padded, valid = _pad_csr(ids, splits, slot.max_len, PAD_ID, np.int64)
+        return np.where(valid, padded, PAD_ID)[:, None, :].astype(np.int32)
+
+    if slot.deal == FeatureDeal.Discrete:
+        raw, valid = _pad_csr(values.astype(np.float64), splits, slot.max_len,
+                              np.nan, np.float64)
+        ids = encode_discrete(np.nan_to_num(raw, nan=0.0), slot.boundaries)
+        ids = np.where(np.isnan(raw), PAD_ID, ids)
+        return np.where(valid, ids, PAD_ID)[:, None, :].astype(np.int32)
+
+    raise NotImplementedError(f"slot kind {slot.kind}/{slot.deal}")
+
+
+def encode_block(schema: BatchSchema, block: Dict[str, recordio.ColumnValues],
+                 perm: Optional[np.ndarray] = None) -> Batch:
+    """Decode one record block into a dict of fixed-shape arrays."""
+    out: Batch = {}
+    for name in schema.order:
+        slot = schema.slots[name]
+        if name not in block:
+            raise KeyError(f"record file missing column '{name}' required by config")
+        values, splits = block[name]
+        arr = _encode_slot(slot, values, splits)
+        out[name] = arr if perm is None else arr[perm]
+    for name in schema.label_names:
+        if name in block:
+            values, splits = block[name]
+            lab, _ = _pad_csr(values.astype(np.float32), splits, 1, 0.0, np.float32)
+            arr = lab[:, 0]
+            out[name] = arr if perm is None else arr[perm]
+    return out
+
+
+# ------------------------------------------------------------- the dataset
+class Dataset:
+    """Iterable of fixed-shape batches over a set of record files.
+
+    debug/take semantics match the reference's `--train_mode test`
+    (dataloader.py:578: dataset.take(10))."""
+
+    def __init__(self,
+                 schema: BatchSchema,
+                 files: Sequence[str],
+                 batch_size: int,
+                 shuffle: bool = False,
+                 seed: int = 0,
+                 drop_remainder: bool = True,
+                 take_batches: Optional[int] = None,
+                 repeat: int = 1):
+        self.schema = schema
+        self.files = list(files)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.take_batches = take_batches
+        self.repeat = repeat
+        if not self.files:
+            raise FileNotFoundError("dataset resolved to zero record files")
+
+    def _iter_encoded_blocks(self, epoch_seed: int) -> Iterator[Batch]:
+        rng = np.random.RandomState(epoch_seed)
+        files = self.files[:]
+        if self.shuffle:
+            rng.shuffle(files)
+        for path in files:
+            for nrows, block in recordio.iter_blocks(path):
+                perm = rng.permutation(nrows) if self.shuffle else None
+                yield encode_block(self.schema, block, perm)
+
+    def __iter__(self) -> Iterator[Batch]:
+        emitted = 0
+        for rep in range(self.repeat):
+            buf: List[Batch] = []
+            buffered = 0
+            for encoded in self._iter_encoded_blocks(self.seed + rep):
+                buf.append(encoded)
+                buffered += len(next(iter(encoded.values())))
+                while buffered >= self.batch_size:
+                    batch, buf, buffered = _slice_buffer(buf, self.batch_size)
+                    yield batch
+                    emitted += 1
+                    if self.take_batches and emitted >= self.take_batches:
+                        return
+            if buf and not self.drop_remainder and buffered:
+                batch, _, _ = _slice_buffer(buf, buffered)
+                yield batch
+                emitted += 1
+            if self.take_batches and emitted >= self.take_batches:
+                return
+
+    def __len__(self) -> int:
+        total = sum(recordio.count_rows(f) for f in self.files) * self.repeat
+        n = total // self.batch_size
+        if not self.drop_remainder and total % self.batch_size:
+            n += 1
+        return min(n, self.take_batches) if self.take_batches else n
+
+
+def _slice_buffer(buf: List[Batch], n: int) -> Tuple[Batch, List[Batch], int]:
+    """Take the first n rows across buffered blocks; return remainder."""
+    taken: Dict[str, List[np.ndarray]] = {}
+    rest: List[Batch] = []
+    need = n
+    for blk in buf:
+        size = len(next(iter(blk.values())))
+        if need <= 0:
+            rest.append(blk)
+            continue
+        if size <= need:
+            for k, v in blk.items():
+                taken.setdefault(k, []).append(v)
+            need -= size
+        else:
+            head = {k: v[:need] for k, v in blk.items()}
+            tail = {k: v[need:] for k, v in blk.items()}
+            for k, v in head.items():
+                taken.setdefault(k, []).append(v)
+            rest.append(tail)
+            need = 0
+    batch = {k: np.concatenate(v, axis=0) if len(v) > 1 else v[0]
+             for k, v in taken.items()}
+    left = sum(len(next(iter(b.values()))) for b in rest)
+    return batch, rest, left
+
+
+def prefetch(it: Iterable[Batch], size: int = 2) -> Iterator[Batch]:
+    """Background-thread prefetch (overlaps host decode with device step)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # propagate into consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+# --------------------------------------------------------------- top level
+def make_dataset(conf: Configuration,
+                 data_pattern: str,
+                 batch_size: int,
+                 dayno: Optional[str] = None,
+                 shuffle: bool = True,
+                 valid_ratio: float = 0.0,
+                 seed: int = 0,
+                 debug: bool = False,
+                 host_id: int = 0,
+                 num_hosts: int = 1,
+                 repeat: int = 1) -> Tuple[Dataset, Optional[Dataset]]:
+    """Build (train, valid) Datasets from a config + data pattern.
+
+    Parity surface: load_tfrecord_dayno_patten_split (dataloader.py:416-479)
+    — dayno substitution, file split, debug truncation — with per-host
+    sharding added for multi-host TPU input.
+    """
+    schema = compile_schema(conf.features)
+    files = resolve_paths(data_pattern, dayno=dayno, seed=seed)
+    files = shard_for_host(files, host_id, num_hosts)
+    train_files, valid_files = split_files(files, valid_ratio, seed=seed)
+    take = 10 if debug else None
+    train = Dataset(schema, train_files, batch_size, shuffle=shuffle, seed=seed,
+                    take_batches=take, repeat=repeat)
+    valid = None
+    if valid_files:
+        valid = Dataset(schema, valid_files, batch_size, shuffle=False, seed=seed,
+                        take_batches=take)
+    return train, valid

@@ -1,0 +1,243 @@
+"""RFB — a columnar block record format (the TFRecord replacement).
+
+The reference serializes one tf.train.Example per row and pays a C++
+proto-parse per record (utils/make_tfrecord.py:87-119,
+backend/core/dataloader.py:23-89). For a TPU input pipeline the hot cost is
+host-side decode throughput, so RFB stores *blocks* of rows in columnar
+numpy-native layout: one zlib inflate + a handful of np.frombuffer calls
+recovers thousands of rows with zero per-row Python work. Variable-length
+(multi-hot) columns are CSR: flat values + int32 row_splits.
+
+File layout:
+    magic 'RFB1' | u32 schema_len | schema JSON (column names/types)
+    repeat block:
+        u32 0xB10C | u32 nrows | u32 comp_size | u32 raw_size | zlib payload
+Block payload, per column in schema order:
+    float  : i32 nvals | f32 values[nvals] | i32 row_splits[nrows+1]
+    int    : i32 nvals | i64 values[nvals] | i32 row_splits[nrows+1]
+    str    : i32 nvals | i32 nbytes | utf8 bytes | i32 byte_splits[nvals+1]
+             | i32 row_splits[nrows+1]
+(All columns are lists — single-value columns are length-1 lists, matching
+the reference's "everything is a list" convention, CONF_README.md:20.)
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MAGIC = b"RFB1"
+BLOCK_MAGIC = 0xB10C
+DEFAULT_BLOCK_ROWS = 4096
+
+ColumnValues = Tuple[np.ndarray, np.ndarray]  # (flat values, row_splits)
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    name: str
+    vtype: str  # 'float' | 'int' | 'str'
+
+
+class BlockBuilder:
+    """Accumulates rows column-wise, emits one serialized block payload."""
+
+    def __init__(self, columns: Sequence[ColumnSpec]):
+        self.columns = list(columns)
+        self.reset()
+
+    def reset(self):
+        self._values: Dict[str, List[Any]] = {c.name: [] for c in self.columns}
+        self._splits: Dict[str, List[int]] = {c.name: [0] for c in self.columns}
+        self.nrows = 0
+
+    def add_row(self, row: Dict[str, Any]):
+        for c in self.columns:
+            vals = row.get(c.name, [])
+            if vals is None:
+                vals = []
+            elif not isinstance(vals, (list, tuple, np.ndarray)):
+                vals = [vals]
+            self._values[c.name].extend(vals)
+            self._splits[c.name].append(len(self._values[c.name]))
+        self.nrows += 1
+
+    def serialize(self) -> bytes:
+        buf = io.BytesIO()
+        for c in self.columns:
+            vals = self._values[c.name]
+            splits = np.asarray(self._splits[c.name], dtype=np.int32)
+            buf.write(struct.pack("<i", len(vals)))
+            if c.vtype == "float":
+                buf.write(np.asarray(vals, dtype=np.float32).tobytes())
+            elif c.vtype == "int":
+                buf.write(np.asarray(vals, dtype=np.int64).tobytes())
+            elif c.vtype == "str":
+                encoded = [str(v).encode("utf-8") for v in vals]
+                blob = b"".join(encoded)
+                byte_splits = np.zeros(len(encoded) + 1, dtype=np.int32)
+                if encoded:
+                    np.cumsum([len(e) for e in encoded], out=byte_splits[1:])
+                buf.write(struct.pack("<i", len(blob)))
+                buf.write(blob)
+                buf.write(byte_splits.tobytes())
+            else:
+                raise ValueError(f"unknown column vtype '{c.vtype}'")
+            buf.write(splits.tobytes())
+        return buf.getvalue()
+
+
+class RecordWriter:
+    """Streaming writer; call write_row / write_rows then close."""
+
+    def __init__(self, path: str, columns: Sequence[ColumnSpec],
+                 block_rows: int = DEFAULT_BLOCK_ROWS, compress_level: int = 1):
+        self.path = path
+        self.columns = list(columns)
+        self.block_rows = block_rows
+        self.compress_level = compress_level
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)
+        self._f = open(path, "wb")
+        schema = json.dumps([[c.name, c.vtype] for c in self.columns]).encode("utf-8")
+        self._f.write(MAGIC)
+        self._f.write(struct.pack("<I", len(schema)))
+        self._f.write(schema)
+        self._builder = BlockBuilder(self.columns)
+        self.rows_written = 0
+
+    def write_row(self, row: Dict[str, Any]):
+        self._builder.add_row(row)
+        self.rows_written += 1
+        if self._builder.nrows >= self.block_rows:
+            self._flush_block()
+
+    def write_rows(self, rows: Sequence[Dict[str, Any]]):
+        for r in rows:
+            self.write_row(r)
+
+    def write_columns(self, columns: Dict[str, List[Any]]):
+        """Columnar bulk write: {name: list of per-row lists/scalars}."""
+        n = len(next(iter(columns.values())))
+        for i in range(n):
+            self.write_row({k: v[i] for k, v in columns.items()})
+
+    def _flush_block(self):
+        if self._builder.nrows == 0:
+            return
+        raw = self._builder.serialize()
+        comp = zlib.compress(raw, self.compress_level)
+        self._f.write(struct.pack("<IIII", BLOCK_MAGIC, self._builder.nrows,
+                                  len(comp), len(raw)))
+        self._f.write(comp)
+        self._builder.reset()
+
+    def close(self):
+        self._flush_block()
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_schema(path: str) -> List[ColumnSpec]:
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an RFB1 record file")
+        (n,) = struct.unpack("<I", f.read(4))
+        schema = json.loads(f.read(n).decode("utf-8"))
+    return [ColumnSpec(name, vtype) for name, vtype in schema]
+
+
+def iter_blocks(path: str,
+                columns: Optional[Sequence[str]] = None
+                ) -> Iterator[Tuple[int, Dict[str, ColumnValues]]]:
+    """Yield (nrows, {column: (flat_values, row_splits)}) per block.
+
+    For str columns flat_values is an object ndarray of python strs.
+    `columns` restricts decoding to a subset (others are skipped cheaply).
+    """
+    schema = read_schema(path)
+    want = set(columns) if columns is not None else {c.name for c in schema}
+    with open(path, "rb") as f:
+        f.seek(4)
+        (n,) = struct.unpack("<I", f.read(4))
+        f.seek(4 + 4 + n)
+        while True:
+            header = f.read(16)
+            if len(header) < 16:
+                break
+            magic, nrows, comp_size, raw_size = struct.unpack("<IIII", header)
+            if magic != BLOCK_MAGIC:
+                raise ValueError(f"{path}: corrupt block header")
+            raw = zlib.decompress(f.read(comp_size))
+            if len(raw) != raw_size:
+                raise ValueError(f"{path}: block size mismatch")
+            yield nrows, _parse_block(raw, schema, nrows, want)
+
+
+def _parse_block(raw: bytes, schema: Sequence[ColumnSpec], nrows: int,
+                 want: set) -> Dict[str, ColumnValues]:
+    out: Dict[str, ColumnValues] = {}
+    off = 0
+    mv = memoryview(raw)
+    splits_bytes = 4 * (nrows + 1)
+    for c in schema:
+        (nvals,) = struct.unpack_from("<i", raw, off)
+        off += 4
+        if c.vtype in ("float", "int"):
+            itemsize = 4 if c.vtype == "float" else 8
+            if c.name in want:
+                dtype = np.float32 if c.vtype == "float" else np.int64
+                values = np.frombuffer(mv[off:off + nvals * itemsize], dtype=dtype)
+                splits = np.frombuffer(
+                    mv[off + nvals * itemsize:off + nvals * itemsize + splits_bytes],
+                    dtype=np.int32)
+                out[c.name] = (values, splits)
+            off += nvals * itemsize + splits_bytes
+        elif c.vtype == "str":
+            (nbytes,) = struct.unpack_from("<i", raw, off)
+            off += 4
+            blob_start = off
+            off += nbytes
+            if c.name in want:
+                byte_splits = np.frombuffer(mv[off:off + 4 * (nvals + 1)], dtype=np.int32)
+                blob = mv[blob_start:blob_start + nbytes].tobytes()
+                values = np.empty(nvals, dtype=object)
+                for i in range(nvals):
+                    values[i] = blob[byte_splits[i]:byte_splits[i + 1]].decode("utf-8")
+                row_splits = np.frombuffer(
+                    mv[off + 4 * (nvals + 1):off + 4 * (nvals + 1) + splits_bytes],
+                    dtype=np.int32)
+                out[c.name] = (values, row_splits)
+            off += 4 * (nvals + 1) + splits_bytes
+        else:
+            raise ValueError(f"unknown vtype '{c.vtype}'")
+    return out
+
+
+def count_rows(path: str) -> int:
+    total = 0
+    with open(path, "rb") as f:
+        f.seek(4)
+        (n,) = struct.unpack("<I", f.read(4))
+        f.seek(4 + 4 + n)
+        while True:
+            header = f.read(16)
+            if len(header) < 16:
+                break
+            magic, nrows, comp_size, _ = struct.unpack("<IIII", header)
+            if magic != BLOCK_MAGIC:
+                raise ValueError(f"{path}: corrupt block header")
+            total += nrows
+            f.seek(comp_size, 1)
+    return total

@@ -1,0 +1,226 @@
+"""Compile a Features spec into static plans: record schema, batch layout,
+and the embedding-table placement plan.
+
+This is the TPU-first replacement for the reference's per-feature Keras
+preprocessing layers (backend/utils/preprocess_utils.py:7-89 +
+backend/core/dataloader.py:23-44): instead of building a layer object per
+feature, we compile the config once into
+  * `RecordSchema`   — how raw values are serialized into record files,
+  * `BatchSchema`    — the fixed-shape device batch layout (ids/mask/dense),
+  * `TablePlan`      — embedding tables stacked per dim-group with row
+                       offsets, ready to shard row-wise across a device mesh.
+
+Everything downstream (pipeline, embedding engine, models) is driven by these
+static plans, so the jitted graph has static shapes and zero Python feature
+logic inside it.
+
+Batch conventions (all arrays fixed-shape, device-ready):
+  * sparse feature f  -> int32 ids [B, H, L]  (H = number of hash salts, 1 for
+    lookup/discrete/token_id; L = f.max_len). id 0 is the universal
+    pad/masked slot; real ids start at 1.
+  * numeric feature f -> float32 [B, L].
+  * label tower       -> float32 [B] per label feature.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from recommendflow_tpu.config.features import Feature, Features
+from recommendflow_tpu.config.proto import FeatureDeal, FeaturePooling, FeatureTower
+from recommendflow_tpu.data.hashing import normalize_seeds
+
+PAD_ID = 0  # universal padding / OOV slot, masked out of pooling
+
+
+@dataclass(frozen=True)
+class FeatureSlot:
+    """Static per-feature plan entry."""
+    name: str
+    kind: str                 # 'sparse' | 'dense' | 'token' | 'embedding'
+    deal: FeatureDeal
+    tower: FeatureTower
+    pooling: FeaturePooling
+    dtype: str                # declared config type: int/float/str
+    max_len: int
+    num_hashes: int = 1       # H: 2 for double-hashed features
+    num_rows: int = 0         # embedding table rows (incl. pad slot)
+    dim: int = 0              # embedding dim per hash (output = H * dim)
+    seeds: Tuple[int, ...] = ()
+    vocab: Optional[Tuple[Any, ...]] = None       # lookup vocab values
+    boundaries: Optional[Tuple[float, ...]] = None  # discrete bin boundaries
+
+    @property
+    def out_dim(self) -> int:
+        """Pooled output width of this feature."""
+        if self.kind == "dense":
+            return self.max_len
+        return self.num_hashes * self.dim
+
+    @property
+    def batch_shape(self) -> Tuple[int, ...]:
+        if self.kind == "dense":
+            return (self.max_len,)
+        if self.kind == "sparse":
+            return (self.num_hashes, self.max_len)
+        return (self.max_len,)   # token ids
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """One logical embedding table (one hash-branch of one feature)."""
+    feature: str
+    branch: int           # hash branch index (0..H-1)
+    num_rows: int         # includes the pad row 0
+    dim: int
+
+
+@dataclass(frozen=True)
+class TableGroup:
+    """Tables of equal dim stacked row-wise into one [total_rows, dim] array.
+
+    Stacking turns N small gathers into one big gather against a single
+    HBM-resident array — the unit of row-sharding across the mesh and the
+    operand of the fused Pallas embedding-bag kernel.
+    """
+    dim: int
+    tables: Tuple[TableSpec, ...]
+    offsets: Tuple[int, ...]      # row offset of each table in the stack
+    total_rows: int
+
+    def offset_of(self, feature: str, branch: int) -> int:
+        for t, off in zip(self.tables, self.offsets):
+            if t.feature == feature and t.branch == branch:
+                return off
+        raise KeyError(f"no table for {feature}#{branch} in dim-{self.dim} group")
+
+
+@dataclass
+class BatchSchema:
+    """The complete static plan for one config."""
+    slots: Dict[str, FeatureSlot]
+    order: List[str]                     # deterministic feature order
+    label_names: List[str]
+    groups: Dict[int, TableGroup]        # dim -> stacked table group
+
+    def tower_slots(self, tower: str) -> List[FeatureSlot]:
+        t = FeatureTower(tower)
+        return [self.slots[n] for n in self.order
+                if self.slots[n].tower == t and self.slots[n].kind != "label"]
+
+    def sparse_slots(self) -> List[FeatureSlot]:
+        return [self.slots[n] for n in self.order if self.slots[n].kind == "sparse"]
+
+    def dense_slots(self) -> List[FeatureSlot]:
+        return [self.slots[n] for n in self.order if self.slots[n].kind == "dense"]
+
+    def tower_dim(self, tower: str) -> int:
+        return sum(s.out_dim for s in self.tower_slots(tower))
+
+    def batch_spec(self, batch_size: int) -> Dict[str, Tuple[Tuple[int, ...], str]]:
+        """name -> (shape, dtype) for a device batch of `batch_size`."""
+        spec: Dict[str, Tuple[Tuple[int, ...], str]] = {}
+        for name in self.order:
+            s = self.slots[name]
+            if s.kind == "dense":
+                spec[name] = ((batch_size,) + s.batch_shape, "float32")
+            else:
+                spec[name] = ((batch_size,) + s.batch_shape, "int32")
+        for name in self.label_names:
+            spec[name] = ((batch_size,), "float32")
+        return spec
+
+
+def _slot_for(feature: Feature) -> FeatureSlot:
+    deal = feature.deal
+    if deal == FeatureDeal.Hashing:
+        seeds = tuple(normalize_seeds(feature.hash_seeds, num_hashes=2))
+        return FeatureSlot(
+            name=feature.name, kind="sparse", deal=deal, tower=feature.tower,
+            pooling=feature.pooling, dtype=feature.type, max_len=feature.max_len,
+            num_hashes=len(seeds), num_rows=feature.vocab_size + 1,
+            dim=feature.embedding_dim, seeds=seeds)
+    if deal == FeatureDeal.Lookup:
+        vocab = tuple(feature.vocabs) if isinstance(feature.vocabs, list) else None
+        rows = (len(vocab) if vocab else feature.vocab_size) + 1
+        return FeatureSlot(
+            name=feature.name, kind="sparse", deal=deal, tower=feature.tower,
+            pooling=feature.pooling, dtype=feature.type, max_len=feature.max_len,
+            num_hashes=1, num_rows=rows, dim=feature.embedding_dim, vocab=vocab)
+    if deal == FeatureDeal.Discrete:
+        bounds = tuple(float(b) for b in feature.vocabs)
+        # bins = len(bounds)+1, shifted +1 to keep slot 0 pad-only (fixes the
+        # reference's masked-bin-0 defect, preprocess_layers.py:172-174)
+        return FeatureSlot(
+            name=feature.name, kind="sparse", deal=deal, tower=feature.tower,
+            pooling=feature.pooling, dtype=feature.type, max_len=feature.max_len,
+            num_hashes=1, num_rows=len(bounds) + 2, dim=feature.embedding_dim,
+            boundaries=bounds)
+    if deal == FeatureDeal.TokenId:
+        return FeatureSlot(
+            name=feature.name, kind="token", deal=deal, tower=feature.tower,
+            pooling=feature.pooling, dtype=feature.type,
+            max_len=max(feature.max_len, 1))
+    if deal in (FeatureDeal.Numeric, FeatureDeal.Null):
+        return FeatureSlot(
+            name=feature.name, kind="dense", deal=deal, tower=feature.tower,
+            pooling=feature.pooling, dtype=feature.type, max_len=feature.max_len)
+    if deal == FeatureDeal.Embedding:
+        return FeatureSlot(
+            name=feature.name, kind="embedding", deal=deal, tower=feature.tower,
+            pooling=feature.pooling, dtype=feature.type, max_len=feature.max_len)
+    raise NotImplementedError(f"deal '{deal.value}' not yet supported on TPU path "
+                              f"(feature '{feature.name}')")
+
+
+def compile_schema(features: Features) -> BatchSchema:
+    """Compile working features into the static batch/table plan."""
+    slots: Dict[str, FeatureSlot] = {}
+    order: List[str] = []
+    label_names: List[str] = []
+    for f in features.train_features:
+        if f.tower == FeatureTower.Label or (
+                f.deal == FeatureDeal.Numeric and f.tower == FeatureTower.Null):
+            label_names.append(f.name)
+            continue
+        slot = _slot_for(f)
+        slots[f.name] = slot
+        order.append(f.name)
+
+    by_dim: Dict[int, List[TableSpec]] = {}
+    for name in order:
+        s = slots[name]
+        if s.kind != "sparse":
+            continue
+        for h in range(s.num_hashes):
+            by_dim.setdefault(s.dim, []).append(
+                TableSpec(feature=name, branch=h, num_rows=s.num_rows, dim=s.dim))
+
+    groups: Dict[int, TableGroup] = {}
+    for dim, tables in sorted(by_dim.items()):
+        offsets, acc = [], 0
+        for t in tables:
+            offsets.append(acc)
+            acc += t.num_rows
+        groups[dim] = TableGroup(dim=dim, tables=tuple(tables),
+                                 offsets=tuple(offsets), total_rows=acc)
+    return BatchSchema(slots=slots, order=order, label_names=label_names, groups=groups)
+
+
+# ----------------------------------------------------------- host encoders
+def encode_lookup(values: np.ndarray, vocab: Sequence[Any]) -> np.ndarray:
+    """Map raw values -> table ids (1-based; unknown/missing -> PAD_ID)."""
+    mapping = {v: i + 1 for i, v in enumerate(vocab)}
+    flat = np.asarray(
+        [mapping.get(v, PAD_ID) for v in np.asarray(values, dtype=object).ravel()],
+        dtype=np.int64)
+    return flat.reshape(np.shape(values))
+
+
+def encode_discrete(values: np.ndarray, boundaries: Sequence[float]) -> np.ndarray:
+    """Bucketize floats -> bin ids shifted +1 (PAD_ID reserved for missing)."""
+    b = np.asarray(boundaries, dtype=np.float64)
+    v = np.asarray(values, dtype=np.float64)
+    return (np.searchsorted(b, v, side="right") + 1).astype(np.int64)

@@ -1,0 +1,180 @@
+"""Data layer tests: record codec round-trip, schema compilation, CSR padding,
+host-side hashing/lookup/discretize, pipeline batching."""
+import numpy as np
+import pytest
+
+from recommendflow_tpu.config import Configuration
+from recommendflow_tpu.data import (
+    BatchSchema, ColumnSpec, Dataset, PAD_ID, RecordWriter,
+    compile_schema, count_rows, hash_bucket, hash_bucket_array, iter_blocks,
+)
+from recommendflow_tpu.data.pipeline import (
+    _pad_csr, encode_block, expand_braces, prefetch, resolve_paths, split_files,
+)
+from recommendflow_tpu.data.schema import encode_discrete, encode_lookup
+from recommendflow_tpu.data.synthetic import generate_records
+
+
+# ----------------------------------------------------------------- recordio
+def test_recordio_roundtrip(tmp_path):
+    path = str(tmp_path / "t.rfb")
+    cols = [ColumnSpec("ids", "int"), ColumnSpec("score", "float"), ColumnSpec("tok", "str")]
+    rows = [
+        {"ids": [1, 2, 3], "score": [0.5], "tok": ["a", "bb"]},
+        {"ids": [], "score": [1.5], "tok": []},
+        {"ids": [7], "score": [], "tok": ["ccc"]},
+    ]
+    with RecordWriter(path, cols, block_rows=2) as w:  # force 2 blocks
+        w.write_rows(rows)
+    assert count_rows(path) == 3
+    got_rows = []
+    for nrows, block in iter_blocks(path):
+        for i in range(nrows):
+            row = {}
+            for name, (vals, splits) in block.items():
+                row[name] = list(vals[splits[i]:splits[i + 1]])
+            got_rows.append(row)
+    assert got_rows[0]["ids"] == [1, 2, 3]
+    assert got_rows[0]["tok"] == ["a", "bb"]
+    assert got_rows[1]["ids"] == [] and got_rows[1]["score"] == [1.5]
+    assert got_rows[2]["tok"] == ["ccc"]
+
+
+def test_recordio_column_subset(tmp_path):
+    path = str(tmp_path / "t.rfb")
+    cols = [ColumnSpec("a", "int"), ColumnSpec("b", "str"), ColumnSpec("c", "float")]
+    with RecordWriter(path, cols) as w:
+        w.write_row({"a": [1], "b": ["x"], "c": [2.0]})
+    _, block = next(iter_blocks(path, columns=["c"]))
+    assert set(block) == {"c"}
+    np.testing.assert_allclose(block["c"][0], [2.0])
+
+
+def test_recordio_bad_magic(tmp_path):
+    path = str(tmp_path / "bad.rfb")
+    path_obj = tmp_path / "bad.rfb"
+    path_obj.write_bytes(b"NOPE1234")
+    with pytest.raises(ValueError, match="not an RFB1"):
+        list(iter_blocks(path))
+
+
+# ------------------------------------------------------------------ hashing
+def test_hash_determinism_and_salts():
+    a = hash_bucket("hello", 2022, 1000)
+    assert a == hash_bucket("hello", 2022, 1000)
+    assert hash_bucket("hello", 2023, 1000) != a or True  # different salt usually differs
+    arr = hash_bucket_array(["hello", "world", "hello"], 2022, 1000)
+    assert arr[0] == arr[2] == a
+    assert (arr >= 0).all() and (arr < 1000).all()
+
+
+def test_encode_lookup_and_discrete():
+    ids = encode_lookup(np.array(["a", "b", "zzz"], dtype=object), ["a", "b", "c"])
+    assert list(ids) == [1, 2, PAD_ID]
+    bins = encode_discrete(np.array([0.0001, 0.003, 0.2]), [0.001, 0.005, 0.01])
+    assert list(bins) == [1, 2, 4]  # shifted +1, pad=0 reserved
+
+
+# ------------------------------------------------------------------- schema
+def test_compile_schema(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    schema = compile_schema(conf.features)
+    assert schema.label_names == ["label"]
+    uid = schema.slots["user_id"]
+    assert uid.kind == "sparse" and uid.num_hashes == 2 and uid.num_rows == 20001
+    assert uid.out_dim == 32  # 2 hashes x dim 16
+    clk = schema.slots["clk_item_ids"]
+    assert clk.max_len == 16
+    cats = schema.slots["clk_cat_ids"]
+    assert cats.num_hashes == 1 and cats.num_rows == 17
+    ctr = schema.slots["item_ctr"]
+    assert ctr.num_rows == 7  # 5 boundaries -> 6 bins + pad
+    # stacked table groups: dims {16, 8}
+    assert set(schema.groups) == {8, 16}
+    g16 = schema.groups[16]
+    assert g16.total_rows == sum(t.num_rows for t in g16.tables)
+    # user tower width: 2*16 (uid) + 2*16 (clicks) + 16 (cats)
+    assert schema.tower_dim("user") == 80
+
+
+def test_pad_csr():
+    values = np.array([1, 2, 3, 4, 5])
+    splits = np.array([0, 3, 3, 5])
+    out, mask = _pad_csr(values, splits, 4, 0, np.int64)
+    np.testing.assert_array_equal(out, [[1, 2, 3, 0], [0, 0, 0, 0], [4, 5, 0, 0]])
+    np.testing.assert_array_equal(mask.sum(axis=1), [3, 0, 2])
+    # truncation
+    out2, _ = _pad_csr(values, np.array([0, 5]), 2, 0, np.int64)
+    np.testing.assert_array_equal(out2, [[1, 2]])
+
+
+# ----------------------------------------------------------------- pipeline
+def test_expand_braces():
+    assert expand_braces("a{1,2}b") == ["a1b", "a2b"]
+    assert expand_braces("x") == ["x"]
+    assert expand_braces("a{1,2}b{x,y}") == ["a1bx", "a1by", "a2bx", "a2by"]
+
+
+def test_synthetic_and_dataset(demo_conf_path, tmp_path):
+    conf = Configuration(demo_conf_path)
+    out = str(tmp_path / "records")
+    paths = generate_records(conf, out, num_rows=600, num_files=2, seed=1)
+    assert len(paths) == 2
+    schema = compile_schema(conf.features)
+    ds = Dataset(schema, paths, batch_size=128, shuffle=True, seed=0)
+    batches = list(ds)
+    assert len(batches) == 600 // 128 == len(ds)
+    b = batches[0]
+    assert b["user_id"].shape == (128, 2, 1) and b["user_id"].dtype == np.int32
+    assert b["clk_item_ids"].shape == (128, 2, 16)
+    assert b["clk_cat_ids"].shape == (128, 1, 8)
+    assert b["item_ctr"].shape == (128, 1, 1)
+    assert b["label"].shape == (128,) and b["label"].dtype == np.float32
+    # ids within table range
+    assert b["user_id"].max() < schema.slots["user_id"].num_rows
+    assert b["user_id"].min() >= 0
+    # shapes constant across batches (jit contract)
+    for bb in batches[1:]:
+        for k in b:
+            assert bb[k].shape == b[k].shape
+    # labels have both classes
+    labs = np.concatenate([bb["label"] for bb in batches])
+    assert 0.0 < labs.mean() < 1.0
+
+
+def test_dataset_take_and_remainder(demo_conf_path, tmp_path):
+    conf = Configuration(demo_conf_path)
+    paths = generate_records(conf, str(tmp_path / "r"), num_rows=300, num_files=1)
+    schema = compile_schema(conf.features)
+    ds = Dataset(schema, paths, batch_size=128, take_batches=1)
+    assert len(list(ds)) == 1
+    ds2 = Dataset(schema, paths, batch_size=128, drop_remainder=False)
+    sizes = [len(b["label"]) for b in ds2]
+    assert sizes == [128, 128, 44]
+
+
+def test_prefetch_propagates_and_matches(demo_conf_path, tmp_path):
+    conf = Configuration(demo_conf_path)
+    paths = generate_records(conf, str(tmp_path / "r"), num_rows=256, num_files=1)
+    schema = compile_schema(conf.features)
+    ds = Dataset(schema, paths, batch_size=64, shuffle=False)
+    direct = list(ds)
+    fetched = list(prefetch(iter(ds), size=2))
+    assert len(direct) == len(fetched)
+    np.testing.assert_array_equal(direct[0]["label"], fetched[0]["label"])
+
+    def boom():
+        yield direct[0]
+        raise RuntimeError("decode failed")
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(prefetch(boom()))
+
+
+def test_split_files_and_resolve(tmp_path):
+    files = [str(tmp_path / f"f{i}.rfb") for i in range(10)]
+    for f in files:
+        open(f, "w").close()
+    train, valid = split_files(files, 0.2, seed=1)
+    assert len(valid) == 2 and len(train) == 8 and not set(train) & set(valid)
+    got = resolve_paths(str(tmp_path / "*.rfb"))
+    assert got == sorted(files)
