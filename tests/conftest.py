@@ -1,12 +1,22 @@
 """Test harness: run everything on a virtual 8-device CPU mesh so that
 pjit/shard_map collectives are exercised without TPU hardware (the
-TPU-idiomatic fake backend — see SURVEY.md §4)."""
+TPU-idiomatic fake backend — see SURVEY.md §4).
+
+NOTE: the runtime image presets JAX_PLATFORMS=axon (the remote TPU tunnel);
+env vars alone don't reliably win, so we also force the platform through
+jax.config before any device is touched. Without this, every eager op in the
+test suite round-trips the tunnel (~0.3s/op).
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,136 @@
+"""Embedding engine tests: stacked-table lookup vs naive per-feature gather,
+pooling semantics, masking, gradients."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recommendflow_tpu.config import Configuration
+from recommendflow_tpu.config.proto import FeaturePooling
+from recommendflow_tpu.data.schema import compile_schema
+from recommendflow_tpu.ops.embedding import (
+    concat_tower, embed_batch, init_tables, lookup_feature, pool_sequence,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    schema = compile_schema(conf.features)
+    params = init_tables(schema, jax.random.PRNGKey(0))
+    return conf, schema, params
+
+
+def test_init_tables_shapes_and_pad_rows(setup):
+    _, schema, params = setup
+    for dim, group in schema.groups.items():
+        table = params[f"dim{dim}"]
+        assert table.shape == (group.total_rows, dim)
+        for off in group.offsets:  # pad row of every member table is zero
+            assert np.allclose(np.asarray(table[off]), 0.0)
+
+
+def test_pool_sequence_semantics():
+    emb = jnp.asarray(np.arange(24, dtype=np.float32).reshape(1, 4, 6))
+    mask = jnp.asarray([[True, True, False, False]])
+    e = np.arange(24, dtype=np.float32).reshape(4, 6)
+    np.testing.assert_allclose(
+        pool_sequence(emb, mask, FeaturePooling.Sum)[0], e[0] + e[1])
+    np.testing.assert_allclose(
+        pool_sequence(emb, mask, FeaturePooling.Avg)[0], (e[0] + e[1]) / 2)
+    np.testing.assert_allclose(
+        pool_sequence(emb, mask, FeaturePooling.Max)[0], np.maximum(e[0], e[1]))
+    np.testing.assert_allclose(
+        pool_sequence(emb, mask, FeaturePooling.Min)[0], np.minimum(e[0], e[1]))
+    np.testing.assert_allclose(
+        pool_sequence(emb, mask, FeaturePooling.First)[0], e[0])
+    np.testing.assert_allclose(
+        pool_sequence(emb, mask, FeaturePooling.Cls)[0], e[0])
+    np.testing.assert_allclose(
+        pool_sequence(emb, mask, FeaturePooling.Last)[0], e[1])  # last VALID
+
+
+def test_pool_all_masked_gives_zero():
+    emb = jnp.ones((2, 3, 4))
+    mask = jnp.zeros((2, 3), dtype=bool)
+    for p in (FeaturePooling.Sum, FeaturePooling.Avg, FeaturePooling.Max,
+              FeaturePooling.Min, FeaturePooling.First, FeaturePooling.Last):
+        out = pool_sequence(emb, mask, p)
+        np.testing.assert_allclose(np.asarray(out), 0.0, err_msg=str(p))
+
+
+def test_lookup_matches_naive(setup):
+    """Stacked-table lookup == per-feature naive table slice + masked sum."""
+    _, schema, params = setup
+    slot = schema.slots["clk_item_ids"]
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, slot.num_rows, size=(5, slot.num_hashes, slot.max_len)).astype(np.int32)
+    ids[:, :, -3:] = 0  # some padding
+    got = np.asarray(lookup_feature(params, schema, slot, jnp.asarray(ids)))
+    # naive: slice each branch's table out of the stack
+    group = schema.groups[slot.dim]
+    table = np.asarray(params[f"dim{slot.dim}"])
+    parts = []
+    for h in range(slot.num_hashes):
+        off = group.offset_of(slot.name, h)
+        sub = table[off:off + slot.num_rows]
+        emb = sub[ids[:, h, :]]                      # [5, L, dim]
+        m = (ids[:, h, :] > 0)[..., None]
+        parts.append((emb * m).sum(axis=1))
+    naive = np.concatenate(parts, axis=-1)
+    np.testing.assert_allclose(got, naive, rtol=1e-5)
+    assert got.shape == (5, slot.num_hashes * slot.dim)
+
+
+def test_embed_batch_and_tower_concat(setup):
+    conf, schema, params = setup
+    rng = np.random.RandomState(1)
+    B = 4
+    batch = {}
+    for name in schema.order:
+        s = schema.slots[name]
+        if s.kind == "sparse":
+            batch[name] = jnp.asarray(
+                rng.randint(0, s.num_rows, size=(B,) + s.batch_shape).astype(np.int32))
+        else:
+            batch[name] = jnp.asarray(rng.rand(B, *s.batch_shape).astype(np.float32))
+    feats = embed_batch(params, schema, batch)
+    assert set(feats) == set(schema.order)
+    user = concat_tower(feats, schema, "user")
+    ad = concat_tower(feats, schema, "ad")
+    assert user.shape == (B, schema.tower_dim("user"))
+    assert ad.shape == (B, schema.tower_dim("ad"))
+
+
+def test_gradients_flow_and_pad_row_stays_zero(setup):
+    """Scatter-add grads hit only touched rows; pad rows get zero grad when
+    all their ids are masked."""
+    _, schema, params = setup
+    slot = schema.slots["item_cat_id"]
+    ids = jnp.asarray([[[3]], [[0]]], dtype=jnp.int32)  # row1 real, row2 pad
+
+    def loss(p):
+        out = lookup_feature(p, schema, slot, ids)
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(params)
+    g = np.asarray(grads[f"dim{slot.dim}"])
+    group = schema.groups[slot.dim]
+    off = group.offset_of(slot.name, 0)
+    assert np.abs(g[off + 3]).sum() > 0      # touched row has gradient
+    assert np.abs(g[off + 0]).sum() == 0     # pad row masked out of pooling
+    # untouched dim group gets zero grads
+    other_dims = [d for d in schema.groups if d != slot.dim]
+    for d in other_dims:
+        assert np.abs(np.asarray(grads[f"dim{d}"])).sum() == 0
+
+
+def test_lookup_jit_compiles_once(setup):
+    _, schema, params = setup
+    slot = schema.slots["user_id"]
+    fn = jax.jit(lambda p, i: lookup_feature(p, schema, slot, i))
+    ids1 = jnp.ones((8,) + slot.batch_shape, jnp.int32)
+    ids2 = 2 * jnp.ones((8,) + slot.batch_shape, jnp.int32)
+    out1 = fn(params, ids1)
+    out2 = fn(params, ids2)
+    assert out1.shape == out2.shape == (8, slot.num_hashes * slot.dim)
