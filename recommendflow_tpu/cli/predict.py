@@ -1,0 +1,54 @@
+"""CLI: batch embedding inference / scoring.
+
+Parity surface: example/recall_search/predict.py:49-85 — restore a
+checkpoint, run model predict over record files, dump embeddings (npz) for
+downstream ANN indexing or promotion checks.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from recommendflow_tpu.utils.tables import print_args
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Batch predict embeddings/scores")
+    p.add_argument("conf", help="yaml config path")
+    p.add_argument("--data", required=True, help="record pattern")
+    p.add_argument("--checkpoint", default=None, help="checkpoint root (latest step)")
+    p.add_argument("--out", required=True, help="output .npz path")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--dayno", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    print_args(args)
+
+    import jax
+
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.pipeline import make_dataset
+    from recommendflow_tpu.models.base import build_network
+    from recommendflow_tpu.parallel.mesh import make_mesh
+    from recommendflow_tpu.train import Trainer
+    from recommendflow_tpu.train.checkpoint import restore_checkpoint
+
+    conf = Configuration(args.conf)
+    batch_size = args.batch_size or int(conf.get_conf_value_or("batch_size", 2048))
+    ds, _ = make_dataset(conf, args.data, batch_size, dayno=args.dayno,
+                         shuffle=False, valid_ratio=0.0, seed=args.seed)
+    model, _ = build_network(conf.networks["class"], {"conf": conf})
+    trainer = Trainer(model, mesh=make_mesh())
+    state = trainer.init_state(trainer._put(next(iter(ds))))
+    if args.checkpoint:
+        state = restore_checkpoint(args.checkpoint, state)
+    outputs = trainer.predict(state, ds)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    np.savez_compressed(args.out, **outputs)
+    print(f"wrote {args.out}: " + ", ".join(f"{k}{v.shape}" for k, v in outputs.items()))
+
+
+if __name__ == "__main__":
+    main()

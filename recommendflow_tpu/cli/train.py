@@ -1,0 +1,110 @@
+"""CLI: full training pipeline (the canonical path).
+
+Parity surface: example/recall_search/train.py:25-111 — argparse knobs (lr,
+batch_size, epochs, topk list, train_mode test/normal, exp_id), config-driven
+data + model construction, epoch-end retrieval eval, early stopping, LR
+plateau, per-epoch + best checkpoints.
+
+Usage:
+    python -m recommendflow_tpu.cli.train CONF [--data PATTERN] [--epochs N]
+        [--batch_size B] [--lr LR] [--train_mode test] [--exp_id K] ...
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from recommendflow_tpu.utils.str_parser import str2debug, str2list
+from recommendflow_tpu.utils.tables import print_args
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a recommendflow_tpu model")
+    p.add_argument("conf", help="yaml config path")
+    p.add_argument("--data", default=None, help="override Train.data pattern")
+    p.add_argument("--dayno", default=None, help="dayno DSL for YYYYMMDD substitution")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--valid_ratio", type=float, default=0.1)
+    p.add_argument("--topk", default="5,10,50,100", help="eval K list")
+    p.add_argument("--train_mode", default="normal", help="'test' = 10-batch debug run")
+    p.add_argument("--exp_id", type=int, default=None, help="activate experiment row")
+    p.add_argument("--model_save_root", default=None)
+    p.add_argument("--load_checkpoint", default=None)
+    p.add_argument("--patience", type=int, default=3)
+    p.add_argument("--monitor", default="val_auc")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_mesh", action="store_true", help="single-device jit")
+    p.add_argument("--shard_tables", action="store_true",
+                   help="row-shard embedding tables over the mesh")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    print_args(args)
+    import jax
+
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.pipeline import make_dataset
+    from recommendflow_tpu.models.base import build_network
+    from recommendflow_tpu.parallel.mesh import make_mesh
+    from recommendflow_tpu.retrieval.eval import make_recall_evaluator
+    from recommendflow_tpu.train import (
+        EarlyStopping, EvalCallback, ModelCheckpoint, ReduceLROnPlateau, Trainer,
+    )
+    from recommendflow_tpu.train.checkpoint import restore_checkpoint
+
+    conf = Configuration(args.conf)
+    loss_name = None
+    data_pattern = args.data
+    if args.exp_id is not None:
+        row = conf.active_experiment(args.exp_id)
+        loss_name = row.get("loss")
+        data_pattern = data_pattern or row.get("train_data")
+    conf.print_features()
+
+    data_pattern = data_pattern or conf.get_conf_value("data")
+    batch_size = args.batch_size or int(conf.get_conf_value_or("batch_size", 1024))
+    epochs = args.epochs or int(conf.get_conf_value_or("epoch", 1))
+    debug = str2debug(args.train_mode)
+
+    train_ds, valid_ds = make_dataset(
+        conf, data_pattern, batch_size, dayno=args.dayno,
+        valid_ratio=args.valid_ratio, seed=args.seed, debug=debug)
+
+    model, _ = build_network(conf.networks["class"],
+                             {"conf": conf, "loss": loss_name})
+    mesh = None if args.no_mesh else make_mesh()
+    trainer = Trainer(model, learning_rate=args.lr, mesh=mesh,
+                      shard_tables=args.shard_tables, seed=args.seed)
+
+    topk = str2list(args.topk, trans_type=int)
+    eval_source = valid_ds or train_ds
+    callbacks = [
+        EvalCallback(make_recall_evaluator(conf, eval_source, topk_list=topk)),
+        EarlyStopping(monitor=args.monitor, patience=args.patience),
+        ReduceLROnPlateau(monitor=args.monitor, patience=max(args.patience - 1, 1)),
+    ]
+    save_root = args.model_save_root or conf.get_conf_value_or("model_save_root")
+    if save_root and not debug:
+        callbacks.append(ModelCheckpoint(os.path.join(save_root, "ckpt"),
+                                         monitor=args.monitor))
+
+    state = None
+    if args.load_checkpoint:
+        sample = next(iter(train_ds))
+        state = trainer.init_state(trainer._put(sample))
+        state = restore_checkpoint(args.load_checkpoint, state)
+
+    result = trainer.fit(train_ds, epochs=epochs, valid_ds=valid_ds,
+                         callbacks=callbacks, state=state,
+                         log_every=5 if debug else 100)
+    final = result["history"][-1] if result["history"] else {}
+    print("final:", {k: round(v, 5) for k, v in final.items()})
+    return result
+
+
+if __name__ == "__main__":
+    main()

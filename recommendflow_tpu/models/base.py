@@ -1,0 +1,120 @@
+"""Model base: the framework contract every zoo model follows.
+
+Reference contract (SURVEY §2.6; models/matching/dssm.py:11-64): constructor
+takes (Configuration, loss, name); call(batch, training) adds the loss when
+training and returns an embedding/label dict when predicting. Our TPU-native
+translation: flax.linen modules whose __call__(batch, training) returns
+  * training=True  -> (loss: scalar, aux: dict of metrics tensors)
+  * training=False -> dict of outputs (embeddings / scores / labels)
+Params and batch_stats live in standard flax collections; everything is
+jit/pjit-safe with static shapes.
+
+Models are loaded reflectively by dotted path 'pkg.module.Class' through
+build_network (parity: backend/utils/model_utils.py:55-73) named in YAML
+Networks.class.
+"""
+from __future__ import annotations
+
+import importlib
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recommendflow_tpu.config.configuration import Configuration
+from recommendflow_tpu.data.schema import BatchSchema, compile_schema
+from recommendflow_tpu.ops.embedding import pool_sequence  # noqa: F401 (re-export)
+from recommendflow_tpu.utils.str_parser import str2fn
+
+Batch = Dict[str, jnp.ndarray]
+
+
+class FeatureEmbedder(nn.Module):
+    """Owns the stacked embedding tables; maps a batch to pooled per-feature
+    embeddings (the linen twin of ops/embedding.py's functional engine —
+    same stacked layout so the Pallas kernel and sharding rules apply)."""
+    schema: BatchSchema
+
+    def setup(self):
+        tables = {}
+        for dim, group in self.schema.groups.items():
+            tables[f"dim{dim}"] = self.param(
+                f"table_dim{dim}",
+                nn.initializers.uniform(scale=0.1),
+                (group.total_rows, dim))
+        self._tables = tables
+
+    def __call__(self, batch: Batch, tower: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+        from recommendflow_tpu.ops.embedding import embed_batch
+        return embed_batch(self._tables, self.schema, batch, tower=tower)
+
+    def tower_vector(self, batch: Batch, tower: str) -> jnp.ndarray:
+        from recommendflow_tpu.ops.embedding import concat_tower
+        return concat_tower(self(batch, tower), self.schema, tower)
+
+
+class RecModel(nn.Module):
+    """Base class: wires Configuration -> schema + loss resolution.
+
+    ('name' is reserved by linen — flax auto-names submodules; the reference's
+    name kwarg maps onto linen's module naming.)"""
+    conf: Configuration
+    loss: Any = None          # callable or dotted name; None -> Networks.loss
+
+    @property
+    def schema(self) -> BatchSchema:
+        if not hasattr(self, "_schema_cache"):
+            object.__setattr__(self, "_schema_cache", compile_schema(self.conf.features))
+        return self._schema_cache
+
+    def resolve_loss(self) -> Callable:
+        loss = self.loss
+        if loss is None:
+            loss = self.conf.networks.get("loss")
+        if loss is None:
+            raise ValueError("no loss given (model arg or Networks.loss)")
+        return str2fn(loss) if isinstance(loss, str) else loss
+
+    def network_conf(self, key: str, default=None):
+        return self.conf.networks.get(key, default)
+
+
+def build_network(class_path: str, model_kwargs: Dict[str, Any],
+                  checkpoint_path: Optional[str] = None):
+    """Reflection loader: 'recommendflow_tpu.models.matching.dssm.Dssm' ->
+    instance (parity: model_utils.py:55-73). Short names resolve against the
+    bundled zoo ('dssm' / 'matching.dssm.Dssm' / full path all work).
+    Returns (model, restored_variables | None)."""
+    path = class_path.strip()
+    candidates = [path]
+    if not path.startswith("recommendflow_tpu."):
+        candidates += [f"recommendflow_tpu.models.{path}"]
+        # bare model name: 'dssm' -> matching/ranking/... search
+        if "." not in path:
+            for stage in ("matching", "preranking", "ranking", "reranking"):
+                candidates.append(
+                    f"recommendflow_tpu.models.{stage}.{path.lower()}.{path.capitalize()}")
+    # legacy reference paths: 'models.matching.dssm.Dssm'
+    if path.startswith("models."):
+        candidates.append("recommendflow_tpu." + path)
+
+    last_err: Optional[Exception] = None
+    for cand in candidates:
+        module_name, _, cls_name = cand.rpartition(".")
+        if not module_name:
+            continue
+        try:
+            module = importlib.import_module(module_name)
+            cls = getattr(module, cls_name)
+        except (ImportError, AttributeError) as e:
+            last_err = e
+            continue
+        model = cls(**model_kwargs)
+        restored = None
+        if checkpoint_path:
+            from recommendflow_tpu.train.checkpoint import restore_variables
+            restored = restore_variables(checkpoint_path)
+        return model, restored
+    raise ImportError(f"cannot resolve model class '{class_path}' "
+                      f"(tried {candidates}): {last_err}")

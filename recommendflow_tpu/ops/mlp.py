@@ -1,0 +1,71 @@
+"""MLP blocks and activations (parity: backend/blocks/mlp.py:4-29).
+
+flax.linen modules; BatchNorm state rides the standard 'batch_stats'
+collection. Dice (DIN's adaptive activation) included.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def dice(x: jnp.ndarray, axis: int = -1, eps: float = 1e-9) -> jnp.ndarray:
+    """Dice activation (DIN): p(x)·x with p = sigmoid of the standardized
+    input (parity: mlp.py:24-29 dice_func)."""
+    mean = jnp.mean(x, axis=axis, keepdims=True)
+    var = jnp.var(x, axis=axis, keepdims=True)
+    px = nn.sigmoid((x - mean) / jnp.sqrt(var + eps))
+    return px * x
+
+
+_ACTIVATIONS = {
+    "relu": nn.relu, "selu": nn.selu, "gelu": nn.gelu, "elu": nn.elu,
+    "tanh": jnp.tanh, "sigmoid": nn.sigmoid, "silu": nn.silu,
+    "leaky_relu": nn.leaky_relu, "dice": dice, "linear": lambda x: x,
+    "none": lambda x: x,
+}
+
+
+def get_activation(name: Union[str, Callable]) -> Callable:
+    if callable(name):
+        return name
+    if name.lower() not in _ACTIVATIONS:
+        raise ValueError(f"unknown activation '{name}'; have {sorted(_ACTIVATIONS)}")
+    return _ACTIVATIONS[name.lower()]
+
+
+class MLP(nn.Module):
+    """[norm -> dense -> activation -> dropout] x len(units).
+
+    Parity with create_mlp (blocks/mlp.py:4-15): optional BatchNorm before
+    each dense, dropout after activation, final layer optionally linear.
+    """
+    units: Sequence[int]
+    dropout: float = 0.0
+    activation: str = "relu"
+    use_bn: bool = False
+    bn_epsilon: float = 1e-6
+    final_activation: Optional[str] = None   # None -> same as activation
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        act = get_activation(self.activation)
+        n = len(self.units)
+        for i, width in enumerate(self.units):
+            if self.use_bn:
+                x = nn.BatchNorm(use_running_average=not training,
+                                 epsilon=self.bn_epsilon, momentum=0.99)(x)
+            x = nn.Dense(width)(x)
+            if i == n - 1 and self.final_activation is not None:
+                x = get_activation(self.final_activation)(x)
+            else:
+                x = act(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return x
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)

@@ -1,0 +1,64 @@
+"""Device mesh construction and sharding rules.
+
+The TPU-native replacement for the reference's MirroredStrategy
+(backend/utils/gpu_utils.py:13-14): an explicit jax.sharding.Mesh with named
+axes. Default layout is 1-D data parallelism over all chips ('dp'); tables
+may additionally be row-sharded over the same axis (model parallelism for
+embedding HBM capacity — SURVEY §2 component 2 / §7 step 3). XLA inserts the
+collectives (all-gather of gathered rows on the forward, reduce-scatter of
+scatter-add grads on the backward) when pjit sees the shardings.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_names: Sequence[str] = ("dp",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = [n] + [1] * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Shard the leading (batch) dim; replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict, axis: str = "dp") -> Dict:
+    """device_put every array of a host batch with batch-dim sharding."""
+    sh = batch_sharding(mesh, axis)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def table_sharding_rules(params, mesh: Mesh, axis: str = "dp",
+                         min_rows: int = 8192):
+    """PartitionSpec tree for model variables: embedding tables with at least
+    `min_rows` rows are row-sharded over `axis`; everything else replicated.
+
+    Row-sharding the stacked per-dim tables spreads HBM across the mesh; the
+    forward gather and backward scatter-add become XLA collectives over ICI.
+    """
+    def spec_for(path: Tuple, leaf):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "table_dim" in name and hasattr(leaf, "shape") and leaf.ndim == 2 \
+                and leaf.shape[0] >= min_rows and leaf.shape[0] % mesh.shape[axis] == 0:
+            return P(axis, None)
+        return P()
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def apply_shardings(tree, mesh: Mesh, spec_tree):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, spec_tree)

@@ -1,0 +1,7 @@
+from recommendflow_tpu.retrieval.searcher import TpuSearcher
+from recommendflow_tpu.retrieval.whitening import VecsWhitening
+from recommendflow_tpu.retrieval.eval import (
+    batch_compute_group_recall_score, batch_compute_recall_score, click_ranks,
+    hit_at_k, make_recall_evaluator, mrr_at_k, ndcg_at_k, recall_metrics,
+    recall_report,
+)

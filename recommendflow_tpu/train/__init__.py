@@ -1,0 +1,7 @@
+from recommendflow_tpu.train.trainer import (
+    TrainState, Trainer, current_learning_rate, make_optimizer, set_learning_rate,
+)
+from recommendflow_tpu.train.callbacks import (
+    Callback, EarlyStopping, EvalCallback, History, ModelCheckpoint, ReduceLROnPlateau,
+)
+from recommendflow_tpu.train.monitor import PromotionBlocked, model_online_monitor

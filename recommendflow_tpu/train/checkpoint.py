@@ -1,0 +1,63 @@
+"""Checkpointing: params + batch_stats + optimizer state + step.
+
+Upgrades the reference's weights-only per-epoch saves
+(backend/core/callbacks.py:5-15, Keras save_weights) to full-state
+step-resumable checkpoints via orbax (SURVEY §5 'Checkpoint / resume').
+Layout: <root>/<step>/ per save, plus '<root>/best' for the promoted model.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_pytree(path: str, tree: Any, force: bool = True):
+    path = os.path.abspath(path)
+    _checkpointer().save(path, tree, force=force)
+
+
+def restore_pytree(path: str, template: Optional[Any] = None) -> Any:
+    path = os.path.abspath(path)
+    if template is not None:
+        return _checkpointer().restore(path, item=template)
+    return _checkpointer().restore(path)
+
+
+def save_checkpoint(root: str, state: Any, step: int, keep: int = 5):
+    """Save a training state under root/<step>, pruning old steps."""
+    os.makedirs(root, exist_ok=True)
+    save_pytree(os.path.join(root, str(step)), state)
+    steps = sorted(int(d) for d in os.listdir(root) if d.isdigit())
+    for old in steps[:-keep]:
+        import shutil
+        shutil.rmtree(os.path.join(root, str(old)), ignore_errors=True)
+
+
+def latest_step(root: str) -> Optional[int]:
+    if not os.path.isdir(root):
+        return None
+    steps = [int(d) for d in os.listdir(root) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(root: str, template: Any, step: Optional[int] = None) -> Any:
+    step = latest_step(root) if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {root}")
+    return restore_pytree(os.path.join(root, str(step)), template)
+
+
+def save_variables(path: str, variables: Dict[str, Any]):
+    """Weights-only save (parity surface with Keras save_weights)."""
+    save_pytree(path, variables)
+
+
+def restore_variables(path: str, template: Optional[Dict[str, Any]] = None):
+    return restore_pytree(path, template)

@@ -1,0 +1,133 @@
+"""On-device streaming metrics.
+
+Replaces the reference's in-graph tf.keras.metrics.AUC wrappers
+(backend/core/metrics.py:4-10) with pure-functional binned accumulators that
+live in the training step (jit-safe, psum-able across a mesh axis) plus
+exact offline metrics for evaluation (sklearn parity,
+backend/utils/eval_utils.py:33-82,270-293).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class AucState(NamedTuple):
+    """Binned TP/FP/TN/FN accumulators over score thresholds."""
+    tp: jnp.ndarray
+    fp: jnp.ndarray
+    tn: jnp.ndarray
+    fn: jnp.ndarray
+
+
+def auc_init(num_thresholds: int = 200) -> AucState:
+    z = jnp.zeros((num_thresholds,), jnp.float32)
+    return AucState(z, z, z, z)
+
+
+def _thresholds(n: int) -> jnp.ndarray:
+    # keras-style: [-eps, n-2 inner points, 1+eps] -> n thresholds total
+    eps = 1e-7
+    if n <= 2:
+        return jnp.array([-eps, 1.0 + eps])
+    inner = jnp.linspace(0.0, 1.0, n)[1:-1]
+    return jnp.concatenate([jnp.array([-eps]), inner, jnp.array([1.0 + eps])])
+
+
+def auc_update(state: AucState, y_true: jnp.ndarray, y_score: jnp.ndarray,
+               axis_name: Optional[str] = None) -> AucState:
+    """Accumulate one batch; y_score in [0,1] (sigmoid/cosine rescaled)."""
+    n = state.tp.shape[0]
+    thr = _thresholds(n)[:, None]                       # [T, 1]
+    pred_pos = y_score[None, :] > thr                   # [T, B]
+    pos = (y_true > 0.5)[None, :]
+    tp = jnp.sum(pred_pos & pos, axis=1).astype(jnp.float32)
+    fp = jnp.sum(pred_pos & ~pos, axis=1).astype(jnp.float32)
+    tn = jnp.sum(~pred_pos & ~pos, axis=1).astype(jnp.float32)
+    fn = jnp.sum(~pred_pos & pos, axis=1).astype(jnp.float32)
+    if axis_name is not None:
+        tp, fp, tn, fn = (jax.lax.psum(x, axis_name) for x in (tp, fp, tn, fn))
+    return AucState(state.tp + tp, state.fp + fp, state.tn + tn, state.fn + fn)
+
+
+def auc_result(state: AucState) -> jnp.ndarray:
+    """ROC-AUC by trapezoidal interpolation over the threshold bins."""
+    tpr = state.tp / jnp.maximum(state.tp + state.fn, 1e-7)
+    fpr = state.fp / jnp.maximum(state.fp + state.tn, 1e-7)
+    # thresholds ascend -> fpr/tpr descend; integrate over fpr
+    return jnp.sum((fpr[:-1] - fpr[1:]) * (tpr[:-1] + tpr[1:]) / 2.0)
+
+
+# ------------------------------------------------------------ exact offline
+def roc_auc(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """Exact AUC via rank statistic (ties handled by average rank)."""
+    y_true = np.asarray(y_true).ravel()
+    y_score = np.asarray(y_score).ravel()
+    pos = y_true > 0.5
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(y_score, kind="mergesort")
+    ranks = np.empty_like(order, dtype=np.float64)
+    sorted_scores = y_score[order]
+    i = 0
+    r = 1.0
+    while i < len(sorted_scores):
+        j = i
+        while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        avg = (r + r + (j - i)) / 2.0
+        ranks[order[i:j + 1]] = avg
+        r += j - i + 1
+        i = j + 1
+    return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+
+
+def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """AUPR (average precision)."""
+    y_true = np.asarray(y_true).ravel()
+    order = np.argsort(-np.asarray(y_score).ravel(), kind="mergesort")
+    y = y_true[order]
+    cum_pos = np.cumsum(y)
+    precision = cum_pos / np.arange(1, len(y) + 1)
+    total_pos = y.sum()
+    if total_pos == 0:
+        return float("nan")
+    return float(np.sum(precision * y) / total_pos)
+
+
+def recall_at_precision(y_true: np.ndarray, y_score: np.ndarray,
+                        precision_floor: float = 0.6) -> Tuple[float, float]:
+    """Max recall subject to precision >= floor, and the threshold achieving
+    it (parity: eval_utils.py:270-293)."""
+    y_true = np.asarray(y_true).ravel()
+    order = np.argsort(-np.asarray(y_score).ravel(), kind="mergesort")
+    y = y_true[order]
+    scores = np.asarray(y_score).ravel()[order]
+    cum_pos = np.cumsum(y)
+    k = np.arange(1, len(y) + 1)
+    precision = cum_pos / k
+    total_pos = max(y.sum(), 1e-12)
+    recall = cum_pos / total_pos
+    ok = precision >= precision_floor
+    if not ok.any():
+        return 0.0, float("inf")
+    best = np.argmax(np.where(ok, recall, -1.0))
+    return float(recall[best]), float(scores[best])
+
+
+def spearman(a: np.ndarray, b: np.ndarray) -> float:
+    """Spearman rank correlation (parity: eval_utils.py:79-82)."""
+    def rank(x):
+        order = np.argsort(x)
+        r = np.empty_like(order, dtype=np.float64)
+        r[order] = np.arange(len(x))
+        return r
+    ra, rb = rank(np.asarray(a).ravel()), rank(np.asarray(b).ravel())
+    ra -= ra.mean()
+    rb -= rb.mean()
+    denom = np.sqrt((ra ** 2).sum() * (rb ** 2).sum())
+    return float((ra * rb).sum() / denom) if denom > 0 else float("nan")

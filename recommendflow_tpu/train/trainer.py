@@ -1,0 +1,287 @@
+"""The training runtime: one jitted train_step under an explicit device mesh.
+
+Replaces the reference's Keras compile/fit stack (example/recall_search/
+train.py:93-111 + MirroredStrategy, gpu_utils.py:13-14) with:
+  * a flax TrainState (params + batch_stats + optax state) whose learning
+    rate is runtime-adjustable (optax.inject_hyperparams) so the plateau
+    callback works without recompiling,
+  * train_step jitted once per config; with a mesh given, batches are
+    device_put with batch-axis sharding and params replicated (tables
+    optionally row-sharded) — XLA partitions the step and inserts the
+    gradient all-reduce (the NCCL all-reduce equivalent rides ICI),
+  * epoch loop with prefetch, callbacks (early stop / plateau / checkpoints /
+    retrieval eval), debug take-N batches, metric tables.
+
+Losses see the GLOBAL batch under pjit semantics: q@dT over a dp-sharded
+batch is partitioned by XLA with the needed all-gather — no manual
+collectives in the model code (the shard_map/axis_name path exists for
+explicit control; both are tested equal in tests/test_losses.py).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core as flax_core
+from flax import struct
+from flax.training import train_state as flax_train_state
+
+from recommendflow_tpu.data.pipeline import Dataset, prefetch
+from recommendflow_tpu.parallel.mesh import (
+    apply_shardings, batch_sharding, make_mesh, replicated, table_sharding_rules,
+)
+from recommendflow_tpu.train.callbacks import Callback, History
+from recommendflow_tpu.utils.logger import get_logger
+from recommendflow_tpu.utils.tables import print_table
+
+log = get_logger("recflow.trainer")
+
+
+class TrainState(flax_train_state.TrainState):
+    batch_stats: Any = None
+    rng: Any = None
+
+
+def make_optimizer(learning_rate: float = 1e-3, optimizer: str = "adam",
+                   weight_decay: float = 0.0, clip_norm: float = 0.0):
+    """Adam by default (parity: train.py:96 Adam(lr)); LR is injected so
+    callbacks can rescale it in-flight."""
+    opts = {
+        "adam": lambda learning_rate: optax.adam(learning_rate),
+        "adamw": lambda learning_rate: optax.adamw(learning_rate, weight_decay=weight_decay),
+        "adagrad": lambda learning_rate: optax.adagrad(learning_rate),
+        "sgd": lambda learning_rate: optax.sgd(learning_rate),
+        "lamb": lambda learning_rate: optax.lamb(learning_rate, weight_decay=weight_decay),
+    }
+    if optimizer not in opts:
+        raise ValueError(f"unknown optimizer '{optimizer}'; have {sorted(opts)}")
+    base = optax.inject_hyperparams(opts[optimizer])(learning_rate=learning_rate)
+    if clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(clip_norm), base)
+    return base
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Rewrite the injected learning_rate inside the optax state."""
+    def rewrite(os_):
+        if hasattr(os_, "hyperparams") and "learning_rate" in os_.hyperparams:
+            hp = dict(os_.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return os_._replace(hyperparams=hp)
+        if isinstance(os_, tuple) and not hasattr(os_, "hyperparams"):
+            return type(os_)(*(rewrite(o) for o in os_))
+        return os_
+    return state.replace(opt_state=rewrite(state.opt_state))
+
+
+def current_learning_rate(state: TrainState) -> Optional[float]:
+    def find(os_):
+        if hasattr(os_, "hyperparams") and "learning_rate" in os_.hyperparams:
+            return float(os_.hyperparams["learning_rate"])
+        if isinstance(os_, tuple) and not hasattr(os_, "hyperparams"):
+            for o in os_:
+                got = find(o)
+                if got is not None:
+                    return got
+        return None
+    return find(state.opt_state)
+
+
+class Trainer:
+    """Functional trainer bound to one model + optimizer (+ optional mesh)."""
+
+    def __init__(self,
+                 model,
+                 optimizer=None,
+                 learning_rate: float = 1e-3,
+                 mesh=None,
+                 shard_tables: bool = False,
+                 seed: int = 0):
+        self.model = model
+        self.tx = optimizer or make_optimizer(learning_rate)
+        self.base_lr = learning_rate
+        self.mesh = mesh
+        self.shard_tables = shard_tables
+        self.seed = seed
+        self.control: Dict[str, Any] = {"stop": False, "lr_scale": 1.0}
+        self._train_step = None
+        self._eval_step = None
+        self._predict_step = None
+
+    # ------------------------------------------------------------- state
+    def init_state(self, sample_batch: Dict[str, jnp.ndarray]) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        init_rng, state_rng = jax.random.split(rng)
+        variables = self.model.init(init_rng, sample_batch, training=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", flax_core.freeze({}))
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=params, tx=self.tx,
+            batch_stats=batch_stats, rng=state_rng)
+        if self.mesh is not None:
+            if self.shard_tables:
+                rules = table_sharding_rules(state.params, self.mesh)
+                params = apply_shardings(state.params, self.mesh, rules)
+                state = state.replace(params=params)
+            else:
+                state = jax.device_put(state, replicated(self.mesh))
+        n = sum(x.size for x in jax.tree.leaves(state.params))
+        log.info("initialized %s: %.3fM params%s", type(self.model).__name__,
+                 n / 1e6, f" on mesh {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}"
+                 if self.mesh is not None else "")
+        return state
+
+    # -------------------------------------------------------------- steps
+    def _build_train_step(self):
+        def train_step(state: TrainState, batch):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                mutable = []
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    mutable = ["batch_stats"]
+                out = state.apply_fn(variables, batch, training=True,
+                                     rngs={"dropout": step_rng},
+                                     mutable=mutable)
+                (loss, aux), new_state = out if mutable else (out, {})
+                return loss, (aux, new_state)
+
+            grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (aux, new_model_state)), grads = grads_fn(state.params)
+            state = state.apply_gradients(grads=grads)
+            if new_model_state:
+                state = state.replace(batch_stats=new_model_state["batch_stats"])
+            metrics = {"loss": loss, **aux}
+            return state, metrics
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def eval_step(state: TrainState, batch):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            return state.apply_fn(variables, batch, training=False)
+        return jax.jit(eval_step)
+
+    def _put(self, batch: Dict[str, np.ndarray]):
+        if self.mesh is not None:
+            sh = batch_sharding(self.mesh)
+            return {k: jax.device_put(v, sh) for k, v in batch.items()}
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def train_step(self, state, batch):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        return self._train_step(state, self._put(batch))
+
+    def eval_step(self, state, batch):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        return self._eval_step(state, self._put(batch))
+
+    # --------------------------------------------------------------- loops
+    def predict(self, state, dataset: Iterable) -> Dict[str, np.ndarray]:
+        """Stacked model outputs over a dataset (parity surface:
+        model.predict under MirroredStrategy, predict.py:49-85)."""
+        chunks: Dict[str, List[np.ndarray]] = {}
+        for batch in prefetch(iter(dataset)):
+            out = self.eval_step(state, batch)
+            for k, v in out.items():
+                chunks.setdefault(k, []).append(np.asarray(v))
+        return {k: np.concatenate(v, axis=0) for k, v in chunks.items()}
+
+    def evaluate(self, state, dataset: Iterable) -> Dict[str, float]:
+        """Validation metrics: val_loss (same loss fn on eval outputs) and
+        val_auc over similarity/score vs label when available."""
+        from recommendflow_tpu.train.metrics import roc_auc
+        losses, scores, labels = [], [], []
+        loss_fn = getattr(self.model, "resolve_loss", lambda: None)()
+        for batch in prefetch(iter(dataset)):
+            out = self.eval_step(state, batch)
+            if "user" in out and "ad" in out:
+                y, u, a = out["label"], out["user"], out["ad"]
+                if loss_fn is not None:
+                    losses.append(float(loss_fn(y, u, a)))
+                scores.append(np.asarray(jnp.sum(u * a, axis=1)))
+                labels.append(np.asarray(y))
+            elif "score" in out:
+                scores.append(np.asarray(out["score"]).ravel())
+                labels.append(np.asarray(out["label"]).ravel())
+        logs: Dict[str, float] = {}
+        if losses:
+            logs["val_loss"] = float(np.mean(losses))
+        if scores:
+            auc = roc_auc(np.concatenate(labels), np.concatenate(scores))
+            if np.isfinite(auc):
+                logs["val_auc"] = auc
+        return logs
+
+    def fit(self,
+            train_ds: Dataset,
+            epochs: int = 1,
+            valid_ds: Optional[Dataset] = None,
+            callbacks: Optional[List[Callback]] = None,
+            log_every: int = 100,
+            state: Optional[TrainState] = None) -> Dict[str, Any]:
+        callbacks = list(callbacks or [])
+        history = History()
+        callbacks.append(history)
+
+        it = iter(train_ds)
+        first = next(it)
+        if state is None:
+            state = self.init_state(self._put(first))
+        for cb in callbacks:
+            cb.on_train_begin(self)
+
+        lr_scale_applied = 1.0
+        logs: Dict[str, float] = {}
+        for epoch in range(epochs):
+            if self.control["stop"]:
+                break
+            if self.control["lr_scale"] != lr_scale_applied:
+                lr_scale_applied = self.control["lr_scale"]
+                state = set_learning_rate(state, self.base_lr * lr_scale_applied)
+                log.info("epoch %d: lr set to %.6g", epoch, self.base_lr * lr_scale_applied)
+
+            t0 = time.time()
+            n_batches, n_examples = 0, 0
+            running: Dict[str, float] = {}
+            epoch_iter = prefetch(iter(train_ds)) if epoch > 0 else _chain_first(first, it)
+            for batch in epoch_iter:
+                state, metrics = self.train_step(state, batch)
+                n_batches += 1
+                n_examples += len(next(iter(batch.values())))
+                if n_batches % log_every == 0:
+                    mvals = {k: float(v) for k, v in metrics.items()}
+                    log.info("epoch %d step %d: %s", epoch, n_batches,
+                             " ".join(f"{k}={v:.5f}" for k, v in mvals.items()))
+                for k, v in metrics.items():
+                    running[k] = running.get(k, 0.0) + float(v)
+            dt = time.time() - t0
+            logs = {k: v / max(n_batches, 1) for k, v in running.items()}
+            logs["examples_per_sec"] = n_examples / max(dt, 1e-9)
+            if valid_ds is not None:
+                logs.update(self.evaluate(state, valid_ds))
+            for cb in callbacks:
+                cb.on_epoch_end(self, state, epoch, logs)
+            if "restore_state" in self.control:
+                state = self.control.pop("restore_state")
+            print_table([[k, f"{v:.6g}"] for k, v in sorted(logs.items())],
+                        headers=["metric", "value"],
+                        title=f"Epoch {epoch} ({dt:.1f}s, {n_batches} steps)")
+        for cb in callbacks:
+            cb.on_train_end(self, state, logs)
+        return {"state": state, "history": history.epochs}
+
+
+def _chain_first(first, rest):
+    yield first
+    for x in rest:
+        yield x

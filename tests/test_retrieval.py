@@ -1,0 +1,155 @@
+"""Retrieval engine tests: exact top-k vs numpy argsort, metric math,
+whitening, persistence."""
+import numpy as np
+import pytest
+
+from recommendflow_tpu.retrieval import (
+    TpuSearcher, VecsWhitening, click_ranks, hit_at_k, mrr_at_k, ndcg_at_k,
+    recall_metrics, recall_report,
+)
+from recommendflow_tpu.retrieval.eval import MISS, batch_compute_group_recall_score
+from recommendflow_tpu.train.metrics import (
+    average_precision, recall_at_precision, roc_auc, spearman,
+)
+
+
+def _corpus(n=1000, d=32, seed=0):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, d).astype(np.float32)
+    return v
+
+
+@pytest.mark.parametrize("metric", ["ip", "cos", "l2"])
+def test_searcher_matches_numpy(metric):
+    v = _corpus(500, 16)
+    q = _corpus(40, 16, seed=1)
+    s = TpuSearcher(dim=16, metric=metric, pad_multiple=128).train(v)
+    items, scores, idx = s.search(q, topk=10)
+    vv = v / np.linalg.norm(v, axis=1, keepdims=True) if metric == "cos" else v
+    qq = q / np.linalg.norm(q, axis=1, keepdims=True) if metric == "cos" else q
+    if metric == "l2":
+        d2 = ((qq[:, None, :] - vv[None, :, :]) ** 2).sum(-1)
+        golden = np.argsort(d2, axis=1)[:, :10]
+        # distances ascend
+        got_d = np.take_along_axis(np.sqrt(d2), idx, axis=1)
+        np.testing.assert_allclose(np.asarray(scores), got_d, rtol=1e-3, atol=1e-3)
+    else:
+        sim = qq @ vv.T
+        golden = np.argsort(-sim, axis=1)[:, :10]
+    # compare score sets (ties may permute indices)
+    for i in range(len(q)):
+        assert set(idx[i]) == set(golden[i]), f"row {i} differs under {metric}"
+
+
+def test_searcher_topk_list_and_padding():
+    v = _corpus(300, 8)
+    s = TpuSearcher(dim=8, metric="ip", pad_multiple=256).train(v)  # 300 -> pad 512
+    items, scores, idx = s.search(_corpus(5, 8, seed=2), topk=[5, 20])
+    assert set(items.keys()) == {5, 20}
+    assert items[5].shape == (5, 5) and items[20].shape == (5, 20)
+    assert (idx[20] < 300).all()  # padded rows never returned
+
+
+def test_searcher_pickle_roundtrip(tmp_path):
+    v = _corpus(200, 8)
+    s = TpuSearcher(dim=8, metric="cos").train(v, items=np.arange(200) + 1000)
+    path = str(tmp_path / "s.pkl")
+    s.dump(path)
+    s2 = TpuSearcher.load_pickle(path)
+    q = _corpus(3, 8, seed=3)
+    i1, sc1, _ = s.search(q, topk=7)
+    i2, sc2, _ = s2.search(q, topk=7)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(sc1, sc2, rtol=1e-5)
+
+
+def test_searcher_save_load_npz(tmp_path):
+    v = _corpus(100, 8)
+    s = TpuSearcher(dim=8, metric="ip").train(v)
+    path = str(tmp_path / "idx.npz")
+    s.save(path)
+    s2 = TpuSearcher.load(path)
+    q = _corpus(2, 8, seed=4)
+    np.testing.assert_array_equal(s.search(q, 5)[2], s2.search(q, 5)[2])
+
+
+def test_searcher_errors():
+    s = TpuSearcher(dim=8)
+    with pytest.raises(RuntimeError, match="empty"):
+        s.search(np.zeros((1, 8)), 5)
+    with pytest.raises(ValueError, match="metric"):
+        TpuSearcher(dim=8, metric="hamming")
+    with pytest.raises(ValueError, match="expected"):
+        TpuSearcher(dim=8).train(np.zeros((10, 4)))
+
+
+# -------------------------------------------------------------- metric math
+def test_click_ranks_and_metrics():
+    rec = np.array([[3, 1, 2], [9, 9, 9], [5, 4, 7]])
+    labels = np.array([2, 1, 5])
+    ranks = click_ranks(rec, labels)
+    np.testing.assert_array_equal(ranks, [2, MISS, 0])
+    assert hit_at_k(ranks, 3) == pytest.approx(2 / 3)
+    assert hit_at_k(ranks, 1) == pytest.approx(1 / 3)
+    assert mrr_at_k(ranks, 3) == pytest.approx((1 / 3 + 0 + 1) / 3)
+    assert ndcg_at_k(ranks, 3) == pytest.approx((1 / np.log2(4) + 0 + 1) / 3)
+    # weights
+    w = np.array([1.0, 0.0, 1.0])
+    assert hit_at_k(ranks, 3, w) == pytest.approx(1.0)
+
+
+def test_group_recall():
+    v = _corpus(50, 8)
+    s = TpuSearcher(dim=8, metric="cos").train(v)
+    q = v + 0.01 * _corpus(50, 8, seed=9)  # queries near their own item
+    labels = np.arange(50)
+    groups = np.array([0] * 25 + [1] * 25)
+    overall, per_group = batch_compute_group_recall_score(
+        s, q, labels, groups, topk_list=[1, 5])
+    assert overall["hit@1"] > 0.9
+    assert set(per_group) == {0, 1}
+    assert per_group[0]["count"] == 25
+
+
+def test_offline_metrics():
+    y = np.array([1, 0, 1, 0, 1])
+    score = np.array([0.9, 0.8, 0.7, 0.3, 0.2])
+    # pos x neg pairs: (0.9,0.8)w (0.9,0.3)w (0.7,0.8)l (0.7,0.3)w (0.2,0.8)l
+    # (0.2,0.3)l -> 3 wins / 6 pairs
+    assert roc_auc(y, score) == pytest.approx(0.5)
+    # perfect and inverted orderings
+    assert roc_auc([1, 1, 0, 0], [0.9, 0.8, 0.2, 0.1]) == pytest.approx(1.0)
+    assert roc_auc([1, 1, 0, 0], [0.1, 0.2, 0.8, 0.9]) == pytest.approx(0.0)
+    # ties get half credit
+    assert roc_auc([1, 0], [0.5, 0.5]) == pytest.approx(0.5)
+    ap = average_precision(y, score)
+    assert 0 < ap <= 1
+    rec, thr = recall_at_precision(y, score, precision_floor=0.6)
+    assert rec > 0 and np.isfinite(thr)
+    assert spearman([1, 2, 3, 4], [1, 2, 3, 4]) == pytest.approx(1.0)
+    assert spearman([1, 2, 3, 4], [4, 3, 2, 1]) == pytest.approx(-1.0)
+
+
+def test_whitening(tmp_path):
+    rng = np.random.RandomState(0)
+    # anisotropic cloud
+    x = rng.randn(500, 16) @ np.diag(np.linspace(0.1, 5.0, 16)).astype(np.float32)
+    w = VecsWhitening().fit(x)
+    z = w.transform(x, normalize=False)
+    cov = np.cov(z.T)
+    np.testing.assert_allclose(np.diag(cov), 1.0, atol=0.15)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 0.15
+    # dim reduction + persistence
+    w2 = VecsWhitening(n_components=4).fit(x)
+    assert w2.transform(x).shape == (500, 4)
+    path = str(tmp_path / "w.npz")
+    w2.save(path)
+    w3 = VecsWhitening.load(path)
+    np.testing.assert_allclose(w2.transform(x), w3.transform(x), rtol=1e-5)
+
+
+def test_report_format():
+    m = recall_metrics(np.array([0, 1, MISS]), topk_list=[1, 5])
+    text = recall_report(m, topk_list=[1, 5])
+    assert "hit" in text and "ndcg" in text
