@@ -2,53 +2,105 @@
 
 XLA has no string dtype, so the reference's in-graph `Hashing(salt)` layers
 (preprocess_layers.py:79-106) move into the input pipeline: raw strings are
-hashed on the host with two independent salted 64-bit hashes ("double
+hashed on the host with two independently-salted 64-bit hashes ("double
 hashing" for collision resistance) and only int32 bucket ids reach the
 device. Config semantics are preserved: `deal=hashing` + bucket size +
 Variables.seeds.
 
-A C++ batch hasher (native/) accelerates this when built; the Python path
-(blake2b, C-speed inside hashlib) is always available and is the
-deterministic ground truth both implementations must match.
+The hash is **rfhash64**: seeded FNV-1a over the UTF-8 bytes with a
+splitmix64 avalanche finalizer. It is defined once and implemented three
+times, bit-identically:
+  * scalar Python (ground truth, hash64 below),
+  * vectorized numpy over padded byte matrices (hash_bucket_array),
+  * C (native/recflow_native.cc) loaded via ctypes when built.
+Tests assert all implementations agree.
 """
 from __future__ import annotations
 
-import hashlib
-from typing import Iterable, List, Sequence, Union
+from typing import List, Sequence, Union
 
 import numpy as np
 
-_MASK63 = (1 << 63) - 1
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_GOLDEN = 0x9E3779B97F4A7C15
+_M1 = 0xBF58476D1CE4E5B9
+_M2 = 0x94D049BB133111EB
+_MASK = (1 << 64) - 1
+
+
+def _splitmix64(z: int) -> int:
+    z &= _MASK
+    z ^= z >> 30
+    z = (z * _M1) & _MASK
+    z ^= z >> 27
+    z = (z * _M2) & _MASK
+    z ^= z >> 31
+    return z
 
 
 def hash64(value: Union[str, bytes], seed: int) -> int:
-    """Deterministic salted 64-bit hash of a string (non-negative)."""
+    """rfhash64 of one string (scalar reference implementation)."""
     if isinstance(value, str):
         value = value.encode("utf-8")
-    salt = int(seed).to_bytes(8, "little", signed=False)
-    digest = hashlib.blake2b(value, digest_size=8, salt=salt).digest()
-    return int.from_bytes(digest, "little") & _MASK63
+    h = (_FNV_OFFSET ^ ((int(seed) * _GOLDEN) & _MASK)) & _MASK
+    for b in value:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK
+    return _splitmix64(h)
 
 
 def hash_bucket(value: Union[str, bytes], seed: int, num_bins: int) -> int:
-    """Bucket id in [0, num_bins) for one string."""
     return hash64(value, seed) % num_bins
+
+
+def _to_byte_matrix(values: Sequence[Union[str, bytes]]):
+    """Encode strings into a padded uint8 matrix + lengths (shared by the
+    numpy and native paths)."""
+    encoded = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
+               for v in values]
+    lengths = np.fromiter((len(e) for e in encoded), count=len(encoded),
+                          dtype=np.int32)
+    max_len = int(lengths.max()) if len(encoded) else 0
+    mat = np.zeros((len(encoded), max(max_len, 1)), dtype=np.uint8)
+    for i, e in enumerate(encoded):
+        mat[i, :len(e)] = np.frombuffer(e, dtype=np.uint8)
+    return mat, lengths
+
+
+def _hash_matrix(mat: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized rfhash64 over a padded byte matrix -> uint64 [n]."""
+    n, max_len = mat.shape
+    h = np.full(n, _FNV_OFFSET ^ ((int(seed) * _GOLDEN) & _MASK), dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    cols = mat.astype(np.uint64)
+    for j in range(max_len):
+        active = lengths > j
+        h = np.where(active, (h ^ cols[:, j]) * prime, h)
+    # splitmix64 finalizer (vectorized)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(_M1)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(_M2)
+    h ^= h >> np.uint64(31)
+    return h
 
 
 def hash_bucket_array(values: Sequence[Union[str, bytes]],
                       seed: int,
                       num_bins: int) -> np.ndarray:
-    """Vectorized bucketing of a flat list of strings -> int64 [n]."""
-    salt = int(seed).to_bytes(8, "little", signed=False)
-    out = np.empty(len(values), dtype=np.int64)
-    blake2b = hashlib.blake2b
-    from_bytes = int.from_bytes
-    for i, v in enumerate(values):
-        if isinstance(v, str):
-            v = v.encode("utf-8")
-        h = from_bytes(blake2b(v, digest_size=8, salt=salt).digest(), "little")
-        out[i] = (h & _MASK63) % num_bins
-    return out
+    """Bucket ids in [0, num_bins) for a flat list of strings -> int64 [n].
+
+    Uses the native C batch hasher when built, else the vectorized numpy
+    path; both are bit-identical to hash64."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=np.int64)
+    from recommendflow_tpu import native
+    mat, lengths = _to_byte_matrix(values)
+    if native.available():
+        h = native.hash_matrix(mat, lengths, seed)
+    else:
+        h = _hash_matrix(mat, lengths, seed)
+    return (h % np.uint64(num_bins)).astype(np.int64)
 
 
 def normalize_seeds(seeds: Union[int, Sequence[int], None],

@@ -131,7 +131,17 @@ def _encode_slot(slot: FeatureSlot, values: np.ndarray,
 
     # sparse: hashing / lookup / discrete -> [n, H, L], ids 1-based, 0 = pad
     if slot.deal == FeatureDeal.Hashing:
-        flat = values  # object array of strings (or ints/floats stringified)
+        from recommendflow_tpu import native
+        from recommendflow_tpu.data.recordio import StrColumn
+        if isinstance(values, StrColumn) and native.available():
+            # fused native path: blob -> padded 1-based ids, one pass per seed
+            branches = [native.hash_column_padded(
+                values.blob, values.byte_splits, splits, slot.max_len,
+                seed, slot.num_rows - 1) for seed in slot.seeds]
+            return np.stack(branches, axis=1)
+        flat = np.asarray(values, dtype=object) \
+            if not isinstance(values, np.ndarray) or values.dtype == object \
+            else values
         miss = np.asarray([v in ("", "-1", None) for v in flat], dtype=bool) \
             if flat.dtype == object else (flat < 0)
         strs = [str(v) for v in flat]

@@ -39,6 +39,49 @@ DEFAULT_BLOCK_ROWS = 4096
 ColumnValues = Tuple[np.ndarray, np.ndarray]  # (flat values, row_splits)
 
 
+class StrColumn:
+    """Lazy ragged string column: raw utf-8 blob + byte offsets.
+
+    Keeps the decode zero-copy so the native fused hash kernel
+    (native/recflow_native.cc::rf_hash_column_padded) can consume the blob
+    directly; indexing/iteration materializes python strs on demand.
+    """
+
+    __slots__ = ("blob", "byte_splits", "_array")
+
+    def __init__(self, blob: bytes, byte_splits: np.ndarray):
+        self.blob = blob
+        self.byte_splits = byte_splits
+        self._array = None
+
+    def __len__(self) -> int:
+        return len(self.byte_splits) - 1
+
+    @property
+    def dtype(self):
+        return np.dtype(object)
+
+    def materialize(self) -> np.ndarray:
+        if self._array is None:
+            bs = self.byte_splits
+            arr = np.empty(len(self), dtype=object)
+            blob = self.blob
+            for i in range(len(self)):
+                arr[i] = blob[bs[i]:bs[i + 1]].decode("utf-8")
+            self._array = arr
+        return self._array
+
+    def __getitem__(self, idx):
+        return self.materialize()[idx]
+
+    def __iter__(self):
+        return iter(self.materialize())
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.materialize()
+        return a.astype(dtype) if dtype is not None else a
+
+
 @dataclass(frozen=True)
 class ColumnSpec:
     name: str
@@ -212,13 +255,10 @@ def _parse_block(raw: bytes, schema: Sequence[ColumnSpec], nrows: int,
             if c.name in want:
                 byte_splits = np.frombuffer(mv[off:off + 4 * (nvals + 1)], dtype=np.int32)
                 blob = mv[blob_start:blob_start + nbytes].tobytes()
-                values = np.empty(nvals, dtype=object)
-                for i in range(nvals):
-                    values[i] = blob[byte_splits[i]:byte_splits[i + 1]].decode("utf-8")
                 row_splits = np.frombuffer(
                     mv[off + 4 * (nvals + 1):off + 4 * (nvals + 1) + splits_bytes],
                     dtype=np.int32)
-                out[c.name] = (values, row_splits)
+                out[c.name] = (StrColumn(blob, byte_splits), row_splits)
             off += 4 * (nvals + 1) + splits_bytes
         else:
             raise ValueError(f"unknown vtype '{c.vtype}'")

@@ -1,0 +1,67 @@
+"""Shared model helpers: input assembly for ranking/CTR models.
+
+Ranking models consume every working non-label feature regardless of tower
+(the reference's CTR guidance: set tower to one value, CONF_README.md:21).
+Helpers here produce (a) the flat concat vector and (b) the [B, F, D] field
+embedding tensor (same-dim features only) that FM/CIN/TabTransformer need.
+"""
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from recommendflow_tpu.data.schema import BatchSchema, FeatureSlot
+
+
+def input_slots(schema: BatchSchema) -> List[FeatureSlot]:
+    return [schema.slots[n] for n in schema.order
+            if schema.slots[n].kind in ("sparse", "dense")]
+
+
+def concat_all(features: Dict[str, jnp.ndarray], schema: BatchSchema) -> jnp.ndarray:
+    """All pooled features in schema order -> [B, D_total]."""
+    parts = [features[s.name] for s in input_slots(schema) if s.name in features]
+    if not parts:
+        raise ValueError("no input features produced — check working flags")
+    return jnp.concatenate(parts, axis=-1)
+
+
+def field_stack(features: Dict[str, jnp.ndarray], schema: BatchSchema,
+                dim: Optional[int] = None) -> Tuple[jnp.ndarray, List[str]]:
+    """Same-width pooled embeddings stacked to [B, F, D] for interaction
+    layers. Picks the majority output width unless `dim` is given; hashing
+    features contribute their two branches as two fields each."""
+    sparse = [s for s in input_slots(schema) if s.kind == "sparse"]
+    if not sparse:
+        raise ValueError("no sparse features for field interactions")
+    if dim is None:
+        dim = Counter(s.dim for s in sparse).most_common(1)[0][0]
+    fields, names = [], []
+    for s in sparse:
+        if s.dim != dim or s.name not in features:
+            continue
+        emb = features[s.name]                        # [B, H*dim]
+        for h in range(s.num_hashes):
+            fields.append(emb[:, h * dim:(h + 1) * dim])
+            names.append(f"{s.name}#{h}" if s.num_hashes > 1 else s.name)
+    return jnp.stack(fields, axis=1), names
+
+
+def get_labels(batch: Dict[str, jnp.ndarray], schema: BatchSchema,
+               n: int = 1) -> List[jnp.ndarray]:
+    """First n label columns (zeros when absent, e.g. serving batches)."""
+    out = []
+    some = next(iter(batch.values()))
+    for i in range(n):
+        if i < len(schema.label_names) and schema.label_names[i] in batch:
+            out.append(batch[schema.label_names[i]])
+        else:
+            out.append(jnp.zeros(some.shape[0], jnp.float32))
+    return out
+
+
+def bce_with_logits(y_true: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.maximum(logits, 0) - logits * y_true +
+                    jnp.log1p(jnp.exp(-jnp.abs(logits))))

@@ -1,0 +1,74 @@
+"""Mobius-style relevance-gated recall.
+
+The reference's models/matching/mobius.py:9-36 is a scaffold whose call() is
+`pass`; this implements the Baidu Mobius intent — unify the relevance
+objective with the business (CTR) objective by actively mining
+low-relevance / high-score cross pairs as weighted extra negatives.
+
+Mechanism here: a two-tower scorer plus a lightweight *relevance head* (a
+separate projection trained only on the click label with the base in-batch
+loss, serving as the relevance judge). Cross-batch pairs whose
+stop-gradient relevance is below `relevance_threshold` while the business
+score ranks them high are penalized with weight `mobius_weight`.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recommendflow_tpu.models.base import Batch, FeatureEmbedder, RecModel
+from recommendflow_tpu.models.common import get_labels
+from recommendflow_tpu.ops.mlp import MLP, l2_normalize
+
+
+class Mobius(RecModel):
+    tower_units: Sequence[int] = (256, 128)
+    relevance_threshold: float = 0.3
+    mobius_weight: float = 0.5
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, batch: Batch, training: bool = False):
+        schema = self.schema
+        embedder = FeatureEmbedder(schema, name="embedder")
+        out_dim = int(self.network_conf("embedding_dim") or 128)
+        units = list(self.tower_units) + [out_dim]
+
+        u_in = embedder.tower_vector(batch, "user")
+        a_in = embedder.tower_vector(batch, "ad")
+        u_h = MLP(units, self.dropout, "relu", final_activation="linear",
+                  name="user_tower")(u_in, training)
+        a_h = MLP(units, self.dropout, "relu", final_activation="linear",
+                  name="ad_tower")(a_in, training)
+        # business embeddings
+        u = l2_normalize(nn.Dense(out_dim, name="user_biz")(u_h))
+        a = l2_normalize(nn.Dense(out_dim, name="ad_biz")(a_h))
+        # relevance judge embeddings (separate heads over shared towers)
+        u_rel = l2_normalize(nn.Dense(out_dim, name="user_rel")(u_h))
+        a_rel = l2_normalize(nn.Dense(out_dim, name="ad_rel")(a_h))
+
+        (y,) = get_labels(batch, schema, 1)
+        if not training:
+            return {"user": u, "ad": a, "label": y,
+                    "relevance": jnp.sum(u_rel * a_rel, axis=1)}
+
+        loss_fn = self.resolve_loss()
+        biz_loss = loss_fn(y, u, a)
+        rel_loss = loss_fn(y, u_rel, a_rel)
+
+        # Mobius mining: cross pairs the judge deems irrelevant but the
+        # business head scores high become extra negatives
+        scores = u @ a.T                                       # [B, B]
+        rel = jax.lax.stop_gradient(u_rel @ a_rel.T)
+        eye = jnp.eye(scores.shape[0], dtype=bool)
+        hard = (~eye) & (rel < self.relevance_threshold)
+        mined = jnp.where(hard, jnp.clip(scores, 0.0, None) ** 2, 0.0)
+        mobius_loss = jnp.sum(mined) / jnp.maximum(hard.sum(), 1)
+
+        total = biz_loss + rel_loss + self.mobius_weight * mobius_loss
+        return total, {"mobius_loss": mobius_loss,
+                       "rel_loss": rel_loss,
+                       "hard_frac": jnp.mean(hard.astype(jnp.float32))}

@@ -1,0 +1,87 @@
+"""Que2Search multi-channel two-tower recall model.
+
+Capability parity with the reference's partial Que2Search
+(models/matching/que2search.py:12-164, WIP bugs noted in SURVEY §2.6),
+implemented as intended: each tower fuses several channels — a text-encoder
+channel over token_id features and embedding-bag channels over hashed
+n-gram/keyword features — via AttentionFusion (fusion_layers.py:6-61), then
+projects to the shared embedding space; trained with the scaled in-batch
+multi-class CE (match_losses.py:149-165). Channel attention weights are
+accumulated for inference-time introspection.
+
+Networks config keys: embedding_dim, text_vocab_size, text_dim, channel_dim.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from recommendflow_tpu.config.proto import FeatureTower
+from recommendflow_tpu.models.base import Batch, FeatureEmbedder, RecModel
+from recommendflow_tpu.models.common import get_labels
+from recommendflow_tpu.ops.fusion import AttentionFusion
+from recommendflow_tpu.ops.mlp import MLP, l2_normalize
+from recommendflow_tpu.ops.transformer import TextEncoder
+
+
+class Que2Search(RecModel):
+    channel_dim: int = 128
+    text_vocab_size: int = 30000
+    text_dim: int = 128
+    text_layers: int = 2
+    dropout: float = 0.1
+
+    def _tower_channels(self, schema, tower: str):
+        """(token features, sparse features) of one tower."""
+        t = FeatureTower(tower)
+        toks = [s for n in schema.order if (s := schema.slots[n]).tower == t
+                and s.kind == "token"]
+        sparse = [s for n in schema.order if (s := schema.slots[n]).tower == t
+                  and s.kind in ("sparse", "dense")]
+        return toks, sparse
+
+    @nn.compact
+    def __call__(self, batch: Batch, training: bool = False):
+        schema = self.schema
+        embedder = FeatureEmbedder(schema, name="embedder")
+        out_dim = int(self.network_conf("embedding_dim") or 128)
+        ch_dim = int(self.network_conf("channel_dim") or self.channel_dim)
+        vocab = int(self.network_conf("text_vocab_size") or self.text_vocab_size)
+
+        text_encoder = TextEncoder(
+            vocab_size=vocab, num_layers=self.text_layers,
+            model_dim=int(self.network_conf("text_dim") or self.text_dim),
+            pooling="cls", name="text_encoder")  # shared across towers
+
+        def tower(tower_name: str):
+            toks, sparse = self._tower_channels(schema, tower_name)
+            feats = embedder(batch, tower=tower_name)
+            channels: List[jnp.ndarray] = []
+            for i, s in enumerate(toks):
+                enc = text_encoder(batch[s.name], training=training)
+                channels.append(MLP([ch_dim], self.dropout, "relu",
+                                    name=f"{tower_name}_txt{i}")(enc, training))
+            for i, s in enumerate(sparse):
+                if s.name not in feats:
+                    continue
+                channels.append(MLP([ch_dim], self.dropout, "relu",
+                                    name=f"{tower_name}_ch{i}")(feats[s.name], training))
+            if not channels:
+                raise ValueError(f"tower '{tower_name}' has no channels")
+            if len(channels) == 1:
+                fused = channels[0]
+            else:
+                fused = AttentionFusion(len(channels),
+                                        name=f"{tower_name}_fusion")(
+                    channels, training)
+            return l2_normalize(nn.Dense(out_dim, name=f"{tower_name}_out")(fused))
+
+        u = tower("user")
+        a = tower("ad")
+        (y,) = get_labels(batch, schema, 1)
+        if training:
+            loss = self.resolve_loss()(y, u, a)
+            return loss, {"pos_cos": jnp.mean(jnp.sum(u * a, axis=1) * y)}
+        return {"user": u, "ad": a, "label": y}

@@ -1,0 +1,102 @@
+"""ESIM cross-attention matcher for ranking.
+
+Capability parity with the reference's Esim intent (models/ranking/esim.py:
+13-93, which references undefined attrs — SURVEY §2.10): encode query/doc
+token sequences, ESIM soft cross-alignment, sub/mul enhancement, compose,
+avg+max pool, fuse dense features, 2-class softmax CTR head.
+
+TPU design note: the reference composes with BiLSTM; recurrent nets serialize
+on TPU, so composition uses transformer encoder blocks (same receptive role,
+MXU-friendly) — documented deviation implementing the intent.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recommendflow_tpu.models.base import Batch, FeatureEmbedder, RecModel
+from recommendflow_tpu.models.common import get_labels
+from recommendflow_tpu.ops.attention import esim_enhance, soft_attention_align
+from recommendflow_tpu.ops.mlp import MLP
+from recommendflow_tpu.ops.transformer import TransformerEncoderBlock
+
+
+def _masked_pools(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask[..., None].astype(x.dtype)
+    avg = jnp.sum(x * m, axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+    mx = jnp.max(jnp.where(m > 0, x, -1e9), axis=1)
+    return jnp.concatenate([avg, mx], axis=-1)
+
+
+class Esim(RecModel):
+    """Networks config keys: query_token_feature / doc_token_feature (token_id
+    feature names; defaults = first two token features by tower user/ad),
+    vocab_size, model_dim, mlp_units."""
+    model_dim: int = 64
+    vocab_size: int = 30000
+    num_heads: int = 4
+    mlp_units: Sequence[int] = (128, 64)
+    dropout: float = 0.1
+
+    def _token_features(self, schema) -> List[str]:
+        q = self.network_conf("query_token_feature")
+        d = self.network_conf("doc_token_feature")
+        if q and d:
+            return [q, d]
+        toks = [s.name for s in (schema.slots[n] for n in schema.order)
+                if s.kind == "token"]
+        if len(toks) < 2:
+            raise ValueError("Esim needs two token_id features (query, doc)")
+        return toks[:2]
+
+    @nn.compact
+    def __call__(self, batch: Batch, training: bool = False):
+        schema = self.schema
+        qname, dname = self._token_features(schema)
+        q_ids, d_ids = batch[qname], batch[dname]
+        q_mask, d_mask = q_ids > 0, d_ids > 0
+
+        vocab = int(self.network_conf("vocab_size") or self.vocab_size)
+        embed = nn.Embed(vocab, self.model_dim, name="tok_emb")
+        q = embed(q_ids)
+        d = embed(d_ids)
+
+        # input encoding (BiLSTM role -> transformer block)
+        enc = TransformerEncoderBlock(self.num_heads, 4 * self.model_dim,
+                                      self.dropout, name="input_enc")
+        q = enc(q, q_mask, training)
+        d = enc(d, d_mask, training)
+
+        # soft alignment + enhancement (attention_layers.py:10-80 parity)
+        q_al, d_al = soft_attention_align(q, d, q_mask, d_mask)
+        q_en = nn.Dense(self.model_dim, name="proj")(esim_enhance(q, q_al))
+        d_en = nn.Dense(self.model_dim, name="proj2")(esim_enhance(d, d_al))
+
+        comp = TransformerEncoderBlock(self.num_heads, 4 * self.model_dim,
+                                       self.dropout, name="compose")
+        q_c = comp(q_en, q_mask, training)
+        d_c = comp(d_en, d_mask, training)
+
+        pooled = jnp.concatenate(
+            [_masked_pools(q_c, q_mask), _masked_pools(d_c, d_mask)], axis=-1)
+
+        # dense side features fused (esim.py:69-89 parity)
+        feats = FeatureEmbedder(schema, name="embedder")(batch)
+        extra = [feats[s.name] for s in schema.dense_slots() if s.name in feats]
+        extra += [feats[s.name] for s in schema.sparse_slots() if s.name in feats]
+        if extra:
+            pooled = jnp.concatenate([pooled] + extra, axis=-1)
+
+        h = MLP(list(self.mlp_units), self.dropout, "relu", name="mlp")(
+            pooled, training)
+        logits2 = nn.Dense(2, name="head")(h)
+        (y,) = get_labels(batch, schema, 1)
+        if training:
+            logp = jax.nn.log_softmax(logits2, axis=-1)
+            y_int = y.astype(jnp.int32)
+            loss = -jnp.mean(jnp.take_along_axis(logp, y_int[:, None], 1)[:, 0])
+            return loss, {"pred_mean": jnp.mean(jax.nn.softmax(logits2)[:, 1])}
+        return {"score": jax.nn.softmax(logits2)[:, 1], "label": y}

@@ -1,0 +1,61 @@
+"""MMoE multi-task ranker (fills the reference's empty models/ranking/mmoe.py).
+
+Multi-gate mixture of experts: N expert MLPs shared across K tasks, each task
+with its own softmax gate and tower head. Task labels come from the config's
+label tower features in order (schema.label_names).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recommendflow_tpu.models.base import Batch, FeatureEmbedder, RecModel
+from recommendflow_tpu.models.common import bce_with_logits, concat_all, get_labels
+from recommendflow_tpu.ops.mlp import MLP
+
+
+class Mmoe(RecModel):
+    num_experts: int = 4
+    num_tasks: int = 2
+    expert_units: Sequence[int] = (128, 64)
+    tower_units: Sequence[int] = (32,)
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, batch: Batch, training: bool = False):
+        schema = self.schema
+        feats = FeatureEmbedder(schema, name="embedder")(batch)
+        x = concat_all(feats, schema)
+
+        experts = jnp.stack([
+            MLP(list(self.expert_units), self.dropout, "relu",
+                name=f"expert{i}")(x, training)
+            for i in range(self.num_experts)], axis=1)     # [B, E, D]
+
+        logits, tasks = [], []
+        for t in range(self.num_tasks):
+            gate = jax.nn.softmax(nn.Dense(self.num_experts,
+                                           name=f"gate{t}")(x), axis=-1)
+            mixed = jnp.einsum("be,bed->bd", gate, experts)
+            h = MLP(list(self.tower_units), self.dropout, "relu",
+                    name=f"tower{t}")(mixed, training)
+            logits.append(nn.Dense(1, name=f"head{t}")(h)[:, 0])
+            tasks.append(mixed)
+
+        ys = get_labels(batch, schema, self.num_tasks)
+        if training:
+            losses = [bce_with_logits(y, l) for y, l in zip(ys, logits)]
+            aux = {f"task{t}_loss": l for t, l in enumerate(losses)}
+            return sum(losses), aux
+        out = {"label": ys[0]}
+        for t in range(self.num_tasks):
+            out[f"score{t}"] = nn.sigmoid(logits[t])
+            out[f"label{t}"] = ys[t]
+        out["score"] = out["score0"]
+        return out
+
+
+MMoE = Mmoe

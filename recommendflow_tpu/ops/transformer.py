@@ -1,0 +1,125 @@
+"""Transformer blocks + a compact text encoder (the bert4keras replacement).
+
+Parity targets: FFN/TransformerEncoder (network_layers.py:301-352),
+TabTransformer blocks (blocks/transformer.py:8-26), BERT tower builders with
+pooling position / nth-layer output selection (blocks/bert.py:11-135,
+encoder/bert_encoder.py:223-283). The encoder is a standard pre/post-LN
+transformer over token ids — small maxlen (<=512) per the reference's usage,
+so vanilla SDPA is fine; the Pallas flash path is available via use_pallas.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from recommendflow_tpu.ops.attention import MultiHeadAttention, sinusoidal_position_encoding
+
+
+class FeedForward(nn.Module):
+    """Position-wise FFN (parity: network_layers.py:301-318)."""
+    hidden: int
+    out_dim: Optional[int] = None
+    dropout: float = 0.0
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        from recommendflow_tpu.ops.mlp import get_activation
+        d = self.out_dim or x.shape[-1]
+        h = get_activation(self.activation)(nn.Dense(self.hidden)(x))
+        h = nn.Dropout(self.dropout, deterministic=not training)(h)
+        return nn.Dense(d)(h)
+
+
+class TransformerEncoderBlock(nn.Module):
+    """MHA + LN + residual + FFN (parity: network_layers.py:319-352,
+    post-LN like the reference/BERT)."""
+    num_heads: int
+    ffn_hidden: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 training: bool = False, use_pallas: bool = False) -> jnp.ndarray:
+        att = MultiHeadAttention(self.num_heads, name="mha")(
+            x, x, x, mask, use_pallas=use_pallas)
+        att = nn.Dropout(self.dropout, deterministic=not training)(att)
+        x = nn.LayerNorm(name="ln1")(x + att)
+        ffn = FeedForward(self.ffn_hidden, dropout=self.dropout, name="ffn")(
+            x, training)
+        ffn = nn.Dropout(self.dropout, deterministic=not training)(ffn)
+        return nn.LayerNorm(name="ln2")(x + ffn)
+
+
+class TextEncoder(nn.Module):
+    """Compact BERT-style encoder: token + segment + position embeddings,
+    N encoder blocks, configurable pooling (cls/avg/max/sum/index) and
+    out_layer selection (parity surface: blocks/bert.py:68-135,
+    bert_encoder.py:223-283)."""
+    vocab_size: int
+    num_layers: int = 4
+    model_dim: int = 256
+    num_heads: int = 4
+    ffn_hidden: int = 1024
+    max_len: int = 64
+    dropout: float = 0.1
+    pooling: str = "cls"          # cls | avg | max | sum | pos
+    out_layer: int = -1           # which block's output to pool
+    pool_pos: int = 0             # for pooling == 'pos'
+
+    @nn.compact
+    def __call__(self, token_ids: jnp.ndarray,
+                 segment_ids: Optional[jnp.ndarray] = None,
+                 training: bool = False,
+                 use_pallas: bool = False) -> jnp.ndarray:
+        mask = token_ids > 0
+        x = nn.Embed(self.vocab_size, self.model_dim, name="tok_emb")(token_ids)
+        if segment_ids is not None:
+            x = x + nn.Embed(2, self.model_dim, name="seg_emb")(segment_ids)
+        x = x + sinusoidal_position_encoding(
+            token_ids.shape[1], self.model_dim, x.dtype)[None]
+        x = nn.LayerNorm(name="emb_ln")(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+
+        layer_outputs = []
+        for i in range(self.num_layers):
+            x = TransformerEncoderBlock(
+                self.num_heads, self.ffn_hidden, self.dropout,
+                name=f"block{i}")(x, mask, training, use_pallas)
+            layer_outputs.append(x)
+        out = layer_outputs[self.out_layer]
+
+        m = mask[..., None].astype(out.dtype)
+        if self.pooling == "cls":
+            return out[:, 0]
+        if self.pooling == "pos":
+            return out[:, self.pool_pos]
+        if self.pooling == "avg":
+            return jnp.sum(out * m, axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+        if self.pooling == "sum":
+            return jnp.sum(out * m, axis=1)
+        if self.pooling == "max":
+            return jnp.max(jnp.where(m > 0, out, -1e9), axis=1)
+        raise ValueError(f"unknown pooling '{self.pooling}'")
+
+
+class TabTransformer(nn.Module):
+    """Transformer blocks over categorical field embeddings
+    (parity: blocks/transformer.py:8-26 create_tab_transformer)."""
+    num_blocks: int = 2
+    num_heads: int = 4
+    ffn_hidden: int = 256
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, field_emb: jnp.ndarray,
+                 training: bool = False) -> jnp.ndarray:
+        x = field_emb                                     # [B, F, D]
+        for i in range(self.num_blocks):
+            x = TransformerEncoderBlock(
+                self.num_heads, self.ffn_hidden, self.dropout,
+                name=f"block{i}")(x, None, training)
+        b, f, d = x.shape
+        return x.reshape(b, f * d)

@@ -130,6 +130,10 @@ def make_recall_evaluator(conf,
     """
     def eval_fn(trainer, state) -> Dict[str, float]:
         out = trainer.predict(state, eval_dataset)
+        if query_key not in out or item_key not in out:
+            # scoring model (ranking head) — retrieval recall doesn't apply;
+            # val_auc comes from trainer.evaluate instead
+            return {}
         q, d, y = out[query_key], out[item_key], out.get("label")
         pos = (np.asarray(y) > 0.5) if y is not None else np.ones(len(q), bool)
         if pos.sum() == 0:

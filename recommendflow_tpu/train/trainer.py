@@ -43,6 +43,7 @@ log = get_logger("recflow.trainer")
 
 class TrainState(flax_train_state.TrainState):
     batch_stats: Any = None
+    extra_vars: Any = None   # non-param collections beyond batch_stats (e.g. 'stats')
     rng: Any = None
 
 
@@ -119,9 +120,12 @@ class Trainer:
         variables = self.model.init(init_rng, sample_batch, training=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", flax_core.freeze({}))
+        extra = {k: v for k, v in variables.items()
+                 if k not in ("params", "batch_stats")}
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=self.tx,
-            batch_stats=batch_stats, rng=state_rng)
+            batch_stats=batch_stats, extra_vars=flax_core.freeze(extra),
+            rng=state_rng)
         if self.mesh is not None:
             if self.shard_tables:
                 rules = table_sharding_rules(state.params, self.mesh)
@@ -136,26 +140,35 @@ class Trainer:
         return state
 
     # -------------------------------------------------------------- steps
+    @staticmethod
+    def _variables(state: TrainState, params=None):
+        variables = {"params": params if params is not None else state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        if state.extra_vars:
+            variables.update(state.extra_vars)
+        return variables
+
     def _build_train_step(self):
         def train_step(state: TrainState, batch):
             step_rng = jax.random.fold_in(state.rng, state.step)
+            mutable = [k for k in self._variables(state) if k != "params"]
 
             def loss_fn(params):
-                variables = {"params": params}
-                mutable = []
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                    mutable = ["batch_stats"]
-                out = state.apply_fn(variables, batch, training=True,
+                out = state.apply_fn(self._variables(state, params), batch,
+                                     training=True,
                                      rngs={"dropout": step_rng},
-                                     mutable=mutable)
-                (loss, aux), new_state = out if mutable else (out, {})
+                                     mutable=mutable if mutable else False)
+                if mutable:
+                    (loss, aux), new_state = out
+                else:
+                    (loss, aux), new_state = out, {}
                 return loss, (aux, new_state)
 
             grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, (aux, new_model_state)), grads = grads_fn(state.params)
             state = state.apply_gradients(grads=grads)
-            if new_model_state:
+            if "batch_stats" in new_model_state:
                 state = state.replace(batch_stats=new_model_state["batch_stats"])
             metrics = {"loss": loss, **aux}
             return state, metrics
@@ -163,10 +176,12 @@ class Trainer:
 
     def _build_eval_step(self):
         def eval_step(state: TrainState, batch):
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            return state.apply_fn(variables, batch, training=False)
+            mutable = list(state.extra_vars.keys()) if state.extra_vars else False
+            out = state.apply_fn(self._variables(state), batch, training=False,
+                                 mutable=mutable)
+            # predict-time collection updates (e.g. fusion infer_weights) are
+            # discarded here; introspect them via model.apply directly
+            return out[0] if mutable else out
         return jax.jit(eval_step)
 
     def _put(self, batch: Dict[str, np.ndarray]):
@@ -201,7 +216,10 @@ class Trainer:
         val_auc over similarity/score vs label when available."""
         from recommendflow_tpu.train.metrics import roc_auc
         losses, scores, labels = [], [], []
-        loss_fn = getattr(self.model, "resolve_loss", lambda: None)()
+        try:
+            loss_fn = self.model.resolve_loss()
+        except (AttributeError, ValueError):
+            loss_fn = None  # model computes its loss internally (ranking heads)
         for batch in prefetch(iter(dataset)):
             out = self.eval_step(state, batch)
             if "user" in out and "ad" in out:

@@ -178,3 +178,34 @@ def test_split_files_and_resolve(tmp_path):
     assert len(valid) == 2 and len(train) == 8 and not set(train) & set(valid)
     got = resolve_paths(str(tmp_path / "*.rfb"))
     assert got == sorted(files)
+
+
+# ------------------------------------------------------------------- native
+def test_native_hash_matches_python_fallback(demo_conf_path, tmp_path, monkeypatch):
+    """Native fused hashing path must produce identical batches to the
+    pure-numpy fallback."""
+    from recommendflow_tpu import native
+    if not native.available():
+        pytest.skip("native library not built")
+    conf = Configuration(demo_conf_path)
+    paths = generate_records(conf, str(tmp_path / "r"), num_rows=300, num_files=1)
+    schema = compile_schema(conf.features)
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False)
+    with_native = [dict(b) for b in ds]
+    monkeypatch.setattr(native, "available", lambda: False)
+    without = [dict(b) for b in ds]
+    assert len(with_native) == len(without)
+    for b1, b2 in zip(with_native, without):
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
+
+
+def test_scalar_numpy_native_hash_identity():
+    from recommendflow_tpu import native
+    from recommendflow_tpu.data.hashing import _hash_matrix, _to_byte_matrix, hash64
+    vals = ["", "a", "-1", "hello world", "日本語", "x" * 257]
+    mat, lens = _to_byte_matrix(vals)
+    scalar = np.array([hash64(v, 42) for v in vals], dtype=np.uint64)
+    np.testing.assert_array_equal(_hash_matrix(mat, lens, 42), scalar)
+    if native.available():
+        np.testing.assert_array_equal(native.hash_matrix(mat, lens, 42), scalar)

@@ -1,0 +1,142 @@
+"""Model zoo tests: every model initializes, trains one step (finite loss,
+grads flow), and predicts with the right output contract."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recommendflow_tpu.config import Configuration
+from recommendflow_tpu.data.schema import compile_schema
+from recommendflow_tpu.models.base import build_network
+from __graft_entry__ import _synthetic_batch
+
+RECALL_MODELS = [
+    ("recommendflow_tpu.models.matching.dssm.Dssm", {"tower_units": [32]}),
+    ("recommendflow_tpu.models.matching.dssm.TwoTower", {"tower_units": [32]}),
+    ("recommendflow_tpu.models.matching.mobius.Mobius", {"tower_units": [32]}),
+    ("recommendflow_tpu.models.matching.pdm.Pdm", {"tower_units": [32]}),
+]
+
+RANKING_MODELS = [
+    ("recommendflow_tpu.models.ranking.dnn.Dnn", {"hidden_units": [32]}),
+    ("recommendflow_tpu.models.ranking.dcn.Dcn", {"hidden_units": [32], "cross_layers": 2}),
+    ("recommendflow_tpu.models.ranking.deepfm.DeepFm", {"hidden_units": [32]}),
+    ("recommendflow_tpu.models.ranking.deepfm.XDeepFm",
+     {"hidden_units": [32], "cin_layers": (16, 16)}),
+    ("recommendflow_tpu.models.ranking.mmoe.Mmoe",
+     {"num_experts": 2, "num_tasks": 2, "expert_units": (32,), "tower_units": (16,)}),
+    ("recommendflow_tpu.models.ranking.tabtransformer.TabTransformer",
+     {"num_blocks": 1, "hidden_units": (32,)}),
+    ("recommendflow_tpu.models.ranking.essm.Essm", {"tower_units": (32,)}),
+    ("recommendflow_tpu.models.ranking.esim.Esim",
+     {"model_dim": 32, "mlp_units": (32,), "vocab_size": 200}),
+    ("recommendflow_tpu.models.preranking.cold.Cold", {"hidden_units": (32,)}),
+    ("recommendflow_tpu.models.reranking.escm2.Escm2", {"tower_units": (32,)}),
+]
+
+ENCODER_MODELS = [
+    ("recommendflow_tpu.models.matching.que2search.Que2Search",
+     {"channel_dim": 32, "text_vocab_size": 200, "text_dim": 32, "text_layers": 1}),
+    ("recommendflow_tpu.models.matching.siamese_encoder.SiameseEncoder", {}),
+    ("recommendflow_tpu.models.matching.dssm_encoder.DssmEncoder", {}),
+]
+
+
+@pytest.fixture(scope="module")
+def recall_world(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    conf.networks["loss"] = \
+        "recommendflow_tpu.losses.match.batch_neg_sample_scaled_multi_class_ce_loss"
+    schema = compile_schema(conf.features)
+    batch = {k: jnp.asarray(v) for k, v in _synthetic_batch(schema, 16, seed=0).items()}
+    return conf, batch
+
+
+@pytest.fixture(scope="module")
+def ranking_world():
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "conf", "demo_ranking.yaml")
+    conf = Configuration(path)
+    conf.networks["text_vocab_size"] = 200
+    conf.networks["text_dim"] = 32
+    conf.networks["text_layers"] = 1
+    conf.networks["embedding_dim"] = 32
+    conf.networks["user_encoder"] = {"vocab_size": 200, "num_layers": 1, "model_dim": 32}
+    conf.networks["ad_encoder"] = {"vocab_size": 200, "num_layers": 1, "model_dim": 32}
+    schema = compile_schema(conf.features)
+    rng = np.random.RandomState(1)
+    batch = _synthetic_batch(schema, 16, seed=1)
+    # token ids must stay under the test vocab (200)
+    for k in ("query_tokens", "title_tokens"):
+        batch[k] = rng.randint(1, 200, size=batch[k].shape).astype(np.int32)
+    batch["conversion"] = (batch["click"] * (rng.rand(16) > 0.5)).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    return conf, batch
+
+
+def _exercise(model, batch):
+    variables = model.init(jax.random.PRNGKey(0), batch, training=False)
+    mutable = [c for c in ("batch_stats", "stats") if c in variables]
+
+    def loss_of(params):
+        v = {"params": params, **{c: variables[c] for c in mutable}}
+        out = model.apply(v, batch, training=True,
+                          rngs={"dropout": jax.random.PRNGKey(1)},
+                          mutable=mutable if mutable else False)
+        if mutable:
+            (loss, aux), _ = out
+        else:
+            loss, aux = out
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_of)(variables["params"])
+    assert np.isfinite(float(loss)), f"{type(model).__name__}: loss not finite"
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert gnorm > 0, f"{type(model).__name__}: zero gradients"
+    pred = model.apply(variables, batch, training=False,
+                       mutable=mutable if "stats" in variables else False)
+    pred = pred[0] if isinstance(pred, tuple) else pred
+    return loss, pred
+
+
+@pytest.mark.parametrize("path,kwargs", RECALL_MODELS,
+                         ids=[p.rsplit(".", 1)[1] for p, _ in RECALL_MODELS])
+def test_recall_models(recall_world, path, kwargs):
+    conf, batch = recall_world
+    model, _ = build_network(path, {"conf": conf, **kwargs})
+    loss, pred = _exercise(model, batch)
+    assert {"user", "ad", "label"} <= set(pred)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(pred["user"]), axis=1),
+                               1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("path,kwargs", RANKING_MODELS,
+                         ids=[p.rsplit(".", 1)[1] for p, _ in RANKING_MODELS])
+def test_ranking_models(ranking_world, path, kwargs):
+    conf, batch = ranking_world
+    model, _ = build_network(path, {"conf": conf, **kwargs})
+    loss, pred = _exercise(model, batch)
+    assert "score" in pred
+    s = np.asarray(pred["score"])
+    assert s.shape == (16,) and (s >= 0).all() and (s <= 1).all()
+
+
+@pytest.mark.parametrize("path,kwargs", ENCODER_MODELS,
+                         ids=[p.rsplit(".", 1)[1] for p, _ in ENCODER_MODELS])
+def test_encoder_models(ranking_world, path, kwargs):
+    conf, batch = ranking_world
+    conf.networks["loss"] = \
+        "recommendflow_tpu.losses.match.batch_neg_sample_scaled_multi_class_ce_loss"
+    model, _ = build_network(path, {"conf": conf, **kwargs})
+    loss, pred = _exercise(model, batch)
+    assert {"user", "ad"} <= set(pred)
+
+
+def test_build_network_legacy_and_short_names(recall_world):
+    conf, _ = recall_world
+    m1, _ = build_network("models.matching.dssm.Dssm", {"conf": conf})
+    m2, _ = build_network("matching.dssm.Dssm", {"conf": conf})
+    m3, _ = build_network("dssm", {"conf": conf})
+    assert type(m1).__name__ == type(m2).__name__ == type(m3).__name__ == "Dssm"
+    with pytest.raises(ImportError, match="cannot resolve"):
+        build_network("nonexistent.model.Nope", {"conf": conf})
