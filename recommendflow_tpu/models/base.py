@@ -37,12 +37,13 @@ class FeatureEmbedder(nn.Module):
     schema: BatchSchema
 
     def setup(self):
+        from recommendflow_tpu.ops.embedding import table_shape
         tables = {}
         for dim, group in self.schema.groups.items():
             tables[f"dim{dim}"] = self.param(
                 f"table_dim{dim}",
                 nn.initializers.uniform(scale=0.1),
-                (group.total_rows, dim))
+                table_shape(group))  # packed [rows/P, P*dim] layout
         self._tables = tables
 
     def __call__(self, batch: Batch, tower: Optional[str] = None) -> Dict[str, jnp.ndarray]:

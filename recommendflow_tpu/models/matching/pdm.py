@@ -35,13 +35,11 @@ class Pdm(RecModel):
         seq_vecs = []
         for slot in schema.tower_slots("user"):
             if slot.kind == "sparse" and slot.max_len > 1:
+                from recommendflow_tpu.ops.embedding import _global_ids, gather_group
                 ids = batch[slot.name]                    # [B, H, L]
                 group = schema.groups[slot.dim]
                 table = embedder._tables[f"dim{slot.dim}"]
-                import numpy as np
-                offs = np.asarray([group.offset_of(slot.name, h)
-                                   for h in range(slot.num_hashes)], np.int32)
-                emb = jnp.take(table, ids + offs[None, :, None], axis=0)
+                emb = gather_group(table, group, _global_ids(schema, slot, ids))
                 b, h, l, d = emb.shape
                 emb = emb.transpose(0, 2, 1, 3).reshape(b, l, h * d)
                 mask = (ids > 0).any(axis=1)              # [B, L]

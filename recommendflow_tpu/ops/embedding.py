@@ -1,30 +1,35 @@
-"""The embedding engine: stacked HBM tables + fused lookup/pooling.
+"""The embedding engine: packed stacked HBM tables + fused lookup/pooling.
 
 TPU-first replacement for the reference's per-feature Keras preprocessing
 layers (EmbeddingBag / DoubleHashingEmbedding / LookupEmbedding /
 DiscreteEmbedding, backend/layers/preprocess_layers.py:16-200). Design:
 
-  * All tables of equal dim are stacked row-wise into ONE [total_rows, dim]
-    array (schema.TableGroup). One batched gather per dim group replaces N
-    small gathers — XLA emits a single fused dynamic-gather that streams HBM
-    once, and the stack is the natural unit for row-sharding across a mesh
-    (parallel/sharded_embedding.py).
-  * Hashing features own two stacked branches (double hashing); their pooled
-    outputs concatenate to 2*dim, matching DoubleHashingEmbedding's concat
-    contract (preprocess_layers.py:94-97).
-  * id 0 is the pad/OOV row and is masked out of pooling (EmbeddingBag
-    mask_zero semantics). Poolings: sum/avg/min/max/first/last/cls/null.
-  * Everything is a pure function of (params, batch) with static shapes —
-    jit/pjit/vmap-safe. A Pallas fused gather+combine kernel slots in behind
-    the same signature (ops/pallas/embedding_bag.py).
+  * All tables of equal dim are stacked row-wise into ONE logical
+    [total_rows, dim] array per dim group (schema.TableGroup) — one gather
+    per group per step, and the natural unit of row-sharding across a mesh.
+  * **Packed physical layout**: TPU gathers cost fixed overhead PER ROW
+    (~107 ns at 256-byte rows on v5e) and get ~4x cheaper at 512-byte rows,
+    so a narrow [R, d] stack is stored as [R/P, P*d] with P = 128//d lanes
+    packed per physical row. A lookup fetches the wide row (ids // P) and
+    selects its segment (ids % P) with a fused one-hot einsum — measured
+    2.3 ms vs 9.7 ms for 87k x dim-64 rows from a 6M-row table. The packing
+    must live in the STORED layout: reshaping [R, d] -> [R/P, P*d] inside
+    jit materializes a full table copy (~14 ms).
+  * Hashing features own two stacked branches (double hashing); pooled
+    branch outputs concatenate to 2*dim (DoubleHashingEmbedding's concat
+    contract, preprocess_layers.py:94-97).
+  * id 0 of every member table is the pad/OOV row, zero-initialized and
+    masked out of pooling (EmbeddingBag mask_zero semantics).
+  * Everything is a pure function of (params, batch) with static shapes.
 
-Gradient note: the backward of gather is scatter-add onto the stacked table —
-XLA handles this natively; with row-sharded tables the adds stay local to the
-owning shard.
+Gradients flow through gather + einsum automatically; the backward is XLA's
+scatter-add onto 512-byte packed rows (also ~2x faster than narrow rows).
+Pallas DMA gather/scatter kernels exist for the dim>=128 regime
+(ops/pallas/embedding_bag.py) where single-row DMAs are tile-aligned.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,21 +42,67 @@ Params = Dict[str, jnp.ndarray]
 
 NEG_INF = -1e9
 POS_INF = 1e9
+LANES = 128  # minor-dim packing target (one 512-byte f32 burst)
+
+
+def pack_factor(dim: int) -> int:
+    """Logical rows per physical row: P = LANES // dim when dim divides
+    LANES evenly, else 1 (unpacked)."""
+    if dim < LANES and LANES % dim == 0:
+        return LANES // dim
+    return 1
+
+
+SHARD_MULTIPLE = 256  # physical rows divisible by any mesh size up to 256
+
+
+def padded_rows(group: TableGroup) -> int:
+    """Logical rows padded so the packed physical row count is a multiple of
+    SHARD_MULTIPLE (keeps row-sharding valid on any mesh <= 256 devices)."""
+    p = pack_factor(group.dim)
+    phys = -(-group.total_rows // p)
+    phys = -(-phys // SHARD_MULTIPLE) * SHARD_MULTIPLE
+    return phys * p
+
+
+def table_shape(group: TableGroup) -> Tuple[int, int]:
+    """Physical (packed) stored shape of a dim group's stacked table."""
+    p = pack_factor(group.dim)
+    return (padded_rows(group) // p, p * group.dim)
 
 
 def init_tables(schema: BatchSchema, key: jax.Array,
                 dtype=jnp.float32, scale: float = 0.05) -> Params:
-    """Initialize one stacked array per dim group: params['dim{d}']."""
+    """Initialize one packed stacked array per dim group: params['dim{d}']."""
     params: Params = {}
     for dim, group in schema.groups.items():
         key, sub = jax.random.split(key)
-        table = jax.random.uniform(sub, (group.total_rows, dim),
-                                   dtype=dtype, minval=-scale, maxval=scale)
-        # zero the pad row of every member table so masked pooling stays exact
-        pad_rows = np.asarray(group.offsets, dtype=np.int32)
-        table = table.at[pad_rows].set(0.0)
-        params[f"dim{dim}"] = table
+        rows = padded_rows(group)
+        flat = jax.random.uniform(sub, (rows, dim), dtype=dtype,
+                                  minval=-scale, maxval=scale)
+        pad_rows_idx = np.asarray(group.offsets, dtype=np.int32)
+        flat = flat.at[pad_rows_idx].set(0.0)  # zero each member's pad row
+        p = pack_factor(dim)
+        params[f"dim{dim}"] = flat.reshape(rows // p, p * dim)
     return params
+
+
+def gather_group(table: jnp.ndarray, group: TableGroup,
+                 global_ids: jnp.ndarray) -> jnp.ndarray:
+    """Gather logical rows from a packed stacked table.
+
+    table: [rows/P, P*dim] packed; global_ids: any int shape -> [..., dim].
+    """
+    dim = group.dim
+    p = pack_factor(dim)
+    flat_ids = global_ids.reshape(-1)
+    if p == 1:
+        rows = jnp.take(table, flat_ids, axis=0)
+        return rows.reshape(global_ids.shape + (dim,))
+    wide = jnp.take(table, flat_ids // p, axis=0)           # [N, P*dim]
+    seg = jax.nn.one_hot(flat_ids % p, p, dtype=table.dtype)  # [N, P]
+    out = jnp.einsum("npd,np->nd", wide.reshape(-1, p, dim), seg)
+    return out.reshape(global_ids.shape + (dim,))
 
 
 def pool_sequence(emb: jnp.ndarray, mask: jnp.ndarray,
@@ -68,10 +119,10 @@ def pool_sequence(emb: jnp.ndarray, mask: jnp.ndarray,
     if pooling in (FeaturePooling.First, FeaturePooling.Cls):
         return emb[..., 0, :] * m[..., 0, :]
     if pooling == FeaturePooling.Last:
-        # last *valid* position
         lengths = jnp.maximum(mask.sum(axis=-1), 1)
         idx = (lengths - 1)[..., None, None]
-        out = jnp.take_along_axis(emb, jnp.broadcast_to(idx, emb.shape[:-2] + (1, emb.shape[-1])), axis=-2)
+        out = jnp.take_along_axis(
+            emb, jnp.broadcast_to(idx, emb.shape[:-2] + (1, emb.shape[-1])), axis=-2)
         return out[..., 0, :] * (mask.any(axis=-1))[..., None]
     if pooling == FeaturePooling.Sum:
         return jnp.sum(emb * m, axis=-2)
@@ -85,18 +136,21 @@ def pool_sequence(emb: jnp.ndarray, mask: jnp.ndarray,
     raise ValueError(f"unsupported pooling {pooling}")
 
 
+def _global_ids(schema: BatchSchema, slot: FeatureSlot,
+                ids: jnp.ndarray) -> jnp.ndarray:
+    group = schema.groups[slot.dim]
+    offs = np.asarray([group.offset_of(slot.name, h)
+                       for h in range(slot.num_hashes)], dtype=np.int32)
+    return ids + offs[None, :, None]
+
+
 def lookup_feature(params: Params, schema: BatchSchema, slot: FeatureSlot,
                    ids: jnp.ndarray) -> jnp.ndarray:
-    """One feature: ids [B, H, L] -> pooled [B, H*dim] (or [B, H, L, dim] for
-    Null pooling, flattened to [B, H*L*dim])."""
+    """One feature: ids [B, H, L] -> pooled [B, H*dim]."""
     group = schema.groups[slot.dim]
-    table = params[f"dim{slot.dim}"]
-    offs = np.asarray([group.offset_of(slot.name, h) for h in range(slot.num_hashes)],
-                      dtype=np.int32)                      # [H]
-    global_ids = ids + offs[None, :, None]                 # [B, H, L]
-    mask = ids > 0
-    emb = jnp.take(table, global_ids, axis=0)              # [B, H, L, dim]
-    pooled = pool_sequence(emb, mask, slot.pooling)        # [B, H, dim] (or seq)
+    emb = gather_group(params[f"dim{slot.dim}"], group,
+                       _global_ids(schema, slot, ids))      # [B, H, L, dim]
+    pooled = pool_sequence(emb, ids > 0, slot.pooling)
     return pooled.reshape(pooled.shape[0], -1)
 
 
@@ -105,16 +159,37 @@ def embed_batch(params: Params, schema: BatchSchema,
                 tower: Optional[str] = None) -> Dict[str, jnp.ndarray]:
     """All sparse features of a batch (optionally one tower) -> pooled dict.
 
-    The full-batch gather is grouped per dim: ids of all features sharing a
-    dim are concatenated so XLA sees one gather per dim group per step.
+    Features sharing a dim group are gathered in ONE fused take per group
+    (ids concatenated along a flat axis, results split back), so the gather
+    count per step is the number of dim groups, not features.
     """
-    slots = schema.tower_slots(tower) if tower else [schema.slots[n] for n in schema.order]
+    slots = schema.tower_slots(tower) if tower else \
+        [schema.slots[n] for n in schema.order]
     out: Dict[str, jnp.ndarray] = {}
+
+    by_dim: Dict[int, List[FeatureSlot]] = {}
     for slot in slots:
         if slot.kind == "sparse":
-            out[slot.name] = lookup_feature(params, schema, slot, batch[slot.name])
+            by_dim.setdefault(slot.dim, []).append(slot)
         elif slot.kind == "dense":
             out[slot.name] = batch[slot.name].astype(jnp.float32)
+
+    for dim, group_slots in by_dim.items():
+        group = schema.groups[dim]
+        table = params[f"dim{dim}"]
+        gids = [_global_ids(schema, s, batch[s.name]).reshape(
+            batch[s.name].shape[0], -1) for s in group_slots]    # [B, H*L]
+        sizes = [g.shape[1] for g in gids]
+        fused = jnp.concatenate(gids, axis=1)                    # [B, sum(HL)]
+        emb = gather_group(table, group, fused)                  # [B, sum, dim]
+        offset = 0
+        for s, size in zip(group_slots, sizes):
+            ids = batch[s.name]
+            e = emb[:, offset:offset + size, :].reshape(
+                ids.shape[0], s.num_hashes, s.max_len, dim)
+            offset += size
+            pooled = pool_sequence(e, ids > 0, s.pooling)
+            out[s.name] = pooled.reshape(ids.shape[0], -1)
     return out
 
 

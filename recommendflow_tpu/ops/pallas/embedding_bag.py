@@ -1,0 +1,218 @@
+"""Pallas TPU kernels for embedding lookup: pipelined row gather + RMW
+scatter-add.
+
+Why: XLA's gather/scatter on TPU costs ~110/220 ns PER ROW regardless of
+locality (measured on v5e: 87k-row gather from a 6M x 64 table = 9.3 ms for
+22 MB — 2.3 GB/s effective; the dense-grad scatter-add = ~19 ms). The row
+cost is fixed overhead, not bandwidth. These kernels stream rows with deep
+asynchronous DMA pipelining (NBUF outstanding copies) to hide the per-row
+latency, the classic TPU double-buffering pattern (pallas_guide.md
+§Async DMA / §Double Buffering).
+
+  gather_rows(table, ids)            -> [N, D]   (forward)
+  scatter_add_rows(ids, grads, rows) -> [R, D]   (backward accumulate)
+
+`take_rows` wraps them as a custom-VJP drop-in for jnp.take(axis=0); the
+backward pre-combines duplicate ids with an XLA sort+segment-sum so the RMW
+pipeline never sees the same row twice in its in-flight window.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows processed per grid program / outstanding DMA depth
+CHUNK = 512
+NBUF = 32
+
+
+def _gather_kernel(ids_ref, n_ref, table_ref, out_ref, sems):
+    """One program gathers CHUNK rows: DMA j+NBUF is issued while DMA j is
+    awaited — NBUF row-copies stay in flight."""
+    base = pl.program_id(0) * CHUNK
+    n_total = n_ref[0]
+
+    def issue(j):
+        # clamp: padded tail rows re-fetch row 0 (discarded by caller)
+        idx = jnp.where(base + j < n_total, ids_ref[base + j], 0)
+        pltpu.make_async_copy(
+            table_ref.at[idx], out_ref.at[j], sems.at[j % NBUF]).start()
+
+    # warm-up: fill the pipeline
+    for j in range(NBUF):
+        issue(j)
+
+    def body(j, _):
+        # wait for DMA j, then issue DMA j+NBUF into the freed semaphore slot
+        pltpu.make_async_copy(
+            table_ref.at[0], out_ref.at[j], sems.at[j % NBUF]).wait()
+
+        @pl.when(j + NBUF < CHUNK)
+        def _():
+            issue(j + NBUF)
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """table [R, D] (HBM), ids [N] int32 -> [N, D]. D must be a multiple of
+    128 lanes' dtype packing; any D works via the row-copy DMA."""
+    n = ids.shape[0]
+    n_pad = pl.cdiv(n, CHUNK) * CHUNK
+    ids_pad = jnp.zeros((n_pad,), jnp.int32).at[:n].set(ids.astype(jnp.int32))
+    n_arr = jnp.asarray([n], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,                  # ids, n
+        grid=(n_pad // CHUNK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # table stays in HBM
+        out_specs=pl.BlockSpec((CHUNK, table.shape[1]),
+                               lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((NBUF,))],
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, table.shape[1]), table.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids_pad, n_arr, table)
+    return out[:n]
+
+
+ACC_SLOTS = 2 * NBUF  # slot-reuse gap of 2*NBUF iterations hides write latency
+
+
+def _scatter_kernel(ids_ref, n_ref, grads_ref, table_in_ref, table_out_ref,
+                    acc, sems, out_sems):
+    """RMW accumulate: for each (unique) id, DMA the row in, add the
+    cotangent, DMA back. Reads pipeline NBUF ahead over 2*NBUF acc slots:
+    the read that reuses a slot waits the write issued 2*NBUF iterations
+    earlier, which has had NBUF iterations to complete — so the wait is
+    normally already satisfied and the loop never stalls on its own write.
+    ids MUST be unique (caller segment-sums duplicates), so no two in-flight
+    operations touch the same table row."""
+    n_total = n_ref[0]
+    max_n = grads_ref.shape[0]
+
+    def wait_write(j):
+        # waits the write DMA that used slot j % ACC_SLOTS (the descriptor
+        # only carries the transfer size)
+        pltpu.make_async_copy(acc.at[j % ACC_SLOTS], table_out_ref.at[0],
+                              out_sems.at[j % ACC_SLOTS]).wait()
+
+    def issue_read(j, static_warmup: bool):
+        @pl.when(j < n_total)
+        def _():
+            if not static_warmup:
+                # slot was last used by write j - ACC_SLOTS
+                @pl.when(j >= ACC_SLOTS)
+                def _():
+                    wait_write(j - ACC_SLOTS)
+            pltpu.make_async_copy(
+                table_out_ref.at[ids_ref[j]], acc.at[j % ACC_SLOTS],
+                sems.at[j % ACC_SLOTS]).start()
+
+    for j in range(NBUF):
+        issue_read(j, static_warmup=True)
+
+    def body(j, _):
+        @pl.when(j < n_total)
+        def _():
+            pltpu.make_async_copy(
+                table_out_ref.at[0], acc.at[j % ACC_SLOTS],
+                sems.at[j % ACC_SLOTS]).wait()
+            acc[j % ACC_SLOTS] = acc[j % ACC_SLOTS] + grads_ref[j]
+            pltpu.make_async_copy(
+                acc.at[j % ACC_SLOTS], table_out_ref.at[ids_ref[j]],
+                out_sems.at[j % ACC_SLOTS]).start()
+            issue_read(j + NBUF, static_warmup=False)
+        return 0
+
+    jax.lax.fori_loop(0, max_n, body, 0)
+
+    # drain the last min(ACC_SLOTS, n_total) outstanding writes
+    lo = jnp.maximum(n_total - ACC_SLOTS, 0)
+
+    def drain(j, _):
+        @pl.when(j >= lo)
+        def _():
+            wait_write(j)
+        return 0
+
+    jax.lax.fori_loop(0, max_n, drain, 0)
+
+
+def scatter_add_rows(ids: jnp.ndarray, grads: jnp.ndarray, table: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """table[ids] += grads, in place via aliasing. ids [N] MUST be unique
+    (pre-combine duplicates); grads [N, D]; returns the updated table."""
+    n = ids.shape[0]
+    n_arr = jnp.asarray([n], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # grads
+                  pl.BlockSpec(memory_space=pltpu.ANY)],   # table (aliased)
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.VMEM((ACC_SLOTS, grads.shape[1]), table.dtype),
+                        pltpu.SemaphoreType.DMA((ACC_SLOTS,)),
+                        pltpu.SemaphoreType.DMA((ACC_SLOTS,))],
+    )
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        input_output_aliases={3: 0},    # 2 scalar-prefetch + grads, table -> out
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ids.astype(jnp.int32), n_arr, grads, table)
+
+
+def _combine_duplicates(ids: jnp.ndarray, grads: jnp.ndarray):
+    """Sort ids, segment-sum cotangents of equal ids -> (unique ids padded
+    with an out-of-range sentinel? no — duplicates folded, extras zeroed)."""
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sid = ids[order]
+    sg = grads[order]
+    # head of each run of equal ids
+    head = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(head) - 1                      # run index per position
+    summed = jax.ops.segment_sum(sg, seg, num_segments=n)
+    uniq = jax.ops.segment_max(sid, seg, num_segments=n)
+    n_uniq = head.sum()
+    # positions >= n_uniq are zero grads onto row 0 (harmless: add 0)
+    valid = jnp.arange(n) < n_uniq
+    uniq = jnp.where(valid, uniq, 0)
+    summed = summed * valid[:, None]
+    return uniq.astype(jnp.int32), summed
+
+
+@jax.custom_vjp
+def take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in for jnp.take(table, ids, axis=0) with Pallas fwd/bwd."""
+    return gather_rows(table, ids)
+
+
+def _take_fwd(table, ids):
+    return gather_rows(table, ids), (table, ids)
+
+
+def _take_bwd(res, g):
+    table, ids = res
+    uniq, summed = _combine_duplicates(ids, g)
+    grad_table = scatter_add_rows(uniq, summed, jnp.zeros_like(table))
+    return grad_table, None
+
+
+take_rows.defvjp(_take_fwd, _take_bwd)

@@ -5,3 +5,6 @@ from recommendflow_tpu.train.callbacks import (
     Callback, EarlyStopping, EvalCallback, History, ModelCheckpoint, ReduceLROnPlateau,
 )
 from recommendflow_tpu.train.monitor import PromotionBlocked, model_online_monitor
+from recommendflow_tpu.train.optimizers import (
+    make_partitioned_optimizer, rowwise_adagrad,
+)

@@ -1,0 +1,93 @@
+"""Optimizers tuned for embedding-table training on TPU.
+
+The stacked embedding tables dominate parameter count (e.g. 386M of 386.9M
+params in conf/bench_recall.yaml); dense Adam reads/writes p+m+v+g ≈ 16
+bytes/param of HBM every step regardless of how few rows a batch touches
+(measured: ~61ms/step on v5e). The standard DLRM fix:
+
+  * row-wise Adagrad for tables — ONE accumulator scalar per row (state is
+    rows/dim of Adam's), update traffic ≈ p+g+acc;
+  * Adam for the dense towers where adaptivity matters.
+
+Composed with optax.multi_transform; table params are identified by the
+'table_dim' naming convention of the stacked embedding engine
+(ops/embedding.py / models/base.py FeatureEmbedder).
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class RowwiseAdagradState(NamedTuple):
+    accumulator: Any   # per-leaf: [rows, 1] for 2-D tables, else like-param
+
+
+def rowwise_adagrad(learning_rate: float = 0.05,
+                    initial_accumulator: float = 0.1,
+                    eps: float = 1e-10) -> optax.GradientTransformation:
+    """DLRM-style row-wise Adagrad: acc_r += mean(g_r^2); p_r -= lr * g_r /
+    sqrt(acc_r + eps). For 2-D [rows, dim] params the accumulator is [rows, 1]
+    (dim-times less state + traffic than elementwise Adagrad); other shapes
+    fall back to elementwise."""
+
+    def init(params):
+        def acc_of(p):
+            if p.ndim == 2:
+                return jnp.full((p.shape[0], 1), initial_accumulator, p.dtype)
+            return jnp.full_like(p, initial_accumulator)
+        return RowwiseAdagradState(jax.tree.map(acc_of, params))
+
+    def update(grads, state, params=None):
+        del params
+
+        def new_acc(g, acc):
+            if g.ndim == 2 and acc.ndim == 2 and acc.shape[1] == 1:
+                return acc + jnp.mean(g * g, axis=1, keepdims=True)
+            return acc + g * g
+
+        accs = jax.tree.map(new_acc, grads, state.accumulator)
+        updates = jax.tree.map(
+            lambda g, a: -learning_rate * g * jax.lax.rsqrt(a + eps),
+            grads, accs)
+        return updates, RowwiseAdagradState(accs)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _label_params(params) -> Any:
+    """'table' for stacked embedding tables, 'dense' for everything else."""
+    def label(path, leaf):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        return "table" if "table_dim" in name or name.startswith("dim") else "dense"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_partitioned_optimizer(learning_rate: float = 1e-3,
+                               table_learning_rate: Optional[float] = None,
+                               dense_optimizer: str = "adam",
+                               weight_decay: float = 0.0,
+                               clip_norm: float = 0.0
+                               ) -> optax.GradientTransformation:
+    """Adam (dense) + row-wise Adagrad (tables), with an injectable dense LR
+    so ReduceLROnPlateau keeps working (train/trainer.py:set_learning_rate)."""
+    table_lr = table_learning_rate if table_learning_rate is not None \
+        else max(learning_rate * 30.0, 0.01)  # adagrad wants a larger lr
+
+    def build(learning_rate):
+        dense = {
+            "adam": lambda: optax.adam(learning_rate),
+            "adamw": lambda: optax.adamw(learning_rate, weight_decay=weight_decay),
+            "sgd": lambda: optax.sgd(learning_rate),
+        }[dense_optimizer]()
+        return optax.multi_transform(
+            {"dense": dense, "table": rowwise_adagrad(table_lr)},
+            _label_params)
+
+    tx = optax.inject_hyperparams(build)(learning_rate=learning_rate)
+    if clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx

@@ -103,7 +103,13 @@ class Trainer:
                  shard_tables: bool = False,
                  seed: int = 0):
         self.model = model
-        self.tx = optimizer or make_optimizer(learning_rate)
+        if optimizer is None:
+            # default: Adam for dense params + row-wise Adagrad for embedding
+            # tables — bounds optimizer HBM traffic by touched rows' dim-mean
+            # instead of 3 full dense passes (train/optimizers.py)
+            from recommendflow_tpu.train.optimizers import make_partitioned_optimizer
+            optimizer = make_partitioned_optimizer(learning_rate)
+        self.tx = optimizer
         self.base_lr = learning_rate
         self.mesh = mesh
         self.shard_tables = shard_tables

@@ -9,7 +9,8 @@ from recommendflow_tpu.config import Configuration
 from recommendflow_tpu.config.proto import FeaturePooling
 from recommendflow_tpu.data.schema import compile_schema
 from recommendflow_tpu.ops.embedding import (
-    concat_tower, embed_batch, init_tables, lookup_feature, pool_sequence,
+    concat_tower, embed_batch, gather_group, init_tables, lookup_feature,
+    pack_factor, pool_sequence, table_shape,
 )
 
 
@@ -25,9 +26,25 @@ def test_init_tables_shapes_and_pad_rows(setup):
     _, schema, params = setup
     for dim, group in schema.groups.items():
         table = params[f"dim{dim}"]
-        assert table.shape == (group.total_rows, dim)
+        assert table.shape == table_shape(group)
+        p = pack_factor(dim)
+        assert table.shape[1] == p * dim
+        flat = np.asarray(table).reshape(-1, dim)
         for off in group.offsets:  # pad row of every member table is zero
-            assert np.allclose(np.asarray(table[off]), 0.0)
+            assert np.allclose(flat[off], 0.0)
+
+
+def test_pack_factor_and_gather_group(setup):
+    assert pack_factor(64) == 2 and pack_factor(16) == 8
+    assert pack_factor(128) == 1 and pack_factor(48) == 1 and pack_factor(200) == 1
+    _, schema, params = setup
+    dim, group = next(iter(schema.groups.items()))
+    table = params[f"dim{dim}"]
+    rng = np.random.RandomState(0)
+    gids = jnp.asarray(rng.randint(0, group.total_rows, size=(4, 7)).astype(np.int32))
+    got = np.asarray(gather_group(table, group, gids))
+    flat = np.asarray(table).reshape(-1, dim)  # unpacked logical view
+    np.testing.assert_allclose(got, flat[np.asarray(gids)], rtol=1e-6)
 
 
 def test_pool_sequence_semantics():
@@ -67,9 +84,9 @@ def test_lookup_matches_naive(setup):
     ids = rng.randint(0, slot.num_rows, size=(5, slot.num_hashes, slot.max_len)).astype(np.int32)
     ids[:, :, -3:] = 0  # some padding
     got = np.asarray(lookup_feature(params, schema, slot, jnp.asarray(ids)))
-    # naive: slice each branch's table out of the stack
+    # naive: slice each branch's table out of the (unpacked) stack
     group = schema.groups[slot.dim]
-    table = np.asarray(params[f"dim{slot.dim}"])
+    table = np.asarray(params[f"dim{slot.dim}"]).reshape(-1, slot.dim)
     parts = []
     for h in range(slot.num_hashes):
         off = group.offset_of(slot.name, h)
@@ -114,7 +131,7 @@ def test_gradients_flow_and_pad_row_stays_zero(setup):
         return jnp.sum(out ** 2)
 
     grads = jax.grad(loss)(params)
-    g = np.asarray(grads[f"dim{slot.dim}"])
+    g = np.asarray(grads[f"dim{slot.dim}"]).reshape(-1, slot.dim)  # unpacked view
     group = schema.groups[slot.dim]
     off = group.offset_of(slot.name, 0)
     assert np.abs(g[off + 3]).sum() > 0      # touched row has gradient
