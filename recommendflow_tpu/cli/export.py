@@ -1,0 +1,50 @@
+"""CLI: export a trained checkpoint to a portable StableHLO serving artifact
+(frozen-pb replacement; parity surface: onnx_utils.freeze_keras_model2pb)."""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from recommendflow_tpu.utils.tables import print_args
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Export checkpoint to .rfx")
+    p.add_argument("conf")
+    p.add_argument("--checkpoint", default=None, help="checkpoint root")
+    p.add_argument("--out", required=True, help="output .rfx path")
+    p.add_argument("--batch_size", type=int, default=256,
+                   help="fixed serving batch size")
+    args = p.parse_args(argv)
+    print_args(args)
+
+    import jax
+
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.schema import compile_schema
+    from recommendflow_tpu.export import ServingModel, export_model
+    from recommendflow_tpu.models.base import build_network
+    from recommendflow_tpu.train import Trainer
+    from recommendflow_tpu.train.checkpoint import restore_checkpoint
+    from __graft_entry__ import _synthetic_batch
+
+    conf = Configuration(args.conf)
+    model, _ = build_network(conf.networks["class"], {"conf": conf})
+    schema = compile_schema(conf.features)
+    sample = _synthetic_batch(schema, args.batch_size)
+    trainer = Trainer(model)
+    state = trainer.init_state(trainer._put(sample))
+    if args.checkpoint:
+        state = restore_checkpoint(args.checkpoint, state)
+    variables = trainer._variables(state)
+    path = export_model(model, variables, sample, args.out)
+    print(f"exported to {path}")
+    # smoke: reload and run once
+    serving = ServingModel.load(path)
+    out = serving.predict(sample)
+    print("reload check:", {k: np.asarray(v).shape for k, v in out.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Text encoding service: tokenizer + flax TextEncoder + whitening + cache.
+
+Capability parity with the reference's BertEncoder (backend/encoder/
+bert_encoder.py:32-283): batch text -> embedding with pooling position and
+output-layer selection, optional BERT-whitening auto-fit on the first batch,
+LRU-cached online encode (OnnxEncoder.encode parity, onnx_utils.py:102-137).
+The remote bert-serving client (bert_encoder.py:79-117) is replaced by local
+TPU encode — no external service dependency.
+"""
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from recommendflow_tpu.encoder.tokenizer import Tokenizer
+from recommendflow_tpu.ops.transformer import TextEncoder
+from recommendflow_tpu.retrieval.whitening import VecsWhitening
+
+
+class TextEncoderService:
+    def __init__(self,
+                 tokenizer: Tokenizer,
+                 model: Optional[TextEncoder] = None,
+                 variables=None,
+                 max_len: int = 64,
+                 batch_size: int = 256,
+                 use_whitening: bool = False,
+                 whitening_dim: Optional[int] = None,
+                 cache_size: int = 100_000,
+                 seed: int = 0,
+                 **model_kwargs):
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self.batch_size = batch_size
+        self.model = model or TextEncoder(vocab_size=len(tokenizer.vocab),
+                                          **model_kwargs)
+        if variables is None:
+            import jax.numpy as jnp
+            dummy = jnp.zeros((1, max_len), jnp.int32)
+            variables = self.model.init(jax.random.PRNGKey(seed), dummy, dummy)
+        self.variables = variables
+        self.use_whitening = use_whitening
+        self.whitening = VecsWhitening(whitening_dim) if use_whitening else None
+        self._whitening_fit = False
+        self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self.cache_size = cache_size
+        self._encode_fn = jax.jit(
+            lambda v, tok, seg: self.model.apply(v, tok, seg))
+
+    # ------------------------------------------------------------- encode
+    def _encode_raw(self, texts: Sequence[str]) -> np.ndarray:
+        outs: List[np.ndarray] = []
+        for start in range(0, len(texts), self.batch_size):
+            chunk = list(texts[start:start + self.batch_size])
+            # pad the chunk to the full batch for one stable jit shape
+            pad_n = self.batch_size - len(chunk)
+            tok, seg = self.tokenizer.encode_batch(
+                chunk + [""] * pad_n, self.max_len)
+            emb = np.asarray(self._encode_fn(self.variables, tok, seg))
+            outs.append(emb[:len(chunk)])
+        return np.concatenate(outs, axis=0)
+
+    def encode(self, texts: Sequence[str], normalize: bool = True) -> np.ndarray:
+        """LRU-cached batch encode (OnnxEncoder.encode parity:
+        onnx_utils.py:123-137). Whitening auto-fits on the first call when
+        enabled (bert_encoder.py:160-182 behavior)."""
+        missing = [t for t in texts if t not in self._cache]
+        if missing:
+            uniq = list(dict.fromkeys(missing))
+            embs = self._encode_raw(uniq)
+            if self.use_whitening:
+                if not self._whitening_fit:
+                    self.whitening.fit(embs)
+                    self._whitening_fit = True
+                embs = self.whitening.transform(embs, normalize=False)
+            for t, e in zip(uniq, embs):
+                if len(self._cache) >= self.cache_size:
+                    self._cache.popitem(last=False)
+                self._cache[t] = e
+        out = np.stack([self._cache[t] for t in texts])
+        for t in texts:
+            self._cache.move_to_end(t)
+        if normalize:
+            out = out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+        return out
+
+    # ------------------------------------------------------------ persist
+    def save(self, directory: str):
+        from recommendflow_tpu.train.checkpoint import save_pytree
+        os.makedirs(directory, exist_ok=True)
+        save_pytree(os.path.join(directory, "variables"), self.variables)
+        if self.whitening is not None and self._whitening_fit:
+            self.whitening.save(os.path.join(directory, "whitening.npz"))
+
+    def load_weights(self, directory: str):
+        from recommendflow_tpu.train.checkpoint import restore_pytree
+        self.variables = restore_pytree(os.path.join(directory, "variables"),
+                                        self.variables)
+        wpath = os.path.join(directory, "whitening.npz")
+        if os.path.exists(wpath):
+            self.whitening = VecsWhitening.load(wpath)
+            self._whitening_fit = True
+            self.use_whitening = True
+        return self

@@ -73,7 +73,7 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                  # ids, n
         grid=(n_pad // CHUNK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # table stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # table stays in HBM
         out_specs=pl.BlockSpec((CHUNK, table.shape[1]),
                                lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -162,8 +162,8 @@ def scatter_add_rows(ids: jnp.ndarray, grads: jnp.ndarray, table: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # grads
-                  pl.BlockSpec(memory_space=pltpu.ANY)],   # table (aliased)
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],   # table (aliased)
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((ACC_SLOTS, grads.shape[1]), table.dtype),
                         pltpu.SemaphoreType.DMA((ACC_SLOTS,)),
                         pltpu.SemaphoreType.DMA((ACC_SLOTS,))],

@@ -11,6 +11,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -19,14 +20,25 @@ def _checkpointer():
 
 
 def save_pytree(path: str, tree: Any, force: bool = True):
+    # save device-agnostic host arrays: checkpoints written from a sharded
+    # mesh must stay restorable in processes with a different device count
+    tree = jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
     path = os.path.abspath(path)
     _checkpointer().save(path, tree, force=force)
 
 
 def restore_pytree(path: str, template: Optional[Any] = None) -> Any:
+    """Restore as host numpy (re-placement onto devices/mesh is the
+    caller's job); a template fixes the tree structure and dtypes."""
     path = os.path.abspath(path)
     if template is not None:
-        return _checkpointer().restore(path, item=template)
+        restore_args = jax.tree.map(
+            lambda x: ocp.RestoreArgs(restore_type=np.ndarray)
+            if hasattr(x, "shape") else ocp.RestoreArgs(),
+            template)
+        return _checkpointer().restore(path, item=template,
+                                       restore_args=restore_args)
     return _checkpointer().restore(path)
 
 

@@ -1,0 +1,134 @@
+"""Tokenizer, text-encoder service, export roundtrip, flash attention."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recommendflow_tpu.encoder import TextEncoderService, Tokenizer, build_demo_vocab
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    vocab = build_demo_vocab(["hello", "world", "deep", "learning", "rank"])
+    return Tokenizer(vocab)
+
+
+def test_tokenizer_basic(tokenizer):
+    ids, segs = tokenizer.encode("hello world", maxlen=16)
+    assert ids[0] == tokenizer.cls_id and ids[-1] == tokenizer.sep_id
+    assert all(s == 0 for s in segs)
+    # pair encoding with second segment
+    ids2, segs2 = tokenizer.encode("hello", "world", maxlen=16)
+    assert segs2[-1] == 1 and ids2.count(tokenizer.sep_id) == 2
+    # unknown word falls back to wordpieces/UNK, never crashes
+    ids3, _ = tokenizer.encode("xyzzyq", maxlen=8)
+    assert len(ids3) <= 8
+
+
+def test_tokenizer_batch_shapes(tokenizer):
+    tok, seg = tokenizer.encode_batch(["hello", "deep learning", ""], maxlen=10)
+    assert tok.shape == (3, 10) and seg.shape == (3, 10)
+    assert tok.dtype == np.int32
+    assert (tok[2] == tokenizer.pad_id).sum() == 8  # only CLS/SEP for empty
+
+
+def test_tokenizer_truncation(tokenizer):
+    long = "hello " * 50
+    ids, _ = tokenizer.encode(long, maxlen=12)
+    assert len(ids) == 12
+
+
+def test_encoder_service_cache_and_whitening(tokenizer, tmp_path):
+    service = TextEncoderService(tokenizer, max_len=12, batch_size=4,
+                                 model_dim=32, num_layers=1, num_heads=2,
+                                 ffn_hidden=64, use_whitening=False)
+    texts = ["hello world", "deep learning", "hello world", "rank"]
+    emb = service.encode(texts)
+    assert emb.shape == (4, 32)
+    np.testing.assert_allclose(emb[0], emb[2], rtol=1e-6)  # cache-identical
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+    # second call hits cache entirely
+    emb2 = service.encode(texts[:2])
+    np.testing.assert_allclose(emb2, emb[:2], rtol=1e-6)
+    # persistence
+    d = str(tmp_path / "enc")
+    service.save(d)
+    service2 = TextEncoderService(tokenizer, max_len=12, batch_size=4,
+                                  model_dim=32, num_layers=1, num_heads=2,
+                                  ffn_hidden=64).load_weights(d)
+    emb3 = service2.encode(texts[:2])
+    np.testing.assert_allclose(emb3, emb[:2], rtol=1e-5, atol=1e-6)
+
+
+def test_export_roundtrip(demo_conf_path, tmp_path):
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.schema import compile_schema
+    from recommendflow_tpu.export import ServingModel, export_model
+    from recommendflow_tpu.models.base import build_network
+    from __graft_entry__ import _synthetic_batch
+
+    conf = Configuration(demo_conf_path)
+    model, _ = build_network(conf.networks["class"],
+                             {"conf": conf, "tower_units": [16]})
+    schema = compile_schema(conf.features)
+    batch = _synthetic_batch(schema, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           {k: jnp.asarray(v) for k, v in batch.items()},
+                           training=False)
+    path = export_model(model, variables, batch, str(tmp_path / "model"))
+    assert path.endswith(".rfx") and os.path.exists(path)
+
+    serving = ServingModel.load(path)
+    got = serving.predict(batch)
+    want = model.apply(variables, {k: jnp.asarray(v) for k, v in batch.items()},
+                       training=False)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-6)
+    # wrong shape -> clear error
+    bad = dict(batch)
+    bad["user_id"] = batch["user_id"][:4]
+    with pytest.raises(ValueError, match="shape"):
+        serving.predict(bad)
+    # missing input -> clear error
+    bad2 = {k: v for k, v in batch.items() if k != "label"}
+    with pytest.raises(KeyError, match="missing"):
+        serving.predict(bad2)
+
+
+def test_flash_attention_matches_reference():
+    from recommendflow_tpu.ops.attention import scaled_dot_product_attention
+    from recommendflow_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 2, 50, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 2, 50, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 2, 50, 32).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 50) > 0.3)
+    ref = scaled_dot_product_attention(q, k, v, mask[:, None, :])
+    got = flash_attention(q, k, v, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_embedding_kernels_interpret():
+    from recommendflow_tpu.ops.pallas.embedding_bag import (
+        _combine_duplicates, gather_rows, scatter_add_rows,
+    )
+    rng = np.random.RandomState(1)
+    table = jnp.asarray(rng.randn(500, 128).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, 500, 300).astype(np.int32))
+    got = gather_rows(table, ids, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6)
+    uids = jnp.asarray(rng.permutation(500)[:200].astype(np.int32))
+    grads = jnp.asarray(rng.randn(200, 128).astype(np.float32))
+    out = scatter_add_rows(uids, grads, jnp.zeros_like(table), interpret=True)
+    ref = np.zeros((500, 128), np.float32)
+    np.add.at(ref, np.asarray(uids), np.asarray(grads))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5)
+    # duplicate combining preserves total mass
+    u, s = _combine_duplicates(ids, jnp.ones((300, 128)))
+    assert float(s.sum()) == pytest.approx(300 * 128)
