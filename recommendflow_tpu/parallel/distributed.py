@@ -1,0 +1,64 @@
+"""Multi-host initialization and input sharding helpers.
+
+The reference's parallelism tops out at single-host MirroredStrategy
+(gpu_utils.py:13-14); the TPU-native scale-out story:
+  * `init_distributed()` — jax.distributed.initialize on multi-host slices
+    (no-op on single host / when already initialized),
+  * host identity helpers feeding the pipeline's per-host file sharding
+    (data/pipeline.py:shard_for_host),
+  * `global_mesh()` — mesh over all chips of the slice; with dp over the
+    full mesh, gradient all-reduce rides ICI within a slice and DCN across
+    slices automatically (XLA picks the collective topology).
+
+Scaling contract (BASELINE.md): examples/s should scale >=80% from 1 to N
+hosts — per-host input sharding keeps the host decode path embarrassingly
+parallel, and the only cross-host traffic is the gradient all-reduce plus
+the all-gathered in-batch negatives ([B, D] per step, both bandwidth-tiny
+next to ICI).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from recommendflow_tpu.utils.logger import get_logger
+
+log = get_logger("recflow.distributed")
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed when running multi-host. Arguments default
+    to the standard env vars / TPU metadata autodetection; single-host runs
+    return immediately."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    env_says_multihost = any(v in os.environ for v in
+                             ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
+    if coordinator_address is None and num_processes is None and not env_says_multihost:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        log.info("jax.distributed initialized: process %d/%d, %d local devices",
+                 jax.process_index(), jax.process_count(),
+                 jax.local_device_count())
+    except Exception as e:  # noqa: BLE001
+        log.warning("jax.distributed.initialize failed (%s); continuing single-host", e)
+
+
+def host_id() -> int:
+    return jax.process_index()
+
+
+def num_hosts() -> int:
+    return jax.process_count()
+
+
+def global_mesh(axis_names=("dp",)):
+    from recommendflow_tpu.parallel.mesh import make_mesh
+    return make_mesh(jax.devices(), axis_names=axis_names)

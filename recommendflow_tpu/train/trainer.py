@@ -20,7 +20,7 @@ explicit control; both are tested equal in tests/test_losses.py).
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Iterable, List, Optional
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -252,7 +252,9 @@ class Trainer:
             valid_ds: Optional[Dataset] = None,
             callbacks: Optional[List[Callback]] = None,
             log_every: int = 100,
-            state: Optional[TrainState] = None) -> Dict[str, Any]:
+            state: Optional[TrainState] = None,
+            profile_dir: Optional[str] = None,
+            profile_steps: Tuple[int, int] = (10, 15)) -> Dict[str, Any]:
         callbacks = list(callbacks or [])
         history = History()
         callbacks.append(history)
@@ -279,6 +281,13 @@ class Trainer:
             running: Dict[str, float] = {}
             epoch_iter = prefetch(iter(train_ds)) if epoch > 0 else _chain_first(first, it)
             for batch in epoch_iter:
+                if profile_dir is not None and epoch == 0:
+                    # device trace over a steady-state step window
+                    if n_batches == profile_steps[0]:
+                        jax.profiler.start_trace(profile_dir)
+                    elif n_batches == profile_steps[1]:
+                        jax.profiler.stop_trace()
+                        log.info("profiler trace written to %s", profile_dir)
                 state, metrics = self.train_step(state, batch)
                 n_batches += 1
                 n_examples += len(next(iter(batch.values())))
