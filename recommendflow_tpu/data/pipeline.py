@@ -123,6 +123,14 @@ def _encode_slot(slot: FeatureSlot, values: np.ndarray,
                           -1.0, np.float32)
         return out
 
+    if slot.kind == "embedding":
+        # pre-serialized embedding vectors: float list of length max_len per
+        # row (the reference's serialize_tensor columns, make_tfrecord.py:
+        # 50-67 / dataloader.py:60-89 second parse), zero-filled when missing
+        out, _ = _pad_csr(values.astype(np.float32), splits, slot.max_len,
+                          0.0, np.float32)
+        return out
+
     if slot.kind == "token":
         ids, valid = _pad_csr(values.astype(np.int64), splits, slot.max_len,
                               PAD_ID, np.int64)

@@ -124,7 +124,7 @@ class BatchSchema:
         spec: Dict[str, Tuple[Tuple[int, ...], str]] = {}
         for name in self.order:
             s = self.slots[name]
-            if s.kind == "dense":
+            if s.kind in ("dense", "embedding"):
                 spec[name] = ((batch_size,) + s.batch_shape, "float32")
             else:
                 spec[name] = ((batch_size,) + s.batch_shape, "int32")

@@ -1,0 +1,84 @@
+"""Text-pair batch generators for encoder training.
+
+Capability parity with backend/utils/generator.py:5-266 + encoder_utils.py:
+27-34: pair/interleaved ("zipped") batching with the stride-2 query/doc
+interleave the zipped losses expect (losses/match.py:unzip_embedding),
+weighted variants, and the SBERT [a; b; |a-b|] interaction head merge.
+"""
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from recommendflow_tpu.encoder.tokenizer import Tokenizer
+
+
+def pair_batches(queries: Sequence[str], docs: Sequence[str],
+                 labels: Sequence[float], tokenizer: Tokenizer,
+                 batch_size: int, max_len: int,
+                 weights: Optional[Sequence[float]] = None,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_remainder: bool = True) -> Iterator[dict]:
+    """Yield {'query_tok','query_seg','doc_tok','doc_seg','label'[,'weight']}
+    fixed-shape batches for two-tower encoder training."""
+    n = len(queries)
+    assert len(docs) == n and len(labels) == n
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    for start in range(0, n, batch_size):
+        idx = order[start:start + batch_size]
+        if len(idx) < batch_size and drop_remainder:
+            return
+        q_tok, q_seg = tokenizer.encode_batch([queries[i] for i in idx], max_len)
+        d_tok, d_seg = tokenizer.encode_batch([docs[i] for i in idx], max_len)
+        batch = {"query_tok": q_tok, "query_seg": q_seg,
+                 "doc_tok": d_tok, "doc_seg": d_seg,
+                 "label": np.asarray([labels[i] for i in idx], np.float32)}
+        if weights is not None:
+            batch["weight"] = np.asarray([weights[i] for i in idx], np.float32)
+        yield batch
+
+
+def zipped_batches(queries: Sequence[str], docs: Sequence[str],
+                   labels: Sequence[float], tokenizer: Tokenizer,
+                   batch_size: int, max_len: int,
+                   shuffle: bool = True, seed: int = 0) -> Iterator[dict]:
+    """Stride-2 interleaved [q0; d0; q1; d1; ...] token batches — the layout
+    the reference's zipped losses consume (match_zipped_losses.py:18-28 /
+    generator.py interleave)."""
+    for b in pair_batches(queries, docs, labels, tokenizer, batch_size,
+                          max_len, shuffle=shuffle, seed=seed):
+        n = len(b["label"])
+        tok = np.empty((2 * n, max_len), np.int32)
+        seg = np.empty((2 * n, max_len), np.int32)
+        tok[0::2], tok[1::2] = b["query_tok"], b["doc_tok"]
+        seg[0::2], seg[1::2] = b["query_seg"], b["doc_seg"]
+        yield {"tok": tok, "seg": seg, "label": b["label"]}
+
+
+def interact_batches(queries: Sequence[str], docs: Sequence[str],
+                     labels: Sequence[float], tokenizer: Tokenizer,
+                     batch_size: int, max_len: int,
+                     shuffle: bool = True, seed: int = 0) -> Iterator[dict]:
+    """Single-encoder cross-interaction batches: [CLS] q [SEP] d [SEP] with
+    segment ids (generator.py interact mode)."""
+    n = len(queries)
+    order = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    for start in range(0, n, batch_size):
+        idx = order[start:start + batch_size]
+        if len(idx) < batch_size:
+            return
+        tok, seg = tokenizer.encode_batch([queries[i] for i in idx], max_len,
+                                          pairs=[docs[i] for i in idx])
+        yield {"tok": tok, "seg": seg,
+               "label": np.asarray([labels[i] for i in idx], np.float32)}
+
+
+def sbert_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[a; b; |a-b|] feature for an SBERT-style interaction classifier head
+    (parity: encoder_utils.py:27-34 merge)."""
+    return np.concatenate([a, b, np.abs(a - b)], axis=-1)

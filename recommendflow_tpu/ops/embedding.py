@@ -171,7 +171,7 @@ def embed_batch(params: Params, schema: BatchSchema,
     for slot in slots:
         if slot.kind == "sparse":
             by_dim.setdefault(slot.dim, []).append(slot)
-        elif slot.kind == "dense":
+        elif slot.kind in ("dense", "embedding"):
             out[slot.name] = batch[slot.name].astype(jnp.float32)
 
     for dim, group_slots in by_dim.items():

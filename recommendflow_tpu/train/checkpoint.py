@@ -73,3 +73,20 @@ def save_variables(path: str, variables: Dict[str, Any]):
 
 def restore_variables(path: str, template: Optional[Dict[str, Any]] = None):
     return restore_pytree(path, template)
+
+
+def backup_model(src_root: str, backup_root: str, keep_days: int = 7):
+    """Daily backup copies of a model dir with pruning (parity:
+    backend/utils/model_utils.py:7-24 backup_model)."""
+    import shutil
+    import time as _time
+    day = _time.strftime("%Y%m%d")
+    dst = os.path.join(backup_root, day)
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src_root, dst)
+    days = sorted(d for d in os.listdir(backup_root)
+                  if d.isdigit() and len(d) == 8)
+    for old in days[:-keep_days]:
+        shutil.rmtree(os.path.join(backup_root, old), ignore_errors=True)
+    return dst

@@ -1,0 +1,133 @@
+"""Sharded embedding (shard_map), JSON legacy config, generators, backup,
+embedding-deal pipeline, profiling utilities."""
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recommendflow_tpu.config import Configuration
+from recommendflow_tpu.data.schema import compile_schema
+from recommendflow_tpu.ops.embedding import gather_group, init_tables
+from recommendflow_tpu.parallel.mesh import make_mesh
+from recommendflow_tpu.parallel.sharded_embedding import (
+    shard_tables, sharded_gather_group,
+)
+
+
+def test_sharded_gather_matches_replicated(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    schema = compile_schema(conf.features)
+    params = init_tables(schema, jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    sharded = shard_tables(params, mesh)
+    rng = np.random.RandomState(0)
+    for dim, group in schema.groups.items():
+        gids = jnp.asarray(rng.randint(0, group.total_rows, (4, 9)).astype(np.int32))
+        ref = gather_group(params[f"dim{dim}"], group, gids)
+        got = sharded_gather_group(mesh, "dp", sharded[f"dim{dim}"], group, gids)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+        g1 = jax.grad(lambda t: jnp.sum(gather_group(t, group, gids) ** 2))(
+            params[f"dim{dim}"])
+        g2 = jax.grad(lambda t: jnp.sum(
+            sharded_gather_group(mesh, "dp", t, group, gids) ** 2))(
+            sharded[f"dim{dim}"])
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5)
+
+
+def test_json_config_deletion_markers(tmp_path):
+    from recommendflow_tpu.config.json_config import load_config
+    path = tmp_path / "c.json"
+    path.write_text(json.dumps({
+        "lr": 0.1, "#lr_old": 0.5,
+        "nested": {"a": 1, "#b": 2, "deep": {"#x": 3, "y": 4}},
+        "list": [{"#gone": 1, "kept": 2}],
+    }))
+    conf = load_config(str(path))
+    assert conf == {"lr": 0.1, "nested": {"a": 1, "deep": {"y": 4}},
+                    "list": [{"kept": 2}]}
+
+
+def test_generators_and_sbert_merge():
+    from recommendflow_tpu.encoder import Tokenizer, build_demo_vocab
+    from recommendflow_tpu.encoder.generators import (
+        interact_batches, pair_batches, sbert_merge, zipped_batches,
+    )
+    tok = Tokenizer(build_demo_vocab(["hello", "world", "rank"]))
+    q = ["hello world"] * 10
+    d = ["rank hello"] * 10
+    y = [1.0] * 10
+    batches = list(pair_batches(q, d, y, tok, batch_size=4, max_len=8))
+    assert len(batches) == 2  # drop remainder
+    assert batches[0]["query_tok"].shape == (4, 8)
+    zb = next(zipped_batches(q, d, y, tok, batch_size=4, max_len=8))
+    assert zb["tok"].shape == (8, 8)
+    np.testing.assert_array_equal(zb["tok"][0], zb["tok"][2])  # q rows at even
+    ib = next(interact_batches(q, d, y, tok, batch_size=4, max_len=12))
+    assert ib["seg"].max() == 1  # second segment present
+    m = sbert_merge(np.ones((2, 3)), np.zeros((2, 3)))
+    assert m.shape == (2, 9) and (m[:, 6:] == 1).all()
+
+
+def test_backup_model(tmp_path):
+    from recommendflow_tpu.train.checkpoint import backup_model
+    src = tmp_path / "model"
+    src.mkdir()
+    (src / "weights.bin").write_text("data")
+    dst = backup_model(str(src), str(tmp_path / "backups"), keep_days=7)
+    assert os.path.exists(os.path.join(dst, "weights.bin"))
+
+
+def test_embedding_deal_pipeline(tmp_path):
+    """'embedding' deal: pre-serialized float vectors flow through as dense."""
+    import yaml
+    from recommendflow_tpu.data.pipeline import Dataset
+    from recommendflow_tpu.data.recordio import ColumnSpec, RecordWriter
+    text = """
+Features:
+  feature_group: {}
+  feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+  features:
+    item_vec,float,ad,embedding,null,-1,null,true
+    item_id,str,ad,hashing,100,8,sum,true
+    label,float,label,numeric,null,-1,null,true
+Variables:
+  seeds: 1
+  max_len_map: {item_vec: 4}
+"""
+    conf = Configuration(conf=yaml.safe_load(text))
+    schema = compile_schema(conf.features)
+    assert schema.slots["item_vec"].kind == "embedding"
+    path = str(tmp_path / "e.rfb")
+    cols = [ColumnSpec("item_vec", "float"), ColumnSpec("item_id", "str"),
+            ColumnSpec("label", "float")]
+    with RecordWriter(path, cols) as w:
+        w.write_row({"item_vec": [0.1, 0.2, 0.3, 0.4], "item_id": ["a"], "label": [1.0]})
+        w.write_row({"item_vec": [], "item_id": ["b"], "label": [0.0]})
+    ds = Dataset(schema, [path], batch_size=2, drop_remainder=False)
+    b = next(iter(ds))
+    np.testing.assert_allclose(b["item_vec"][0], [0.1, 0.2, 0.3, 0.4], rtol=1e-6)
+    np.testing.assert_allclose(b["item_vec"][1], 0.0)  # missing -> zeros
+
+
+def test_profiling_utils(tmp_path):
+    from recommendflow_tpu.utils.profiling import StepTimer, scope_report, timed
+    t = StepTimer()
+    t.tick()
+    t.tick()
+    assert t.avg_ms is not None and t.examples_per_sec(128) > 0
+    with timed("scope_a"):
+        pass
+    report = scope_report()
+    assert "scope_a" in report
+
+
+def test_alerts_command_transport(tmp_path):
+    from recommendflow_tpu.utils.alerts import send_alert
+    out = tmp_path / "alert.json"
+    ok = send_alert("boom", command=f"cat > {out}")
+    assert ok
+    payload = json.loads(out.read_text())
+    assert payload["text"] == "boom"
