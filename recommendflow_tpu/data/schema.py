@@ -104,6 +104,7 @@ class BatchSchema:
     order: List[str]                     # deterministic feature order
     label_names: List[str]
     groups: Dict[int, TableGroup]        # dim -> stacked table group
+    table_dtype: str = "float32"         # stored table dtype (bf16 halves HBM traffic)
 
     def tower_slots(self, tower: str) -> List[FeatureSlot]:
         t = FeatureTower(tower)

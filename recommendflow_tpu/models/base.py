@@ -38,12 +38,14 @@ class FeatureEmbedder(nn.Module):
 
     def setup(self):
         from recommendflow_tpu.ops.embedding import table_shape
+        dtype = jnp.dtype(getattr(self.schema, "table_dtype", "float32"))
         tables = {}
         for dim, group in self.schema.groups.items():
             tables[f"dim{dim}"] = self.param(
                 f"table_dim{dim}",
                 nn.initializers.uniform(scale=0.1),
-                table_shape(group))  # packed [rows/P, P*dim] layout
+                table_shape(group, dtype),  # packed [rows/P, P*dim] layout
+                dtype)
         self._tables = tables
 
     def __call__(self, batch: Batch, tower: Optional[str] = None) -> Dict[str, jnp.ndarray]:
@@ -66,7 +68,10 @@ class RecModel(nn.Module):
     @property
     def schema(self) -> BatchSchema:
         if not hasattr(self, "_schema_cache"):
-            object.__setattr__(self, "_schema_cache", compile_schema(self.conf.features))
+            schema = compile_schema(self.conf.features)
+            schema.table_dtype = str(
+                self.conf.networks.get("table_dtype", "float32"))
+            object.__setattr__(self, "_schema_cache", schema)
         return self._schema_cache
 
     def resolve_loss(self) -> Callable:

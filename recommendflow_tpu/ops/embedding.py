@@ -42,33 +42,35 @@ Params = Dict[str, jnp.ndarray]
 
 NEG_INF = -1e9
 POS_INF = 1e9
-LANES = 128  # minor-dim packing target (one 512-byte f32 burst)
+ROW_BYTES = 512  # physical-row packing target (one 512-byte HBM burst)
 
 
-def pack_factor(dim: int) -> int:
-    """Logical rows per physical row: P = LANES // dim when dim divides
-    LANES evenly, else 1 (unpacked)."""
-    if dim < LANES and LANES % dim == 0:
-        return LANES // dim
+def pack_factor(dim: int, dtype=jnp.float32) -> int:
+    """Logical rows per physical row, packing the minor dim up to a 512-byte
+    burst (128 f32 / 256 bf16 elements); P = lanes//dim when dim divides the
+    lane count evenly, else 1 (unpacked)."""
+    lanes = ROW_BYTES // jnp.dtype(dtype).itemsize
+    if dim < lanes and lanes % dim == 0:
+        return lanes // dim
     return 1
 
 
 SHARD_MULTIPLE = 256  # physical rows divisible by any mesh size up to 256
 
 
-def padded_rows(group: TableGroup) -> int:
+def padded_rows(group: TableGroup, dtype=jnp.float32) -> int:
     """Logical rows padded so the packed physical row count is a multiple of
     SHARD_MULTIPLE (keeps row-sharding valid on any mesh <= 256 devices)."""
-    p = pack_factor(group.dim)
+    p = pack_factor(group.dim, dtype)
     phys = -(-group.total_rows // p)
     phys = -(-phys // SHARD_MULTIPLE) * SHARD_MULTIPLE
     return phys * p
 
 
-def table_shape(group: TableGroup) -> Tuple[int, int]:
+def table_shape(group: TableGroup, dtype=jnp.float32) -> Tuple[int, int]:
     """Physical (packed) stored shape of a dim group's stacked table."""
-    p = pack_factor(group.dim)
-    return (padded_rows(group) // p, p * group.dim)
+    p = pack_factor(group.dim, dtype)
+    return (padded_rows(group, dtype) // p, p * group.dim)
 
 
 def init_tables(schema: BatchSchema, key: jax.Array,
@@ -77,12 +79,12 @@ def init_tables(schema: BatchSchema, key: jax.Array,
     params: Params = {}
     for dim, group in schema.groups.items():
         key, sub = jax.random.split(key)
-        rows = padded_rows(group)
+        rows = padded_rows(group, dtype)
         flat = jax.random.uniform(sub, (rows, dim), dtype=dtype,
                                   minval=-scale, maxval=scale)
         pad_rows_idx = np.asarray(group.offsets, dtype=np.int32)
         flat = flat.at[pad_rows_idx].set(0.0)  # zero each member's pad row
-        p = pack_factor(dim)
+        p = pack_factor(dim, dtype)
         params[f"dim{dim}"] = flat.reshape(rows // p, p * dim)
     return params
 
@@ -91,18 +93,21 @@ def gather_group(table: jnp.ndarray, group: TableGroup,
                  global_ids: jnp.ndarray) -> jnp.ndarray:
     """Gather logical rows from a packed stacked table.
 
-    table: [rows/P, P*dim] packed; global_ids: any int shape -> [..., dim].
+    table: [rows/P, P*dim] packed (P inferred from the stored shape, so
+    bf16 tables with 256-element rows work transparently); global_ids: any
+    int shape -> [..., dim], cast to f32 after the gather+select so compute
+    downstream stays full-precision.
     """
     dim = group.dim
-    p = pack_factor(dim)
+    p = table.shape[1] // dim
     flat_ids = global_ids.reshape(-1)
     if p == 1:
         rows = jnp.take(table, flat_ids, axis=0)
-        return rows.reshape(global_ids.shape + (dim,))
+        return rows.reshape(global_ids.shape + (dim,)).astype(jnp.float32)
     wide = jnp.take(table, flat_ids // p, axis=0)           # [N, P*dim]
     seg = jax.nn.one_hot(flat_ids % p, p, dtype=table.dtype)  # [N, P]
     out = jnp.einsum("npd,np->nd", wide.reshape(-1, p, dim), seg)
-    return out.reshape(global_ids.shape + (dim,))
+    return out.reshape(global_ids.shape + (dim,)).astype(jnp.float32)
 
 
 def pool_sequence(emb: jnp.ndarray, mask: jnp.ndarray,

@@ -36,22 +36,26 @@ def rowwise_adagrad(learning_rate: float = 0.05,
 
     def init(params):
         def acc_of(p):
+            # accumulators stay f32 even for bf16 tables (precision of the
+            # running sum matters; its HBM footprint is rows/dim of the table)
             if p.ndim == 2:
-                return jnp.full((p.shape[0], 1), initial_accumulator, p.dtype)
-            return jnp.full_like(p, initial_accumulator)
+                return jnp.full((p.shape[0], 1), initial_accumulator, jnp.float32)
+            return jnp.full(p.shape, initial_accumulator, jnp.float32)
         return RowwiseAdagradState(jax.tree.map(acc_of, params))
 
     def update(grads, state, params=None):
         del params
 
         def new_acc(g, acc):
+            g32 = g.astype(jnp.float32)
             if g.ndim == 2 and acc.ndim == 2 and acc.shape[1] == 1:
-                return acc + jnp.mean(g * g, axis=1, keepdims=True)
-            return acc + g * g
+                return acc + jnp.mean(g32 * g32, axis=1, keepdims=True)
+            return acc + g32 * g32
 
         accs = jax.tree.map(new_acc, grads, state.accumulator)
         updates = jax.tree.map(
-            lambda g, a: -learning_rate * g * jax.lax.rsqrt(a + eps),
+            lambda g, a: (-learning_rate * g.astype(jnp.float32) *
+                          jax.lax.rsqrt(a + eps)).astype(g.dtype),
             grads, accs)
         return updates, RowwiseAdagradState(accs)
 
