@@ -58,6 +58,7 @@ class Configuration:
             with open(config_path) as f:
                 conf = yaml.safe_load(f.read())
         self.conf = conf
+        self._source_path = config_path  # for multiprocess re-loading
         if "Features" not in self.conf:
             raise KeyError("config must contain a top-level 'Features' section")
 

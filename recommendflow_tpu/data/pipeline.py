@@ -352,3 +352,71 @@ def make_dataset(conf: Configuration,
         valid = Dataset(schema, valid_files, batch_size, shuffle=False, seed=seed,
                         take_batches=take)
     return train, valid
+
+
+def multi_datasets(schema: BatchSchema, files: Sequence[str], batch_size: int,
+                   files_per_dataset: int = 8, **kwargs
+                   ) -> Iterator[Dataset]:
+    """Generator of Datasets over successive file windows (parity:
+    load_multi_tfrecord_datasets, dataloader.py:249-300) — e.g. one Dataset
+    per ingest chunk for streaming prediction."""
+    files = list(files)
+    for start in range(0, len(files), files_per_dataset):
+        chunk = files[start:start + files_per_dataset]
+        if chunk:
+            yield Dataset(schema, chunk, batch_size, **kwargs)
+
+
+def multi_datasets_dict(schema: BatchSchema, pattern: str, batch_size: int,
+                        dayno: Optional[str] = None, **kwargs
+                        ) -> Dict[str, Dataset]:
+    """Datasets keyed by the varying part of each matched path (parity:
+    load_multi_tfrecord_datasets_dict, dataloader.py:482-538 glob-diff keys)
+    — e.g. one Dataset per day directory."""
+    if dayno:
+        pattern = pattern.replace("YYYYMMDD", str2dayno(dayno, mode="patten"))
+    groups: Dict[str, List[str]] = {}
+    for pat in expand_braces(pattern):
+        files = resolve_paths(pat)
+        if files:
+            groups[pat] = files
+    if len(groups) <= 1 and groups:
+        # no brace variation: key each file by its non-common part
+        files = next(iter(groups.values()))
+        prefix = os.path.commonprefix(files)
+        groups = {f[len(prefix):] or os.path.basename(f): [f] for f in files}
+    out: Dict[str, Dataset] = {}
+    prefix = os.path.commonprefix(list(groups)) if len(groups) > 1 else ""
+    for key, files in groups.items():
+        out[key[len(prefix):] or key] = Dataset(schema, files, batch_size, **kwargs)
+    return out
+
+
+def load_csv_dataset(conf, csv_pattern: str, batch_size: int,
+                     **kwargs) -> "Dataset":
+    """Train directly from CSVs without an ETL step (parity: load_csv /
+    make_csv_dataset, dataloader.py:155-197): CSVs are converted to a cached
+    RFB mirror on first touch, then read through the normal pipeline."""
+    import hashlib as _hashlib
+    from recommendflow_tpu.data.writer import build_records
+    schema = compile_schema(conf.features)
+    cache_key = _hashlib.md5(csv_pattern.encode()).hexdigest()[:12]
+    cache_dir = os.path.join("/tmp/recflow_csv_cache", cache_key)
+    srcs = sorted(globlib.glob(csv_pattern))
+    if not srcs:
+        raise FileNotFoundError(f"no CSVs match {csv_pattern}")
+    expected = [os.path.join(cache_dir, os.path.splitext(os.path.basename(s))[0] + ".rfb")
+                for s in srcs]
+    if not all(os.path.exists(e) and os.path.getmtime(e) >= os.path.getmtime(s)
+               for e, s in zip(expected, srcs)):
+        if not getattr(conf, "_source_path", None):
+            # writer needs a config path for subprocess workers; single-proc fallback
+            from recommendflow_tpu.data.writer import convert_rows
+            import csv as _csv
+            os.makedirs(cache_dir, exist_ok=True)
+            for src, dst in zip(srcs, expected):
+                with open(src, newline="") as f:
+                    convert_rows(conf, _csv.DictReader(f), dst)
+        else:
+            build_records(conf._source_path, csv_pattern, cache_dir)
+    return Dataset(schema, expected, batch_size, **kwargs)

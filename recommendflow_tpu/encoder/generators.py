@@ -82,3 +82,29 @@ def sbert_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """[a; b; |a-b|] feature for an SBERT-style interaction classifier head
     (parity: encoder_utils.py:27-34 merge)."""
     return np.concatenate([a, b, np.abs(a - b)], axis=-1)
+
+
+def timeout(seconds: float, fallback=None):
+    """Decorator: run fn in a worker thread with a deadline; return
+    `fallback` (or raise TimeoutError when fallback is None) on expiry
+    (parity: encoder_utils.py:15-24 timeout decorator used for the remote
+    encode fallback, bert_encoder.py:79-117)."""
+    import functools
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as _FTimeout
+
+    def deco(fn):
+        pool = ThreadPoolExecutor(max_workers=1)
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            future = pool.submit(fn, *args, **kwargs)
+            try:
+                return future.result(timeout=seconds)
+            except _FTimeout:
+                if fallback is None:
+                    raise TimeoutError(
+                        f"{fn.__name__} exceeded {seconds}s") from None
+                return fallback(*args, **kwargs) if callable(fallback) else fallback
+        return wrapped
+    return deco

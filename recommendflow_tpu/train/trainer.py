@@ -116,6 +116,7 @@ class Trainer:
         self.seed = seed
         self.control: Dict[str, Any] = {"stop": False, "lr_scale": 1.0}
         self._train_step = None
+        self._train_step_scan = None
         self._eval_step = None
         self._predict_step = None
 
@@ -155,30 +156,43 @@ class Trainer:
             variables.update(state.extra_vars)
         return variables
 
+    def _step_body(self, state: TrainState, batch):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        mutable = [k for k in self._variables(state) if k != "params"]
+
+        def loss_fn(params):
+            out = state.apply_fn(self._variables(state, params), batch,
+                                 training=True,
+                                 rngs={"dropout": step_rng},
+                                 mutable=mutable if mutable else False)
+            if mutable:
+                (loss, aux), new_state = out
+            else:
+                (loss, aux), new_state = out, {}
+            return loss, (aux, new_state)
+
+        grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (aux, new_model_state)), grads = grads_fn(state.params)
+        state = state.apply_gradients(grads=grads)
+        if "batch_stats" in new_model_state:
+            state = state.replace(batch_stats=new_model_state["batch_stats"])
+        metrics = {"loss": loss, **aux}
+        return state, metrics
+
     def _build_train_step(self):
-        def train_step(state: TrainState, batch):
-            step_rng = jax.random.fold_in(state.rng, state.step)
-            mutable = [k for k in self._variables(state) if k != "params"]
+        return jax.jit(self._step_body, donate_argnums=(0,))
 
-            def loss_fn(params):
-                out = state.apply_fn(self._variables(state, params), batch,
-                                     training=True,
-                                     rngs={"dropout": step_rng},
-                                     mutable=mutable if mutable else False)
-                if mutable:
-                    (loss, aux), new_state = out
-                else:
-                    (loss, aux), new_state = out, {}
-                return loss, (aux, new_state)
-
-            grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (loss, (aux, new_model_state)), grads = grads_fn(state.params)
-            state = state.apply_gradients(grads=grads)
-            if "batch_stats" in new_model_state:
-                state = state.replace(batch_stats=new_model_state["batch_stats"])
-            metrics = {"loss": loss, **aux}
-            return state, metrics
-        return jax.jit(train_step, donate_argnums=(0,))
+    def _build_train_step_scan(self, k: int):
+        """K steps per dispatch via lax.scan over stacked batches [K, B, ...]
+        — amortizes the per-call host->device dispatch latency (~3 ms on
+        tunneled platforms). Metrics are means over the K steps."""
+        def multi(state: TrainState, batches):
+            def body(s, b):
+                s2, m = self._step_body(s, b)
+                return s2, m
+            state, ms = jax.lax.scan(body, state, batches)
+            return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+        return jax.jit(multi, donate_argnums=(0,))
 
     def _build_eval_step(self):
         def eval_step(state: TrainState, batch):
@@ -200,6 +214,17 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         return self._train_step(state, self._put(batch))
+
+    def train_steps(self, state, batches):
+        """Run len(batches) steps in ONE dispatch (lax.scan)."""
+        k = len(batches)
+        if self._train_step_scan is None:
+            self._train_step_scan = {}
+        if k not in self._train_step_scan:
+            self._train_step_scan[k] = self._build_train_step_scan(k)
+        stacked = {key: np.stack([b[key] for b in batches])
+                   for key in batches[0]}
+        return self._train_step_scan[k](state, self._put(stacked))
 
     def eval_step(self, state, batch):
         if self._eval_step is None:

@@ -131,3 +131,78 @@ def test_alerts_command_transport(tmp_path):
     assert ok
     payload = json.loads(out.read_text())
     assert payload["text"] == "boom"
+
+
+def test_matching_layers():
+    from recommendflow_tpu.ops.matching import MultiPerspective, matching_matrix
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(2, 5, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 7, 8).astype(np.float32))
+    assert matching_matrix(a, b, "dot").shape == (2, 5, 7)
+    np.testing.assert_allclose(
+        np.asarray(matching_matrix(a, b, "dot"))[0, 1, 2],
+        np.dot(np.asarray(a)[0, 1], np.asarray(b)[0, 2]), rtol=1e-5)
+    assert matching_matrix(a, b, "mul").shape == (2, 5, 7, 8)
+    assert matching_matrix(a, b, "concat").shape == (2, 5, 7, 16)
+    with pytest.raises(ValueError, match="unknown matching mode"):
+        matching_matrix(a, b, "xor")
+
+    mp = MultiPerspective(num_perspectives=4)
+    mask_a = jnp.asarray(rng.rand(2, 5) > 0.2)
+    mask_b = jnp.asarray(rng.rand(2, 7) > 0.2)
+    v = mp.init(jax.random.PRNGKey(0), a, b, mask_a, mask_b)
+    out = mp.apply(v, a, b, mask_a, mask_b)
+    assert out.shape == (2, 5, 16)  # 4 strategies x 4 perspectives
+    assert np.isfinite(np.asarray(out)).all()
+    # masked query rows are zeroed
+    dead = ~np.asarray(mask_a)
+    assert np.abs(np.asarray(out)[dead]).max() == 0.0
+
+
+def test_multi_datasets_and_csv(demo_conf_path, tmp_path):
+    from recommendflow_tpu.data.pipeline import (
+        load_csv_dataset, multi_datasets, multi_datasets_dict,
+    )
+    from recommendflow_tpu.data.synthetic import generate_records
+    conf = Configuration(demo_conf_path)
+    schema = compile_schema(conf.features)
+    paths = generate_records(conf, str(tmp_path / "r"), num_rows=400, num_files=4)
+    chunks = list(multi_datasets(schema, paths, batch_size=50, files_per_dataset=2))
+    assert len(chunks) == 2
+    assert sum(len(list(c)) for c in chunks) == 8  # 400 rows / 50
+
+    dsd = multi_datasets_dict(schema, str(tmp_path / "r" / "*.rfb"), batch_size=50)
+    assert len(dsd) == 4  # one per file keyed by varying suffix
+
+    # CSV direct path
+    csv = tmp_path / "x.csv"
+    csv.write_text(
+        "user_id,clk_item_ids,clk_cat_ids,item_id,item_cat_id,item_ctr,item_cvr,label\n"
+        + "\n".join(f'u{i},"i1,i2",1,i{i},2,0.01,0.001,{i%2}' for i in range(60)))
+    ds = load_csv_dataset(conf, str(csv), batch_size=30)
+    batches = list(ds)
+    assert len(batches) == 2 and batches[0]["user_id"].shape == (30, 2, 1)
+
+
+def test_timeout_decorator():
+    import time as _time
+    from recommendflow_tpu.encoder.generators import timeout
+
+    @timeout(0.2, fallback=lambda: "fallback")
+    def slow():
+        _time.sleep(2)
+        return "never"
+
+    assert slow() == "fallback"
+
+    @timeout(0.2)
+    def slow2():
+        _time.sleep(2)
+
+    with pytest.raises(TimeoutError):
+        slow2()
+
+    @timeout(5.0)
+    def fast():
+        return 42
+    assert fast() == 42

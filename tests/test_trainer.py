@@ -134,3 +134,22 @@ def test_streaming_auc_close_to_exact():
     approx = float(auc_result(state))
     exact = roc_auc(y, score)
     assert abs(approx - exact) < 0.01
+
+
+def test_train_steps_scan_matches_singles(world):
+    """K scanned steps == K sequential single steps (same rng fold path)."""
+    conf, schema, paths, model = world
+    train = Dataset(schema, paths, batch_size=64, shuffle=False, take_batches=4)
+    batches = list(train)
+    t1 = Trainer(model, learning_rate=1e-3)
+    s1 = t1.init_state(t1._put(batches[0]))
+    for b in batches[:3]:
+        s1, m1 = t1.train_step(s1, b)
+    t2 = Trainer(model, learning_rate=1e-3)
+    s2 = t2.init_state(t2._put(batches[0]))
+    s2, m2 = t2.train_steps(s2, batches[:3])
+    assert int(s1.step) == int(s2.step) == 3
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-5)
