@@ -73,5 +73,55 @@ def main():
     }))
 
 
+def scaling(mesh_sizes=(1, 2, 4, 8)):
+    """Scaling-efficiency harness (BASELINE.md: >=80% examples/s 1 -> N):
+    run the train step over growing dp meshes with proportionally growing
+    global batch (weak scaling) and report parallel efficiency. On fake CPU
+    devices this validates the mechanics; the numbers mean something on a
+    real multi-chip slice."""
+    import jax
+
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.schema import compile_schema
+    from recommendflow_tpu.models.base import build_network
+    from recommendflow_tpu.parallel.mesh import make_mesh
+    from recommendflow_tpu.train import Trainer
+    from __graft_entry__ import _synthetic_batch
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    conf = Configuration(os.path.join(here, "conf", "demo_recall.yaml"))
+    model, _ = build_network(conf.networks["class"],
+                             {"conf": conf, "tower_units": [64]})
+    schema = compile_schema(conf.features)
+    devices = jax.devices()
+    per_device_batch = 256
+    results = {}
+    for n in mesh_sizes:
+        if n > len(devices):
+            break
+        mesh = make_mesh(devices[:n])
+        trainer = Trainer(model, learning_rate=1e-3, mesh=mesh)
+        batch = _synthetic_batch(schema, per_device_batch * n)
+        state = trainer.init_state(trainer._put(batch))
+        state, m = trainer.train_step(state, batch)
+        _ = float(m["loss"])
+        t0 = time.perf_counter()
+        steps = 20
+        for _ in range(steps):
+            state, m = trainer.train_step(state, batch)
+        _ = float(m["loss"])
+        dt = time.perf_counter() - t0
+        results[n] = steps * per_device_batch * n / dt
+    base = results.get(1)
+    for n, eps in results.items():
+        eff = eps / (base * n) if base else float("nan")
+        print(json.dumps({"mesh": n, "examples_per_sec": round(eps, 1),
+                          "weak_scaling_efficiency": round(eff, 4)}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
