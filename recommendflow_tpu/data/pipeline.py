@@ -230,22 +230,57 @@ class Dataset:
         if not self.files:
             raise FileNotFoundError("dataset resolved to zero record files")
 
-    def _iter_encoded_blocks(self, epoch_seed: int) -> Iterator[Batch]:
+    def _iter_encoded_blocks(self, epoch_seed: int,
+                             skip_rows: int = 0) -> Iterator[Batch]:
+        """Yield encoded blocks, cheaply skipping `skip_rows` leading rows:
+        whole blocks are skipped from their headers without decode; only the
+        boundary block decodes and slices. Enables O(1-block) mid-epoch
+        resume (SURVEY §5: step-level data-iterator checkpointing)."""
         rng = np.random.RandomState(epoch_seed)
         files = self.files[:]
         if self.shuffle:
             rng.shuffle(files)
+        remaining_skip = skip_rows
         for path in files:
+            if remaining_skip > 0:
+                total = recordio.count_rows(path)
+                if remaining_skip >= total:
+                    remaining_skip -= total
+                    if self.shuffle:
+                        # burn the per-file permutation draws to keep the
+                        # epoch's shuffle stream identical to a full pass
+                        for nrows, _ in _iter_block_sizes(path):
+                            rng.permutation(nrows)
+                    continue
             for nrows, block in recordio.iter_blocks(path):
+                if remaining_skip >= nrows:
+                    remaining_skip -= nrows
+                    if self.shuffle:
+                        rng.permutation(nrows)
+                    continue
                 perm = rng.permutation(nrows) if self.shuffle else None
-                yield encode_block(self.schema, block, perm)
+                encoded = encode_block(self.schema, block, perm)
+                if remaining_skip > 0:
+                    encoded = {k: v[remaining_skip:] for k, v in encoded.items()}
+                    remaining_skip = 0
+                yield encoded
 
     def __iter__(self) -> Iterator[Batch]:
+        return self.iter_from(0)
+
+    def iter_from(self, skip_batches: int = 0) -> Iterator[Batch]:
+        """Iterate starting `skip_batches` fixed-size batches into the
+        (deterministically shuffled) stream — the resume entry point."""
         emitted = 0
+        skip_rows = skip_batches * self.batch_size
         for rep in range(self.repeat):
+            rep_rows = sum(recordio.count_rows(f) for f in self.files)
+            if skip_rows >= rep_rows:
+                skip_rows -= rep_rows
+                continue
             buf: List[Batch] = []
             buffered = 0
-            for encoded in self._iter_encoded_blocks(self.seed + rep):
+            for encoded in self._iter_encoded_blocks(self.seed + rep, skip_rows):
                 buf.append(encoded)
                 buffered += len(next(iter(encoded.values())))
                 while buffered >= self.batch_size:
@@ -254,6 +289,7 @@ class Dataset:
                     emitted += 1
                     if self.take_batches and emitted >= self.take_batches:
                         return
+            skip_rows = 0
             if buf and not self.drop_remainder and buffered:
                 batch, _, _ = _slice_buffer(buf, buffered)
                 yield batch
@@ -420,3 +456,19 @@ def load_csv_dataset(conf, csv_pattern: str, batch_size: int,
         else:
             build_records(conf._source_path, csv_pattern, cache_dir)
     return Dataset(schema, expected, batch_size, **kwargs)
+
+
+def _iter_block_sizes(path: str) -> Iterator[Tuple[int, None]]:
+    """Block row counts from headers only (no payload decode)."""
+    import struct as structlib
+    with open(path, "rb") as f:
+        f.seek(4)
+        (n,) = structlib.unpack("<I", f.read(4))
+        f.seek(4 + 4 + n)
+        while True:
+            header = f.read(16)
+            if len(header) < 16:
+                break
+            magic, nrows, comp_size, _ = structlib.unpack("<IIII", header)
+            yield nrows, None
+            f.seek(comp_size, 1)

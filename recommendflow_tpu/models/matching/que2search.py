@@ -81,7 +81,28 @@ class Que2Search(RecModel):
         u = tower("user")
         a = tower("ad")
         (y,) = get_labels(batch, schema, 1)
+
+        # auxiliary classification tower (the reference sketches this but
+        # leaves it commented out, que2search.py:64,132-141): when a second
+        # label column exists, a small head over the fused ad embedding
+        # predicts it (e.g. category / quality), regularizing the tower
+        aux_logit = None
+        if len(schema.label_names) > 1:
+            aux_logit = nn.Dense(1, name="aux_head")(a)[:, 0]
+
         if training:
             loss = self.resolve_loss()(y, u, a)
-            return loss, {"pos_cos": jnp.mean(jnp.sum(u * a, axis=1) * y)}
-        return {"user": u, "ad": a, "label": y}
+            aux = {"pos_cos": jnp.mean(jnp.sum(u * a, axis=1) * y)}
+            if aux_logit is not None:
+                y_aux = batch.get(schema.label_names[1])
+                if y_aux is not None:
+                    from recommendflow_tpu.models.common import bce_with_logits
+                    aux_w = float(self.network_conf("aux_weight") or 0.3)
+                    aux_loss = bce_with_logits(y_aux, aux_logit)
+                    loss = loss + aux_w * aux_loss
+                    aux["aux_loss"] = aux_loss
+            return loss, aux
+        out = {"user": u, "ad": a, "label": y}
+        if aux_logit is not None:
+            out["aux_score"] = nn.sigmoid(aux_logit)
+        return out

@@ -279,21 +279,39 @@ class Trainer:
             log_every: int = 100,
             state: Optional[TrainState] = None,
             profile_dir: Optional[str] = None,
-            profile_steps: Tuple[int, int] = (10, 15)) -> Dict[str, Any]:
+            profile_steps: Tuple[int, int] = (10, 15),
+            resume_data: bool = True) -> Dict[str, Any]:
         callbacks = list(callbacks or [])
         history = History()
         callbacks.append(history)
 
-        it = iter(train_ds)
-        first = next(it)
+        start_epoch, skip_batches = 0, 0
         if state is None:
+            it = iter(train_ds)
+            first = next(it)
             state = self.init_state(self._put(first))
+        else:
+            # step-level resume: skip past already-consumed batches of the
+            # deterministic stream (SURVEY §5 data-iterator checkpointing)
+            first, it = None, None
+            if resume_data and int(state.step) > 0:
+                try:
+                    steps_per_epoch = len(train_ds)
+                except TypeError:
+                    steps_per_epoch = 0
+                if steps_per_epoch:
+                    done = int(state.step)
+                    start_epoch = min(done // steps_per_epoch, max(epochs - 1, 0))
+                    skip_batches = done % steps_per_epoch
+                    if start_epoch or skip_batches:
+                        log.info("resuming at epoch %d, batch %d (step %d)",
+                                 start_epoch, skip_batches, done)
         for cb in callbacks:
             cb.on_train_begin(self)
 
         lr_scale_applied = 1.0
         logs: Dict[str, float] = {}
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             if self.control["stop"]:
                 break
             if self.control["lr_scale"] != lr_scale_applied:
@@ -304,7 +322,12 @@ class Trainer:
             t0 = time.time()
             n_batches, n_examples = 0, 0
             running: Dict[str, float] = {}
-            epoch_iter = prefetch(iter(train_ds)) if epoch > 0 else _chain_first(first, it)
+            if first is not None and epoch == start_epoch:
+                epoch_iter = _chain_first(first, it)
+            elif epoch == start_epoch and skip_batches and hasattr(train_ds, "iter_from"):
+                epoch_iter = prefetch(train_ds.iter_from(skip_batches))
+            else:
+                epoch_iter = prefetch(iter(train_ds))
             for batch in epoch_iter:
                 if profile_dir is not None and epoch == 0:
                     # device trace over a steady-state step window

@@ -153,3 +153,26 @@ def test_train_steps_scan_matches_singles(world):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_mid_epoch_resume(world, tmp_path):
+    """Kill mid-epoch, restore, resume: the resumed run consumes exactly the
+    remaining batches of the deterministic stream."""
+    conf, schema, paths, model = world
+    train = Dataset(schema, paths, batch_size=128, shuffle=True, seed=5)
+    steps_per_epoch = len(train)
+    trainer = Trainer(model, learning_rate=1e-3)
+    state = trainer.init_state(trainer._put(next(iter(train))))
+    # simulate 5 steps done then a crash
+    for i, b in enumerate(train):
+        state, _ = trainer.train_step(state, b)
+        if i == 4:
+            break
+    from recommendflow_tpu.train.checkpoint import restore_pytree, save_pytree
+    save_pytree(str(tmp_path / "mid"), state)
+    restored = restore_pytree(str(tmp_path / "mid"), state)
+    assert int(restored.step) == 5
+    result = trainer.fit(train, epochs=1, state=restored)
+    # resumed epoch ran only the remaining batches
+    final_step = int(result["state"].step)
+    assert final_step == steps_per_epoch
