@@ -66,7 +66,10 @@ class TpuSearcher:
         if self.metric == "cos":
             vectors = _l2_normalize(vectors)
         self.num_items = len(vectors)
-        n_pad = -(-self.num_items // self.pad_multiple) * self.pad_multiple
+        # large corpora pad to the top-k chunk size so the two-stage reduce
+        # can reshape the item axis evenly
+        pad_to = 65536 if self.num_items > 131072 else self.pad_multiple
+        n_pad = -(-self.num_items // pad_to) * pad_to
         padded = np.zeros((n_pad, self.dim), np.float32)
         padded[:self.num_items] = vectors
         self._vecs = jnp.asarray(padded)
@@ -96,7 +99,25 @@ class TpuSearcher:
             n_pad = vecs.shape[0]
             col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
             scores = jnp.where(col < num_items, scores, NEG)
-            top_scores, top_idx = jax.lax.top_k(scores, k)
+            # group-max pruned top-k: lax.top_k over millions of columns is
+            # the bottleneck, so first max-pool the item axis in groups of G
+            # and top-k the group maxima. EXACT for the same reason a
+            # tournament is: at most k groups can contain a top-k element,
+            # and each such group's max is itself >= the k-th best score, so
+            # the top-k groups-by-max cover every top-k element. Then gather
+            # those groups' members and finish with a small top-k.
+            G = 16
+            nq = scores.shape[0]
+            if n_pad % G == 0 and n_pad // G > 4 * k and n_pad > 262144:
+                gmax = jnp.max(scores.reshape(nq, n_pad // G, G), axis=-1)
+                _, gidx = jax.lax.top_k(gmax, k)              # [Q, k] group ids
+                member = gidx[:, :, None] * G + jnp.arange(G)[None, None, :]
+                cand_idx = member.reshape(nq, k * G)          # [Q, k*G]
+                cand_s = jnp.take_along_axis(scores, cand_idx, axis=1)
+                top_scores, pos = jax.lax.top_k(cand_s, k)
+                top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+            else:
+                top_scores, top_idx = jax.lax.top_k(scores, k)
             if metric == "l2":
                 # convert back to true (negated) squared distance ordering:
                 # report actual L2 distance

@@ -153,3 +153,24 @@ def test_report_format():
     m = recall_metrics(np.array([0, 1, MISS]), topk_list=[1, 5])
     text = recall_report(m, topk_list=[1, 5])
     assert "hit" in text and "ndcg" in text
+
+
+def test_group_max_pruned_topk_is_exact():
+    """Large corpora route through group-max pruning; verify it equals the
+    direct full top-k on identical scores."""
+    rng = np.random.RandomState(5)
+    n, d, k = 300_000, 32, 37
+    corpus = rng.randn(n, d).astype(np.float32)
+    s = TpuSearcher(dim=d, metric="ip").train(corpus)
+    assert s._vecs.shape[0] % 65536 == 0  # large-corpus padding engaged
+    q = rng.randn(40, d).astype(np.float32)
+    _, scores, idx = s.search(q, topk=k)
+    import jax.numpy as jnp
+    import jax
+    golden_scores = np.asarray(q @ corpus.T)
+    gs, gi = jax.lax.top_k(jnp.asarray(golden_scores), k)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(gs),
+                               rtol=1e-5, atol=1e-5)
+    # index sets equal row-wise (ties may permute)
+    for r in range(40):
+        assert set(np.asarray(idx)[r]) == set(np.asarray(gi)[r])
