@@ -19,8 +19,6 @@ def main(argv=None):
     args = p.parse_args(argv)
     print_args(args)
 
-    import jax
-
     from recommendflow_tpu.config import Configuration
     from recommendflow_tpu.data.schema import compile_schema
     from recommendflow_tpu.export import ServingModel, export_model

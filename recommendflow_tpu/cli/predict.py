@@ -26,8 +26,6 @@ def main(argv=None):
     args = p.parse_args(argv)
     print_args(args)
 
-    import jax
-
     from recommendflow_tpu.config import Configuration
     from recommendflow_tpu.data.pipeline import make_dataset
     from recommendflow_tpu.models.base import build_network

@@ -44,7 +44,6 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     print_args(args)
-    import jax
 
     from recommendflow_tpu.config import Configuration
     from recommendflow_tpu.data.pipeline import make_dataset

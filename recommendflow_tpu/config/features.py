@@ -11,8 +11,7 @@ framework types so the result can be compiled into static TPU plans
 from __future__ import annotations
 
 import csv
-import os
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 from recommendflow_tpu.config.proto import (

@@ -16,13 +16,12 @@ dtypes, so one jit compilation serves the whole epoch.
 from __future__ import annotations
 
 import glob as globlib
-import itertools
 import os
 import queue
 import random
 import re
 import threading
-from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 

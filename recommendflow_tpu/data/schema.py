@@ -23,7 +23,7 @@ Batch conventions (all arrays fixed-shape, device-ready):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -7,7 +7,7 @@ on the demo config move away from chance when training works.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

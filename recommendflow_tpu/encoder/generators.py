@@ -7,7 +7,7 @@ weighted variants, and the SBERT [a; b; |a-b|] interaction head merge.
 """
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -11,10 +11,9 @@ portable artifact, and re-loaded anywhere JAX runs (CPU serving included).
 """
 from __future__ import annotations
 
-import json
 import os
 import pickle
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict
 
 import jax
 import numpy as np

@@ -4,8 +4,6 @@ Pure jnp; logits-space and numerically stable on TPU bf16/f32.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

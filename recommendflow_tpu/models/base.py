@@ -16,10 +16,9 @@ Networks.class.
 from __future__ import annotations
 
 import importlib
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from recommendflow_tpu.config.configuration import Configuration

@@ -13,7 +13,7 @@ dtype is set; batch is fixed-shape.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -10,11 +10,9 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from recommendflow_tpu.config.proto import FeatureTower
 from recommendflow_tpu.models.base import Batch, FeatureEmbedder, RecModel
 from recommendflow_tpu.models.common import get_labels
 from recommendflow_tpu.ops.attention import SelfAttention
-from recommendflow_tpu.ops.embedding import lookup_feature
 from recommendflow_tpu.ops.mlp import MLP, l2_normalize
 
 

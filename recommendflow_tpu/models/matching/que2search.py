@@ -13,7 +13,7 @@ Networks config keys: embedding_dim, text_vocab_size, text_dim, channel_dim.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import List
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ label tower features in order (schema.label_names).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

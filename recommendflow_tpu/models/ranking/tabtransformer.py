@@ -4,7 +4,7 @@ transformer over categorical field embeddings + dense features -> MLP head.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

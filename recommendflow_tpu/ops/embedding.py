@@ -29,7 +29,7 @@ Pallas DMA gather/scatter kernels exist for the dim>=128 regime
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ inference-time channel-importance introspection.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

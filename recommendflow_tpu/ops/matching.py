@@ -10,7 +10,7 @@ block) plugs in — the matching math is encoder-agnostic.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,6 @@ pipeline never sees the same row twice in its in-flight window.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

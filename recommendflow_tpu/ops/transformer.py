@@ -9,7 +9,7 @@ so vanilla SDPA is fine; the Pallas flash path is available via use_pallas.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from recommendflow_tpu.data.schema import BatchSchema, TableGroup
-from recommendflow_tpu.ops.embedding import pack_factor, table_shape
+from recommendflow_tpu.data.schema import TableGroup
+from recommendflow_tpu.ops.embedding import pack_factor
 
 
 def local_gather_psum(table_shard: jnp.ndarray, flat_wide_ids: jnp.ndarray,

@@ -17,7 +17,7 @@ matmul on the MXU, top-k via jax.lax.top_k over item blocks. Design:
 from __future__ import annotations
 
 import pickle
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

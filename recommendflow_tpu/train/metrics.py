@@ -8,7 +8,7 @@ backend/utils/eval_utils.py:33-82,270-293).
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

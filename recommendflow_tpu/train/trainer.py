@@ -20,19 +20,18 @@ explicit control; both are tested equal in tests/test_losses.py).
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import core as flax_core
-from flax import struct
 from flax.training import train_state as flax_train_state
 
 from recommendflow_tpu.data.pipeline import Dataset, prefetch
 from recommendflow_tpu.parallel.mesh import (
-    apply_shardings, batch_sharding, make_mesh, replicated, table_sharding_rules,
+    apply_shardings, batch_sharding, replicated, table_sharding_rules,
 )
 from recommendflow_tpu.train.callbacks import Callback, History
 from recommendflow_tpu.utils.logger import get_logger

@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import subprocess
 import time
-from typing import List, Optional
+from typing import List
 
 from recommendflow_tpu.utils.logger import get_logger
 

@@ -5,7 +5,7 @@ tables for argparse args, metric dicts, dataframes) without pandas coupling.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence
+from typing import Any, List, Mapping, Optional, Sequence
 
 
 def _cell(x: Any) -> str:
