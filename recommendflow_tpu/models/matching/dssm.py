@@ -48,12 +48,13 @@ class Dssm(RecModel):
         user_in = embedder.tower_vector(batch, "user")
         ad_in = embedder.tower_vector(batch, "ad")
 
+        compute_dtype = self.network_conf("compute_dtype")
         user_tower = MLP(units, self.dropout, self.activation,
                          use_bn=self.use_bn, final_activation="linear",
-                         name="user_tower")
+                         compute_dtype=compute_dtype, name="user_tower")
         ad_tower = MLP(units, self.dropout, self.activation,
                        use_bn=self.use_bn, final_activation="linear",
-                       name="ad_tower")
+                       compute_dtype=compute_dtype, name="ad_tower")
 
         u = l2_normalize(user_tower(user_in, training))
         a = l2_normalize(ad_tower(ad_in, training))

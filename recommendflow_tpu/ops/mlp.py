@@ -48,23 +48,29 @@ class MLP(nn.Module):
     use_bn: bool = False
     bn_epsilon: float = 1e-6
     final_activation: Optional[str] = None   # None -> same as activation
+    compute_dtype: Optional[str] = None      # e.g. 'bfloat16': MXU-friendly
+    # activations/matmuls in bf16 while params stay f32; output cast back
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         act = get_activation(self.activation)
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        if dtype is not None:
+            x = x.astype(dtype)
         n = len(self.units)
         for i, width in enumerate(self.units):
             if self.use_bn:
                 x = nn.BatchNorm(use_running_average=not training,
-                                 epsilon=self.bn_epsilon, momentum=0.99)(x)
-            x = nn.Dense(width)(x)
+                                 epsilon=self.bn_epsilon, momentum=0.99,
+                                 dtype=dtype)(x)
+            x = nn.Dense(width, dtype=dtype)(x)
             if i == n - 1 and self.final_activation is not None:
                 x = get_activation(self.final_activation)(x)
             else:
                 x = act(x)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not training)(x)
-        return x
+        return x.astype(jnp.float32) if dtype is not None else x
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
