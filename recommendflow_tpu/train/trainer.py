@@ -250,13 +250,15 @@ class Trainer:
             loss_fn = self.model.resolve_loss()
         except (AttributeError, ValueError):
             loss_fn = None  # model computes its loss internally (ranking heads)
+        loss_jit = jax.jit(loss_fn) if loss_fn is not None else None
+        sim_jit = jax.jit(lambda u, a: jnp.sum(u * a, axis=1))
         for batch in prefetch(iter(dataset)):
             out = self.eval_step(state, batch)
             if "user" in out and "ad" in out:
                 y, u, a = out["label"], out["user"], out["ad"]
-                if loss_fn is not None:
-                    losses.append(float(loss_fn(y, u, a)))
-                scores.append(np.asarray(jnp.sum(u * a, axis=1)))
+                if loss_jit is not None:
+                    losses.append(float(loss_jit(y, u, a)))
+                scores.append(np.asarray(sim_jit(u, a)))
                 labels.append(np.asarray(y))
             elif "score" in out:
                 scores.append(np.asarray(out["score"]).ravel())
