@@ -217,7 +217,8 @@ class Dataset:
                  seed: int = 0,
                  drop_remainder: bool = True,
                  take_batches: Optional[int] = None,
-                 repeat: int = 1):
+                 repeat: int = 1,
+                 decode_workers: int = 0):
         self.schema = schema
         self.files = list(files)
         self.batch_size = batch_size
@@ -226,15 +227,18 @@ class Dataset:
         self.drop_remainder = drop_remainder
         self.take_batches = take_batches
         self.repeat = repeat
+        # >1: inflate+parse+hash blocks on a thread pool, order-preserving
+        # (zlib / numpy / the native hash all release the GIL)
+        self.decode_workers = decode_workers
         if not self.files:
             raise FileNotFoundError("dataset resolved to zero record files")
 
-    def _iter_encoded_blocks(self, epoch_seed: int,
-                             skip_rows: int = 0) -> Iterator[Batch]:
-        """Yield encoded blocks, cheaply skipping `skip_rows` leading rows:
-        whole blocks are skipped from their headers without decode; only the
-        boundary block decodes and slices. Enables O(1-block) mid-epoch
-        resume (SURVEY §5: step-level data-iterator checkpointing)."""
+    def _iter_block_tasks(self, epoch_seed: int, skip_rows: int):
+        """Yield (file_schema, nrows, comp, raw_size, perm, head_skip) decode
+        tasks, cheaply skipping whole blocks from their headers without
+        decode (O(1-block) mid-epoch resume, SURVEY §5). Permutations are
+        drawn in iteration order so the shuffle stream is deterministic
+        regardless of decode parallelism."""
         rng = np.random.RandomState(epoch_seed)
         files = self.files[:]
         if self.shuffle:
@@ -251,18 +255,45 @@ class Dataset:
                         for nrows, _ in _iter_block_sizes(path):
                             rng.permutation(nrows)
                     continue
-            for nrows, block in recordio.iter_blocks(path):
+            file_schema = recordio.read_schema(path)
+            for nrows, comp, raw_size in recordio.iter_raw_blocks(path):
                 if remaining_skip >= nrows:
                     remaining_skip -= nrows
                     if self.shuffle:
                         rng.permutation(nrows)
                     continue
                 perm = rng.permutation(nrows) if self.shuffle else None
-                encoded = encode_block(self.schema, block, perm)
-                if remaining_skip > 0:
-                    encoded = {k: v[remaining_skip:] for k, v in encoded.items()}
-                    remaining_skip = 0
-                yield encoded
+                head = remaining_skip
+                remaining_skip = 0
+                yield file_schema, nrows, comp, raw_size, perm, head
+
+    def _decode_task(self, task) -> Batch:
+        file_schema, nrows, comp, raw_size, perm, head = task
+        want = {c.name for c in file_schema}
+        block = recordio.decode_raw_block(comp, raw_size, file_schema, nrows, want)
+        encoded = encode_block(self.schema, block, perm)
+        if head > 0:
+            encoded = {k: v[head:] for k, v in encoded.items()}
+        return encoded
+
+    def _iter_encoded_blocks(self, epoch_seed: int,
+                             skip_rows: int = 0) -> Iterator[Batch]:
+        tasks = self._iter_block_tasks(epoch_seed, skip_rows)
+        if self.decode_workers <= 1:
+            for task in tasks:
+                yield self._decode_task(task)
+            return
+        # order-preserving pipelined pool
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(self.decode_workers) as pool:
+            window: deque = deque()
+            for task in tasks:
+                window.append(pool.submit(self._decode_task, task))
+                if len(window) > 2 * self.decode_workers:
+                    yield window.popleft().result()
+            while window:
+                yield window.popleft().result()
 
     def __iter__(self) -> Iterator[Batch]:
         return self.iter_from(0)

@@ -201,16 +201,9 @@ def read_schema(path: str) -> List[ColumnSpec]:
     return [ColumnSpec(name, vtype) for name, vtype in schema]
 
 
-def iter_blocks(path: str,
-                columns: Optional[Sequence[str]] = None
-                ) -> Iterator[Tuple[int, Dict[str, ColumnValues]]]:
-    """Yield (nrows, {column: (flat_values, row_splits)}) per block.
-
-    For str columns flat_values is an object ndarray of python strs.
-    `columns` restricts decoding to a subset (others are skipped cheaply).
-    """
-    schema = read_schema(path)
-    want = set(columns) if columns is not None else {c.name for c in schema}
+def iter_raw_blocks(path: str) -> Iterator[Tuple[int, bytes, int]]:
+    """Yield (nrows, compressed_payload, raw_size) per block — IO only, so
+    inflate+parse can run on worker threads (zlib releases the GIL)."""
     with open(path, "rb") as f:
         f.seek(4)
         (n,) = struct.unpack("<I", f.read(4))
@@ -222,10 +215,30 @@ def iter_blocks(path: str,
             magic, nrows, comp_size, raw_size = struct.unpack("<IIII", header)
             if magic != BLOCK_MAGIC:
                 raise ValueError(f"{path}: corrupt block header")
-            raw = zlib.decompress(f.read(comp_size))
-            if len(raw) != raw_size:
-                raise ValueError(f"{path}: block size mismatch")
-            yield nrows, _parse_block(raw, schema, nrows, want)
+            yield nrows, f.read(comp_size), raw_size
+
+
+def decode_raw_block(comp: bytes, raw_size: int, schema: Sequence[ColumnSpec],
+                     nrows: int, want: set, path: str = "<block>"
+                     ) -> Dict[str, ColumnValues]:
+    raw = zlib.decompress(comp)
+    if len(raw) != raw_size:
+        raise ValueError(f"{path}: block size mismatch")
+    return _parse_block(raw, schema, nrows, want)
+
+
+def iter_blocks(path: str,
+                columns: Optional[Sequence[str]] = None
+                ) -> Iterator[Tuple[int, Dict[str, ColumnValues]]]:
+    """Yield (nrows, {column: (flat_values, row_splits)}) per block.
+
+    For str columns flat_values is an object ndarray of python strs.
+    `columns` restricts decoding to a subset (others are skipped cheaply).
+    """
+    schema = read_schema(path)
+    want = set(columns) if columns is not None else {c.name for c in schema}
+    for nrows, comp, raw_size in iter_raw_blocks(path):
+        yield nrows, decode_raw_block(comp, raw_size, schema, nrows, want, path)
 
 
 def _parse_block(raw: bytes, schema: Sequence[ColumnSpec], nrows: int,
