@@ -298,19 +298,39 @@ class Dataset:
     def __iter__(self) -> Iterator[Batch]:
         return self.iter_from(0)
 
-    def iter_from(self, skip_batches: int = 0) -> Iterator[Batch]:
+    def _rows_per_rep(self) -> int:
+        if not hasattr(self, "_rows_cache"):
+            self._rows_cache = sum(recordio.count_rows(f) for f in self.files)
+        return self._rows_cache
+
+    def _batches_per_rep(self) -> int:
+        rows = self._rows_per_rep()
+        n = rows // self.batch_size
+        if not self.drop_remainder and rows % self.batch_size:
+            n += 1
+        return n
+
+    def iter_from(self, skip_batches: int = 0, epoch: int = 0) -> Iterator[Batch]:
         """Iterate starting `skip_batches` fixed-size batches into the
-        (deterministically shuffled) stream — the resume entry point."""
+        (deterministically shuffled) stream — the resume entry point.
+
+        `epoch` reshuffles: it folds into the per-rep shuffle seed, so each
+        fit() epoch sees a different deterministic order and a resumed run
+        reproduces it exactly. Skips are accounted in BATCHES per rep, so
+        drop_remainder's discarded tail rows never desynchronize resume.
+        """
         emitted = 0
-        skip_rows = skip_batches * self.batch_size
+        per_rep = self._batches_per_rep()
         for rep in range(self.repeat):
-            rep_rows = sum(recordio.count_rows(f) for f in self.files)
-            if skip_rows >= rep_rows:
-                skip_rows -= rep_rows
+            if skip_batches >= per_rep:
+                skip_batches -= per_rep
                 continue
+            skip_rows = skip_batches * self.batch_size
+            skip_batches = 0
             buf: List[Batch] = []
             buffered = 0
-            for encoded in self._iter_encoded_blocks(self.seed + rep, skip_rows):
+            rep_seed = self.seed + rep + 7919 * epoch
+            for encoded in self._iter_encoded_blocks(rep_seed, skip_rows):
                 buf.append(encoded)
                 buffered += len(next(iter(encoded.values())))
                 while buffered >= self.batch_size:
@@ -319,7 +339,6 @@ class Dataset:
                     emitted += 1
                     if self.take_batches and emitted >= self.take_batches:
                         return
-            skip_rows = 0
             if buf and not self.drop_remainder and buffered:
                 batch, _, _ = _slice_buffer(buf, buffered)
                 yield batch
@@ -328,10 +347,7 @@ class Dataset:
                 return
 
     def __len__(self) -> int:
-        total = sum(recordio.count_rows(f) for f in self.files) * self.repeat
-        n = total // self.batch_size
-        if not self.drop_remainder and total % self.batch_size:
-            n += 1
+        n = self._batches_per_rep() * self.repeat
         return min(n, self.take_batches) if self.take_batches else n
 
 
@@ -489,16 +505,7 @@ def load_csv_dataset(conf, csv_pattern: str, batch_size: int,
 
 
 def _iter_block_sizes(path: str) -> Iterator[Tuple[int, None]]:
-    """Block row counts from headers only (no payload decode)."""
-    import struct as structlib
-    with open(path, "rb") as f:
-        f.seek(4)
-        (n,) = structlib.unpack("<I", f.read(4))
-        f.seek(4 + 4 + n)
-        while True:
-            header = f.read(16)
-            if len(header) < 16:
-                break
-            magic, nrows, comp_size, _ = structlib.unpack("<IIII", header)
-            yield nrows, None
-            f.seek(comp_size, 1)
+    """Block row counts from headers only (delegates to recordio, which also
+    validates block magic so corrupt files fail loudly)."""
+    for nrows in recordio.iter_block_nrows(path):
+        yield nrows, None

@@ -278,6 +278,24 @@ def _parse_block(raw: bytes, schema: Sequence[ColumnSpec], nrows: int,
     return out
 
 
+def iter_block_nrows(path: str):
+    """Row counts per block from headers only (no payload decode), with the
+    same corruption check as the full readers."""
+    with open(path, "rb") as f:
+        f.seek(4)
+        (n,) = struct.unpack("<I", f.read(4))
+        f.seek(4 + 4 + n)
+        while True:
+            header = f.read(16)
+            if len(header) < 16:
+                break
+            magic, nrows, comp_size, _ = struct.unpack("<IIII", header)
+            if magic != BLOCK_MAGIC:
+                raise ValueError(f"{path}: corrupt block header")
+            yield nrows
+            f.seek(comp_size, 1)
+
+
 def count_rows(path: str) -> int:
     total = 0
     with open(path, "rb") as f:

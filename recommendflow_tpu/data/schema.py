@@ -24,6 +24,7 @@ Batch conventions (all arrays fixed-shape, device-ready):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -211,9 +212,16 @@ def compile_schema(features: Features) -> BatchSchema:
 
 
 # ----------------------------------------------------------- host encoders
+@lru_cache(maxsize=256)
+def _lookup_map(vocab: Tuple[Any, ...]) -> Dict[Any, int]:
+    """value -> 1-based id, built once per vocab (hot decode path: rebuilding
+    a 100k-entry dict per block would dominate host time)."""
+    return {v: i + 1 for i, v in enumerate(vocab)}
+
+
 def encode_lookup(values: np.ndarray, vocab: Sequence[Any]) -> np.ndarray:
     """Map raw values -> table ids (1-based; unknown/missing -> PAD_ID)."""
-    mapping = {v: i + 1 for i, v in enumerate(vocab)}
+    mapping = _lookup_map(tuple(vocab))
     flat = np.asarray(
         [mapping.get(v, PAD_ID) for v in np.asarray(values, dtype=object).ravel()],
         dtype=np.int64)

@@ -36,13 +36,28 @@ class FeatureEmbedder(nn.Module):
     schema: BatchSchema
 
     def setup(self):
-        from recommendflow_tpu.ops.embedding import table_shape
+        import numpy as np
+
+        from recommendflow_tpu.ops.embedding import pack_factor, table_shape
         dtype = jnp.dtype(getattr(self.schema, "table_dtype", "float32"))
         tables = {}
         for dim, group in self.schema.groups.items():
+            # symmetric U[-0.05, 0.05] (flax uniform(scale) is [0, scale) —
+            # all-positive init saturates cosine losses) with each member
+            # table's pad row zeroed
+            pad_rows = np.asarray(group.offsets, dtype=np.int32)
+            p = pack_factor(dim, dtype)
+
+            def init_table(key, shape, table_dtype=dtype, _pad=pad_rows,
+                           _p=p, _dim=dim):
+                import jax as _jax
+                flat = _jax.random.uniform(
+                    key, (shape[0] * _p, _dim), table_dtype, -0.05, 0.05)
+                flat = flat.at[_pad].set(0.0)
+                return flat.reshape(shape)
+
             tables[f"dim{dim}"] = self.param(
-                f"table_dim{dim}",
-                nn.initializers.uniform(scale=0.1),
+                f"table_dim{dim}", init_table,
                 table_shape(group, dtype),  # packed [rows/P, P*dim] layout
                 dtype)
         self._tables = tables

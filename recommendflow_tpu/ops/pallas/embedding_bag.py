@@ -152,11 +152,15 @@ def _scatter_kernel(ids_ref, n_ref, grads_ref, table_in_ref, table_out_ref,
 
 
 def scatter_add_rows(ids: jnp.ndarray, grads: jnp.ndarray, table: jnp.ndarray,
-                     interpret: bool = False) -> jnp.ndarray:
+                     n_valid=None, interpret: bool = False) -> jnp.ndarray:
     """table[ids] += grads, in place via aliasing. ids [N] MUST be unique
-    (pre-combine duplicates); grads [N, D]; returns the updated table."""
+    (pre-combine duplicates); grads [N, D]; returns the updated table.
+    `n_valid` (scalar, may be traced) limits processing to the first entries
+    — padded tails beyond it are never touched, so duplicate-padded ids
+    cannot race a real row's read-modify-write."""
     n = ids.shape[0]
-    n_arr = jnp.asarray([n], jnp.int32)
+    n_arr = jnp.asarray([n], jnp.int32) if n_valid is None else \
+        jnp.asarray(n_valid, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -178,8 +182,10 @@ def scatter_add_rows(ids: jnp.ndarray, grads: jnp.ndarray, table: jnp.ndarray,
 
 
 def _combine_duplicates(ids: jnp.ndarray, grads: jnp.ndarray):
-    """Sort ids, segment-sum cotangents of equal ids -> (unique ids padded
-    with an out-of-range sentinel? no — duplicates folded, extras zeroed)."""
+    """Sort ids, segment-sum cotangents of equal ids. Returns (padded unique
+    ids, summed cotangents, n_uniq); the scatter kernel must only process
+    the first n_uniq entries (scatter_add_rows n_valid) — padded tails
+    repeat id 0 and would otherwise race row 0's real read-modify-write."""
     n = ids.shape[0]
     order = jnp.argsort(ids)
     sid = ids[order]
@@ -190,11 +196,10 @@ def _combine_duplicates(ids: jnp.ndarray, grads: jnp.ndarray):
     summed = jax.ops.segment_sum(sg, seg, num_segments=n)
     uniq = jax.ops.segment_max(sid, seg, num_segments=n)
     n_uniq = head.sum()
-    # positions >= n_uniq are zero grads onto row 0 (harmless: add 0)
     valid = jnp.arange(n) < n_uniq
     uniq = jnp.where(valid, uniq, 0)
     summed = summed * valid[:, None]
-    return uniq.astype(jnp.int32), summed
+    return uniq.astype(jnp.int32), summed, n_uniq.astype(jnp.int32)
 
 
 @jax.custom_vjp
@@ -209,8 +214,9 @@ def _take_fwd(table, ids):
 
 def _take_bwd(res, g):
     table, ids = res
-    uniq, summed = _combine_duplicates(ids, g)
-    grad_table = scatter_add_rows(uniq, summed, jnp.zeros_like(table))
+    uniq, summed, n_uniq = _combine_duplicates(ids, g)
+    grad_table = scatter_add_rows(uniq, summed, jnp.zeros_like(table),
+                                  n_valid=n_uniq)
     return grad_table, None
 
 

@@ -33,9 +33,11 @@ def init_distributed(coordinator_address: Optional[str] = None,
                      process_id: Optional[int] = None) -> None:
     """Initialize jax.distributed when running multi-host. Arguments default
     to the standard env vars / TPU metadata autodetection; single-host runs
-    return immediately."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    return immediately.
+
+    IMPORTANT: no jax.* call may run before jax.distributed.initialize
+    (touching the backend — even jax.process_count() — locks single-process
+    mode), so the no-op decision uses env/args only."""
     env_says_multihost = any(v in os.environ for v in
                              ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
     if coordinator_address is None and num_processes is None and not env_says_multihost:

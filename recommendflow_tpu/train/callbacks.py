@@ -60,7 +60,10 @@ class EarlyStopping(Callback):
             self.best = value
             self.wait = 0
             if self.restore_best:
-                self.best_state = state
+                # copy to host: the live state's device buffers are DONATED
+                # (and deleted) by the next train_step (trainer donate_argnums)
+                import jax
+                self.best_state = jax.device_get(state)
         else:
             self.wait += 1
             if self.wait >= self.patience:

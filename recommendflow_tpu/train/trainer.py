@@ -250,8 +250,13 @@ class Trainer:
             loss_fn = self.model.resolve_loss()
         except (AttributeError, ValueError):
             loss_fn = None  # model computes its loss internally (ranking heads)
-        loss_jit = jax.jit(loss_fn) if loss_fn is not None else None
-        sim_jit = jax.jit(lambda u, a: jnp.sum(u * a, axis=1))
+        # cache the jitted helpers across evaluate() calls (a fresh jax.jit
+        # wrapper per call would retrace/recompile every epoch)
+        if not hasattr(self, "_eval_loss_jit"):
+            self._eval_loss_jit = jax.jit(loss_fn) if loss_fn is not None else None
+            self._eval_sim_jit = jax.jit(lambda u, a: jnp.sum(u * a, axis=1))
+        loss_jit = self._eval_loss_jit
+        sim_jit = self._eval_sim_jit
         for batch in prefetch(iter(dataset)):
             out = self.eval_step(state, batch)
             if "user" in out and "ad" in out:
@@ -326,7 +331,12 @@ class Trainer:
             if first is not None and epoch == start_epoch:
                 epoch_iter = _chain_first(first, it)
             elif epoch == start_epoch and skip_batches and hasattr(train_ds, "iter_from"):
-                epoch_iter = prefetch(train_ds.iter_from(skip_batches))
+                epoch_iter = prefetch(train_ds.iter_from(skip_batches, epoch=epoch))
+            elif hasattr(train_ds, "iter_from"):
+                # fold the epoch into the shuffle seed: each epoch sees a
+                # different deterministic order (reshuffle-per-epoch parity
+                # with tf.data), and resume can reproduce it
+                epoch_iter = prefetch(train_ds.iter_from(0, epoch=epoch))
             else:
                 epoch_iter = prefetch(iter(train_ds))
             for batch in epoch_iter:

@@ -97,7 +97,8 @@ def stage_local(pattern: str, cache_dir: str = "/tmp/recflow_hdfs_cache") -> Lis
     day = time.strftime("%Y%m%d")
     out = []
     for f in files:
-        local = os.path.join(cache_dir, day, f.lstrip("hdfs:/").replace("/", "_"))
+        key = f.removeprefix("hdfs://").replace("/", "_")
+        local = os.path.join(cache_dir, day, key)
         if not os.path.exists(local):
             get(f, local)
         out.append(local)

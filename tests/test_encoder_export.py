@@ -129,6 +129,14 @@ def test_pallas_embedding_kernels_interpret():
     ref = np.zeros((500, 128), np.float32)
     np.add.at(ref, np.asarray(uids), np.asarray(grads))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5)
-    # duplicate combining preserves total mass
-    u, s = _combine_duplicates(ids, jnp.ones((300, 128)))
+    # duplicate combining preserves total mass; n_uniq bounds the valid head
+    u, s, n_uniq = _combine_duplicates(ids, jnp.ones((300, 128)))
     assert float(s.sum()) == pytest.approx(300 * 128)
+    assert int(n_uniq) == len(set(np.asarray(ids).tolist()))
+    assert np.abs(np.asarray(s[int(n_uniq):])).sum() == 0.0
+    # n_valid-limited scatter skips padded tail entries entirely
+    out2 = scatter_add_rows(u, s, jnp.zeros((500, 128)), n_valid=n_uniq,
+                            interpret=True)
+    ref3 = np.zeros((500, 128), np.float32)
+    np.add.at(ref3, np.asarray(ids), 1.0)
+    np.testing.assert_allclose(np.asarray(out2), ref3, rtol=1e-5)

@@ -176,3 +176,51 @@ def test_mid_epoch_resume(world, tmp_path):
     # resumed epoch ran only the remaining batches
     final_step = int(result["state"].step)
     assert final_step == steps_per_epoch
+
+
+def test_early_stop_restored_state_survives_donation(world, tmp_path):
+    """The restored best state must remain usable (saveable/predictable)
+    after subsequent donated train steps deleted the live buffers."""
+    conf, schema, paths, model = world
+    train = Dataset(schema, paths, batch_size=128, take_batches=2)
+    trainer = Trainer(model, learning_rate=1e-3)
+
+    vals = iter([0.9, 0.5, 0.4, 0.3, 0.2])  # best at epoch 0, then decay
+
+    def fake_eval(tr, state):
+        return {"val_auc": next(vals)}
+
+    result = trainer.fit(train, epochs=5,
+                         callbacks=[EvalCallback(fake_eval),
+                                    EarlyStopping(monitor="val_auc", patience=2)])
+    state = result["state"]  # the restored epoch-0 best
+    # both of these would raise 'Array has been deleted' without host copy
+    from recommendflow_tpu.train.checkpoint import save_pytree
+    save_pytree(str(tmp_path / "best"), state)
+    out = trainer.predict(state, train)
+    assert np.isfinite(out["user"]).all()
+
+
+def test_resume_with_repeat_and_remainder(world, tmp_path):
+    """drop_remainder discards tail rows per rep; resume/len must account in
+    batches per rep, not raw rows."""
+    conf, schema, paths, model = world
+    # 2000 rows, batch 300 -> 6 batches/rep with 200 rows dropped per rep
+    ds = Dataset(schema, paths, batch_size=300, shuffle=True, seed=2, repeat=2)
+    full = list(ds)
+    assert len(full) == len(ds) == 12  # 6 per rep x 2
+    resumed = list(ds.iter_from(skip_batches=7))  # into the second rep
+    assert len(resumed) == 5
+    for a, b in zip(full[7:], resumed):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_epochs_reshuffle_differently(world):
+    conf, schema, paths, model = world
+    ds = Dataset(schema, paths, batch_size=128, shuffle=True, seed=0)
+    e0 = next(iter(ds.iter_from(0, epoch=0)))
+    e1 = next(iter(ds.iter_from(0, epoch=1)))
+    e0b = next(iter(ds.iter_from(0, epoch=0)))
+    assert not np.array_equal(e0["user_id"], e1["user_id"])  # different order
+    np.testing.assert_array_equal(e0["user_id"], e0b["user_id"])  # deterministic
