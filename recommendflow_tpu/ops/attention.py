@@ -26,7 +26,22 @@ def scaled_dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     if use_pallas:
         from recommendflow_tpu.ops.pallas.flash_attention import flash_attention
-        return flash_attention(q, k, v, mask)
+        # the kernel wants rank-4 [B, H, L, D] and a [B, Lk] key mask;
+        # normalize the vanilla-path shapes ([..., L, D] + broadcastable mask)
+        if q.ndim == 3:
+            out = flash_attention(q[:, None], k[:, None], v[:, None],
+                                  None if mask is None else mask.reshape(q.shape[0], -1))
+            return out[:, 0]
+        if q.ndim == 4:
+            kmask = None
+            if mask is not None:
+                kmask = mask.reshape(mask.shape[0], -1) if mask.ndim <= 3 else None
+                if kmask is None:
+                    raise ValueError(
+                        "use_pallas supports key masks [B, Lk]/[B, 1, Lk] only; "
+                        "got a full attention mask of shape %s" % (mask.shape,))
+            return flash_attention(q, k, v, kmask)
+        raise ValueError(f"use_pallas requires rank 3/4 inputs, got {q.ndim}")
     dk = jnp.asarray(k.shape[-1], q.dtype)
     logits = jnp.einsum("...qd,...kd->...qk", q, k) / jnp.sqrt(dk)
     if mask is not None:

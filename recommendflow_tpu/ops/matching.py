@@ -83,14 +83,12 @@ class MultiPerspective(nn.Module):
         cos = _cosine(a[:, :, None, :], b[:, None, :, :])      # [B, La, Lb]
         cos = jnp.where(mb, cos, NEG_INF)
 
-        # 1. full: against b's last valid position
-        if mask_b is not None:
-            lengths = jnp.maximum(mask_b.sum(axis=1), 1)
-            last = jnp.take_along_axis(
-                b, (lengths - 1)[:, None, None].astype(jnp.int32).repeat(d, -1),
-                axis=1)[:, 0]                                  # [B, D]
-        else:
-            last = b[:, -1]
+        # 1. full: against b's last valid position (mask_b defaulted to ones
+        # above, so the masked path is the only path)
+        lengths = jnp.maximum(mask_b.sum(axis=1), 1)
+        last = jnp.take_along_axis(
+            b, (lengths - 1)[:, None, None].astype(jnp.int32).repeat(d, -1),
+            axis=1)[:, 0]                                      # [B, D]
         m_full = _cosine(weighted(a, w[0]),
                          (last[:, None, :] * w[0][None])[:, None])  # [B, La, P]
 

@@ -11,13 +11,31 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
-def dice(x: jnp.ndarray, axis: int = -1, eps: float = 1e-9) -> jnp.ndarray:
-    """Dice activation (DIN): p(x)·x with p = sigmoid of the standardized
-    input (parity: mlp.py:24-29 dice_func)."""
+def dice(x: jnp.ndarray, axis: int = 0, alpha: float = 0.0,
+         eps: float = 1e-9) -> jnp.ndarray:
+    """Dice activation (DIN; reference dice_func, mlp.py:24-29):
+    p·x + alpha·(1−p)·x with p = sigmoid of the BATCH-standardized input.
+    This functional form uses the current batch's statistics and a fixed
+    alpha; use the `Dice` module for the learnable-alpha variant."""
     mean = jnp.mean(x, axis=axis, keepdims=True)
     var = jnp.var(x, axis=axis, keepdims=True)
-    px = nn.sigmoid((x - mean) / jnp.sqrt(var + eps))
-    return px * x
+    p = nn.sigmoid((x - mean) / jnp.sqrt(var + eps))
+    return p * x + alpha * (1.0 - p) * x
+
+
+class Dice(nn.Module):
+    """DIN Dice with learnable per-feature alpha and BatchNorm statistics
+    (running stats at inference), matching the reference's construction."""
+    epsilon: float = 1e-9
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        normed = nn.BatchNorm(use_running_average=not training,
+                              use_bias=False, use_scale=False,
+                              epsilon=self.epsilon)(x)
+        p = nn.sigmoid(normed)
+        alpha = self.param("alpha", nn.initializers.zeros, (x.shape[-1],))
+        return p * x + alpha * (1.0 - p) * x
 
 
 _ACTIVATIONS = {

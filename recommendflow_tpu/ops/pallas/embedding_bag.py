@@ -92,16 +92,16 @@ ACC_SLOTS = 2 * NBUF  # slot-reuse gap of 2*NBUF iterations hides write latency
 
 
 def _scatter_kernel(ids_ref, n_ref, grads_ref, table_in_ref, table_out_ref,
-                    acc, sems, out_sems):
-    """RMW accumulate: for each (unique) id, DMA the row in, add the
-    cotangent, DMA back. Reads pipeline NBUF ahead over 2*NBUF acc slots:
-    the read that reuses a slot waits the write issued 2*NBUF iterations
-    earlier, which has had NBUF iterations to complete — so the wait is
-    normally already satisfied and the loop never stalls on its own write.
-    ids MUST be unique (caller segment-sums duplicates), so no two in-flight
-    operations touch the same table row."""
+                    acc, gbuf, sems, gsems, out_sems):
+    """RMW accumulate: for each (unique) id, DMA the table row AND its grad
+    row in, add, DMA the sum back. Reads pipeline NBUF ahead over 2*NBUF acc
+    slots: the read that reuses a slot waits the write issued 2*NBUF
+    iterations earlier, so the wait is normally already satisfied. Grad rows
+    are DMA'd from HBM (the whole [N, D] cotangent array cannot live in
+    VMEM at production N). ids MUST be unique (caller segment-sums
+    duplicates), so no two in-flight operations touch the same table row."""
     n_total = n_ref[0]
-    max_n = grads_ref.shape[0]
+    max_n = ids_ref.shape[0]
 
     def wait_write(j):
         # waits the write DMA that used slot j % ACC_SLOTS (the descriptor
@@ -120,6 +120,9 @@ def _scatter_kernel(ids_ref, n_ref, grads_ref, table_in_ref, table_out_ref,
             pltpu.make_async_copy(
                 table_out_ref.at[ids_ref[j]], acc.at[j % ACC_SLOTS],
                 sems.at[j % ACC_SLOTS]).start()
+            pltpu.make_async_copy(
+                grads_ref.at[j], gbuf.at[j % ACC_SLOTS],
+                gsems.at[j % ACC_SLOTS]).start()
 
     for j in range(NBUF):
         issue_read(j, static_warmup=True)
@@ -130,7 +133,10 @@ def _scatter_kernel(ids_ref, n_ref, grads_ref, table_in_ref, table_out_ref,
             pltpu.make_async_copy(
                 table_out_ref.at[0], acc.at[j % ACC_SLOTS],
                 sems.at[j % ACC_SLOTS]).wait()
-            acc[j % ACC_SLOTS] = acc[j % ACC_SLOTS] + grads_ref[j]
+            pltpu.make_async_copy(
+                grads_ref.at[0], gbuf.at[j % ACC_SLOTS],
+                gsems.at[j % ACC_SLOTS]).wait()
+            acc[j % ACC_SLOTS] = acc[j % ACC_SLOTS] + gbuf[j % ACC_SLOTS]
             pltpu.make_async_copy(
                 acc.at[j % ACC_SLOTS], table_out_ref.at[ids_ref[j]],
                 out_sems.at[j % ACC_SLOTS]).start()
@@ -139,11 +145,12 @@ def _scatter_kernel(ids_ref, n_ref, grads_ref, table_in_ref, table_out_ref,
 
     jax.lax.fori_loop(0, max_n, body, 0)
 
-    # drain the last min(ACC_SLOTS, n_total) outstanding writes
+    # drain the last min(ACC_SLOTS, n_total) outstanding writes; iterations
+    # beyond n_total never issued a write, so waiting on them would hang
     lo = jnp.maximum(n_total - ACC_SLOTS, 0)
 
     def drain(j, _):
-        @pl.when(j >= lo)
+        @pl.when((j >= lo) & (j < n_total))
         def _():
             wait_write(j)
         return 0
@@ -164,10 +171,12 @@ def scatter_add_rows(ids: jnp.ndarray, grads: jnp.ndarray, table: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # grads
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),    # grads (HBM, DMA'd)
                   pl.BlockSpec(memory_space=pl.ANY)],   # table (aliased)
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((ACC_SLOTS, grads.shape[1]), table.dtype),
+                        pltpu.VMEM((ACC_SLOTS, grads.shape[1]), grads.dtype),
+                        pltpu.SemaphoreType.DMA((ACC_SLOTS,)),
                         pltpu.SemaphoreType.DMA((ACC_SLOTS,)),
                         pltpu.SemaphoreType.DMA((ACC_SLOTS,))],
     )

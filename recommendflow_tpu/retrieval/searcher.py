@@ -81,7 +81,22 @@ class TpuSearcher:
         self._search_fn = None  # rebuilt lazily (item count may change)
         return self
 
-    add = train  # API alias
+    def add(self, vectors: np.ndarray, items=None):
+        """APPEND vectors to the corpus (FAISS index.add semantics — train()
+        replaces, add() extends)."""
+        vectors = np.asarray(vectors, np.float32)
+        if self._vecs is None:
+            return self.train(vectors, items)
+        existing = np.asarray(self._vecs)[:self.num_items]
+        if self.metric == "cos":
+            # stored vectors are already normalized; train() re-normalizes
+            # (no-op for them) and normalizes the new ones
+            pass
+        new_items = np.asarray(items) if items is not None else \
+            np.arange(self.num_items, self.num_items + len(vectors))
+        all_items = np.concatenate([self.items, new_items])
+        return self.train(np.concatenate([existing, vectors], axis=0),
+                          items=all_items)
 
     # -------------------------------------------------------------- search
     def _build_search(self, k: int):

@@ -140,3 +140,28 @@ def test_pallas_embedding_kernels_interpret():
     ref3 = np.zeros((500, 128), np.float32)
     np.add.at(ref3, np.asarray(ids), 1.0)
     np.testing.assert_allclose(np.asarray(out2), ref3, rtol=1e-5)
+
+
+def test_sdpa_pallas_seam_rank3_and_rank4():
+    from recommendflow_tpu.ops.attention import scaled_dot_product_attention
+    rng = np.random.RandomState(7)
+    # rank-3 (SelfAttention/ESIM shapes)
+    q3 = jnp.asarray(rng.randn(2, 40, 32).astype(np.float32))
+    m3 = jnp.asarray(rng.rand(2, 40) > 0.3)
+    ref = scaled_dot_product_attention(q3, q3, q3, m3)
+    # interpret-mode flash under the seam: monkey-free, the seam itself pads
+    import recommendflow_tpu.ops.pallas.flash_attention as fa
+    orig = fa.flash_attention
+    fa.flash_attention = lambda *a, **k: orig(*a, interpret=True, **k)
+    try:
+        got = scaled_dot_product_attention(q3, q3, q3, m3, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        # full attention mask -> clear error
+        with pytest.raises(ValueError, match="key masks"):
+            scaled_dot_product_attention(
+                jnp.zeros((2, 2, 8, 16)), jnp.zeros((2, 2, 8, 16)),
+                jnp.zeros((2, 2, 8, 16)), jnp.zeros((2, 2, 8, 8), bool),
+                use_pallas=True)
+    finally:
+        fa.flash_attention = orig

@@ -217,3 +217,17 @@ def test_sharded_loss_equals_global(loss_name):
     )
     got = float(jax.jit(sharded)(y, q, d))
     np.testing.assert_allclose(got, global_val, rtol=2e-4, atol=2e-5)
+
+
+def test_weighted_cosent_pair_semantics():
+    """Uniform weights == plain cosent (up to the constant log w terms
+    cancel... they don't cancel; w=1 -> logw=0 -> identical); a violated
+    pair's contribution scales with its pair weight."""
+    y, q, d = _rand_embeddings(b=8, seed=11)
+    from recommendflow_tpu.losses.weighted import weighted_cosent_loss
+    base = float(M.cosent_loss(y, q, d))
+    uniform = float(weighted_cosent_loss(y, q, d, np.ones(8, np.float32)))
+    np.testing.assert_allclose(uniform, base, rtol=1e-5)
+    # upweighting samples increases the loss (heavier violated pairs)
+    heavy = float(weighted_cosent_loss(y, q, d, np.full(8, 3.0, np.float32)))
+    assert heavy > uniform

@@ -174,3 +174,14 @@ def test_group_max_pruned_topk_is_exact():
     # index sets equal row-wise (ties may permute)
     for r in range(40):
         assert set(np.asarray(idx)[r]) == set(np.asarray(gi)[r])
+
+
+def test_add_appends_not_replaces():
+    v1 = _corpus(100, 8, seed=1)
+    v2 = _corpus(50, 8, seed=2)
+    s = TpuSearcher(dim=8, metric="cos").train(v1)
+    s.add(v2)
+    assert s.num_items == 150
+    # under cosine, a query equal to a v2 row retrieves itself (sim = 1)
+    _, _, idx = s.search(v2[:5], topk=1)
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(100, 105))
