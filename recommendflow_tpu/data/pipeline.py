@@ -130,6 +130,17 @@ def _encode_slot(slot: FeatureSlot, values: np.ndarray,
                           0.0, np.float32)
         return out
 
+    if slot.kind == "bert":
+        # host-side tokenization of the raw text column -> token ids
+        # ('<name>:seg' segment ids are produced by encode_block)
+        from recommendflow_tpu.data.schema import get_tokenizer
+        tok = get_tokenizer(slot.vocab[0])
+        texts, valid = _pad_csr(np.asarray(values, dtype=object), splits, 1,
+                                "", object)
+        ids, seg = tok.encode_batch([t if isinstance(t, str) else "" 
+                                     for t in texts[:, 0]], slot.max_len)
+        return np.stack([ids, seg], axis=0)  # [2, n, L] split by encode_block
+
     if slot.kind == "token":
         ids, valid = _pad_csr(values.astype(np.int64), splits, slot.max_len,
                               PAD_ID, np.int64)
@@ -192,7 +203,12 @@ def encode_block(schema: BatchSchema, block: Dict[str, recordio.ColumnValues],
             raise KeyError(f"record file missing column '{name}' required by config")
         values, splits = block[name]
         arr = _encode_slot(slot, values, splits)
-        out[name] = arr if perm is None else arr[perm]
+        if slot.kind == "bert":
+            ids, seg = arr[0], arr[1]
+            out[name] = ids if perm is None else ids[perm]
+            out[f"{name}:seg"] = seg if perm is None else seg[perm]
+        else:
+            out[name] = arr if perm is None else arr[perm]
     for name in schema.label_names:
         if name in block:
             values, splits = block[name]

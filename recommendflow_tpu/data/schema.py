@@ -130,6 +130,8 @@ class BatchSchema:
                 spec[name] = ((batch_size,) + s.batch_shape, "float32")
             else:
                 spec[name] = ((batch_size,) + s.batch_shape, "int32")
+                if s.kind == "bert":
+                    spec[f"{name}:seg"] = ((batch_size,) + s.batch_shape, "int32")
         for name in self.label_names:
             spec[name] = ((batch_size,), "float32")
         return spec
@@ -165,6 +167,16 @@ def _slot_for(feature: Feature) -> FeatureSlot:
             name=feature.name, kind="token", deal=deal, tower=feature.tower,
             pooling=feature.pooling, dtype=feature.type,
             max_len=max(feature.max_len, 1))
+    if deal == FeatureDeal.BertEncode:
+        # raw text column tokenized host-side at batch time (the BertEncode
+        # layer's role, preprocess_layers.py:109-132); emits token ids under
+        # the feature name plus '<name>:seg' segment ids. vocabs holds the
+        # vocab file path (features.py resolution).
+        return FeatureSlot(
+            name=feature.name, kind="bert", deal=deal, tower=feature.tower,
+            pooling=feature.pooling, dtype=feature.type,
+            max_len=max(feature.max_len, 8),
+            vocab=(feature.vocabs,) if isinstance(feature.vocabs, str) else None)
     if deal in (FeatureDeal.Numeric, FeatureDeal.Null):
         return FeatureSlot(
             name=feature.name, kind="dense", deal=deal, tower=feature.tower,
@@ -209,6 +221,13 @@ def compile_schema(features: Features) -> BatchSchema:
         groups[dim] = TableGroup(dim=dim, tables=tuple(tables),
                                  offsets=tuple(offsets), total_rows=acc)
     return BatchSchema(slots=slots, order=order, label_names=label_names, groups=groups)
+
+
+@lru_cache(maxsize=16)
+def get_tokenizer(vocab_path: str):
+    """Shared tokenizer per vocab file (bert_encode deal host tokenization)."""
+    from recommendflow_tpu.encoder.tokenizer import Tokenizer
+    return Tokenizer(vocab_path)
 
 
 # ----------------------------------------------------------- host encoders

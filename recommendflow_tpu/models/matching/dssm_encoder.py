@@ -36,15 +36,16 @@ class DssmEncoder(RecModel):
         def tokens_of(tower: str):
             t = FeatureTower(tower)
             names = [n for n in schema.order
-                     if schema.slots[n].tower == t and schema.slots[n].kind == "token"]
+                     if schema.slots[n].tower == t and schema.slots[n].kind in ("token", "bert")]
             if not names:
                 raise ValueError(f"tower '{tower}' has no token_id features")
             return names[0]
 
         user_enc = self._encoder("user_encoder", "user_encoder")
         ad_enc = self._encoder("ad_encoder", "ad_encoder")
-        u = user_enc(batch[tokens_of("user")], training=training)
-        a = ad_enc(batch[tokens_of("ad")], training=training)
+        un, an = tokens_of("user"), tokens_of("ad")
+        u = user_enc(batch[un], batch.get(f"{un}:seg"), training=training)
+        a = ad_enc(batch[an], batch.get(f"{an}:seg"), training=training)
         u = l2_normalize(nn.Dense(out_dim, name="user_proj")(u))
         a = l2_normalize(nn.Dense(out_dim, name="ad_proj")(a))
         (y,) = get_labels(batch, schema, 1)

@@ -30,7 +30,7 @@ class SiameseEncoder(RecModel):
     def _tower_tokens(self, schema, tower: str) -> List[str]:
         t = FeatureTower(tower)
         return [n for n in schema.order
-                if schema.slots[n].tower == t and schema.slots[n].kind == "token"]
+                if schema.slots[n].tower == t and schema.slots[n].kind in ("token", "bert")]
 
     @nn.compact
     def __call__(self, batch: Batch, training: bool = False):
@@ -48,7 +48,8 @@ class SiameseEncoder(RecModel):
             names = self._tower_tokens(schema, tower_name)
             if not names:
                 raise ValueError(f"tower '{tower_name}' has no token_id features")
-            encs = [encoder(batch[n], training=training) for n in names]
+            encs = [encoder(batch[n], batch.get(f"{n}:seg"),
+                            training=training) for n in names]
             if len(encs) == 1:
                 merged = encs[0]
             elif merge == "sum":

@@ -209,3 +209,69 @@ def test_scalar_numpy_native_hash_identity():
     np.testing.assert_array_equal(_hash_matrix(mat, lens, 42), scalar)
     if native.available():
         np.testing.assert_array_equal(native.hash_matrix(mat, lens, 42), scalar)
+
+
+def test_bert_encode_deal_end_to_end(tmp_path):
+    """bert_encode deal: raw text in records -> host tokenization -> token +
+    segment id batches consumable by SiameseEncoder."""
+    import yaml
+    import jax
+    import jax.numpy as jnp
+    from recommendflow_tpu.data.recordio import RecordWriter, ColumnSpec
+    from recommendflow_tpu.encoder.tokenizer import build_demo_vocab
+    from recommendflow_tpu.models.base import build_network
+
+    vocab = build_demo_vocab(["hello", "world", "deep", "rank"])
+    vpath = tmp_path / "vocab.txt"
+    vpath.write_text("\n".join(sorted(vocab, key=vocab.get)) + "\n")
+
+    text = f"""
+Features:
+  feature_group: {{}}
+  feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+  features:
+    query_text,str,user,bert_encode,$bert_vocab,-1,cls,true
+    title_text,str,ad,bert_encode,$bert_vocab,-1,cls,true
+    label,float,label,numeric,null,-1,null,true
+Variables:
+  vocabs:
+    bert_vocab: {vpath}
+  seeds: 1
+  max_len_map: {{query_text: 10, title_text: 10}}
+Networks:
+  class: recommendflow_tpu.models.matching.siamese_encoder.SiameseEncoder
+  loss: recommendflow_tpu.losses.match.batch_neg_sample_scaled_multi_class_ce_loss
+  embedding_dim: 16
+  text_vocab_size: {len(vocab)}
+  text_dim: 16
+  text_layers: 1
+"""
+    conf = Configuration(conf=yaml.safe_load(text))
+    schema = compile_schema(conf.features)
+    assert schema.slots["query_text"].kind == "bert"
+
+    path = str(tmp_path / "t.rfb")
+    cols = [ColumnSpec("query_text", "str"), ColumnSpec("title_text", "str"),
+            ColumnSpec("label", "float")]
+    with RecordWriter(path, cols) as w:
+        for i in range(8):
+            w.write_row({"query_text": ["hello world"],
+                         "title_text": ["deep rank hello"], "label": [float(i % 2)]})
+    b = next(iter(Dataset(schema, [path], batch_size=8)))
+    assert b["query_text"].shape == (8, 10)
+    assert b["query_text:seg"].shape == (8, 10)
+    assert b["query_text"].dtype == np.int32
+    # CLS at position 0 for every row
+    from recommendflow_tpu.data.schema import get_tokenizer
+    tok = get_tokenizer(str(vpath))
+    assert (b["query_text"][:, 0] == tok.cls_id).all()
+
+    # SiameseEncoder trains on it
+    model, _ = build_network(conf.networks["class"], {"conf": conf})
+    jb = {k: jnp.asarray(v) for k, v in b.items()}
+    v = model.init(jax.random.PRNGKey(0), jb, training=False)
+    loss, aux = model.apply(v, jb, training=True,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(loss))
+    out = model.apply(v, jb, training=False)
+    assert out["user"].shape == (8, 16)
