@@ -37,7 +37,7 @@ class Que2Search(RecModel):
         """(token features, sparse features) of one tower."""
         t = FeatureTower(tower)
         toks = [s for n in schema.order if (s := schema.slots[n]).tower == t
-                and s.kind == "token"]
+                and s.kind in ("token", "bert")]
         sparse = [s for n in schema.order if (s := schema.slots[n]).tower == t
                   and s.kind in ("sparse", "dense")]
         return toks, sparse
@@ -60,7 +60,8 @@ class Que2Search(RecModel):
             feats = embedder(batch, tower=tower_name)
             channels: List[jnp.ndarray] = []
             for i, s in enumerate(toks):
-                enc = text_encoder(batch[s.name], training=training)
+                enc = text_encoder(batch[s.name], batch.get(f"{s.name}:seg"),
+                                   training=training)
                 channels.append(MLP([ch_dim], self.dropout, "relu",
                                     name=f"{tower_name}_txt{i}")(enc, training))
             for i, s in enumerate(sparse):
