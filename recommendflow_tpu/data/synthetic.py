@@ -73,6 +73,13 @@ def generate_records(conf: Configuration,
                 row[name] = [float(rng.rand())]
             elif f.deal == FeatureDeal.TokenId:
                 row[name] = rng.randint(1, 100, size=8).tolist()
+            elif f.deal == FeatureDeal.BertEncode:
+                words = ("search rank click buy phone game music video news "
+                         "shop app store play read watch food travel sport "
+                         "photo chat mail map bank car home work learn code "
+                         "data cloud smart fast best top new hot free").split()
+                k = rng.randint(2, 6)
+                row[name] = [" ".join(rng.choice(words, size=k))]
             else:
                 row[name] = [0.0] if f.type == "float" else [0]
         return row

@@ -73,3 +73,16 @@ def scope_report(reset: bool = True) -> str:
         _SCOPES.clear()
     return format_table(rows, headers=["scope", "calls", "total_ms", "avg_ms"],
                         title="Timing scopes")
+
+
+def memory_percent() -> float:
+    """Host memory usage fraction (parity: utils/util.py:328-329
+    men_percentage gauge), from /proc/meminfo — no psutil dependency."""
+    info = {}
+    with open("/proc/meminfo") as f:
+        for line in f:
+            parts = line.split()
+            info[parts[0].rstrip(":")] = int(parts[1])
+    total = info.get("MemTotal", 1)
+    avail = info.get("MemAvailable", info.get("MemFree", 0))
+    return 100.0 * (1.0 - avail / total)
