@@ -224,12 +224,12 @@ class Configuration:
                     continue
                 sign, name = t[0], t[1:]
                 if sign == "+":
-                    if self.features.contain(name):
+                    if self.features.contain_any(name):
                         self.features.set_feature_valid(name=name)
                     else:
                         self.features.set_feature_valid(field=name)
                 elif sign == "-":
-                    if self.features.contain(name):
+                    if self.features.contain_any(name):
                         self.features.set_feature_invalid(name=name)
                     else:
                         self.features.set_feature_invalid(field=name)

@@ -262,6 +262,10 @@ class Features:
         vocab_size = -1
         if deal in (FeatureDeal.Lookup, FeatureDeal.Discrete):
             vocabs, vocab_size = self._resolve_lookup_vocab(group, raw_vocab)
+            if deal == FeatureDeal.Discrete and vocabs == AUTO_VOCAB:
+                raise ValueError(
+                    f"discrete feature '{group}' needs explicit bin "
+                    f"boundaries (a list or $variable), not a bucket size")
         elif deal == FeatureDeal.Hashing:
             vocab_size = int(raw_vocab)
             if vocab_size <= 0:
@@ -439,6 +443,14 @@ class Features:
 
     def contain(self, name: str) -> bool:
         return any(f.name == name for f in self.train_features)
+
+    def contain_any(self, name: str) -> bool:
+        """Name exists regardless of working flag — the lookup the ± toggles
+        need (a '+name' must find the disabled feature it re-enables)."""
+        return any(f.name == name for f in self.features)
+
+    def contain_field_any(self, field: str) -> bool:
+        return any(f.field_name == field for f in self.features)
 
     def contain_field(self, field: str) -> bool:
         return any(f.field_name == field for f in self.train_features)

@@ -285,7 +285,9 @@ class Dataset:
 
     def _decode_task(self, task) -> Batch:
         file_schema, nrows, comp, raw_size, perm, head = task
-        want = {c.name for c in file_schema}
+        # decode only config-required columns; extras (toggled-off features,
+        # surplus ETL columns) are skipped cheaply by the parser
+        want = set(self.schema.order) | set(self.schema.label_names)
         block = recordio.decode_raw_block(comp, raw_size, file_schema, nrows, want)
         encoded = encode_block(self.schema, block, perm)
         if head > 0:
@@ -498,7 +500,9 @@ def load_csv_dataset(conf, csv_pattern: str, batch_size: int,
     import hashlib as _hashlib
     from recommendflow_tpu.data.writer import build_records
     schema = compile_schema(conf.features)
-    cache_key = _hashlib.md5(csv_pattern.encode()).hexdigest()[:12]
+    from recommendflow_tpu.data.writer import columns_for as _cols
+    spec_sig = ",".join(f"{c.name}:{c.vtype}" for c in _cols(conf))
+    cache_key = _hashlib.md5(f"{csv_pattern}|{spec_sig}".encode()).hexdigest()[:12]
     cache_dir = os.path.join("/tmp/recflow_csv_cache", cache_key)
     srcs = sorted(globlib.glob(csv_pattern))
     if not srcs:

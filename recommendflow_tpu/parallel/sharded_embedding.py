@@ -29,7 +29,6 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from recommendflow_tpu.data.schema import TableGroup
-from recommendflow_tpu.ops.embedding import pack_factor
 
 
 def local_gather_psum(table_shard: jnp.ndarray, flat_wide_ids: jnp.ndarray,
@@ -58,7 +57,7 @@ def sharded_gather_group(mesh: Mesh, axis: str, table: jnp.ndarray,
     resharded); ids replicated.
     """
     dim = group.dim
-    p = pack_factor(dim)
+    p = table.shape[1] // dim  # infer stored packing (bf16 packs 4x at dim 64)
     flat = global_ids.reshape(-1)
     wide = flat // p if p > 1 else flat
 

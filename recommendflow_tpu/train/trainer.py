@@ -134,9 +134,27 @@ class Trainer:
             rng=state_rng)
         if self.mesh is not None:
             if self.shard_tables:
+                from jax.sharding import NamedSharding, PartitionSpec as P
                 rules = table_sharding_rules(state.params, self.mesh)
                 params = apply_shardings(state.params, self.mesh, rules)
-                state = state.replace(params=params)
+                # optimizer accumulators mirroring a sharded table (same
+                # leading row count) must row-shard too, or the HBM saved by
+                # sharding the table is spent again on its optimizer state
+                sharded_rows = {leaf.shape[0]
+                                for leaf, spec in zip(jax.tree.leaves(state.params),
+                                                      jax.tree.leaves(rules))
+                                if spec != P()}
+
+                def place_opt(leaf):
+                    if hasattr(leaf, "shape") and leaf.ndim >= 1 \
+                            and leaf.shape[0] in sharded_rows:
+                        return jax.device_put(
+                            leaf, NamedSharding(self.mesh, P("dp", *([None] * (leaf.ndim - 1)))))
+                    if hasattr(leaf, "shape"):
+                        return jax.device_put(leaf, replicated(self.mesh))
+                    return leaf
+                opt_state = jax.tree.map(place_opt, state.opt_state)
+                state = state.replace(params=params, opt_state=opt_state)
             else:
                 state = jax.device_put(state, replicated(self.mesh))
         n = sum(x.size for x in jax.tree.leaves(state.params))
@@ -223,7 +241,13 @@ class Trainer:
             self._train_step_scan[k] = self._build_train_step_scan(k)
         stacked = {key: np.stack([b[key] for b in batches])
                    for key in batches[0]}
-        return self._train_step_scan[k](state, self._put(stacked))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(None, "dp"))  # axis0=K, axis1=batch
+            stacked = {key: jax.device_put(v, sh) for key, v in stacked.items()}
+        else:
+            stacked = {key: jnp.asarray(v) for key, v in stacked.items()}
+        return self._train_step_scan[k](state, stacked)
 
     def eval_step(self, state, batch):
         if self._eval_step is None:
@@ -307,7 +331,9 @@ class Trainer:
                     steps_per_epoch = 0
                 if steps_per_epoch:
                     done = int(state.step)
-                    start_epoch = min(done // steps_per_epoch, max(epochs - 1, 0))
+                    # done >= epochs*steps_per_epoch -> start_epoch == epochs
+                    # and the loop is a no-op (a finished run resumes cleanly)
+                    start_epoch = min(done // steps_per_epoch, epochs)
                     skip_batches = done % steps_per_epoch
                     if start_epoch or skip_batches:
                         log.info("resuming at epoch %d, batch %d (step %d)",
@@ -329,7 +355,7 @@ class Trainer:
             n_batches, n_examples = 0, 0
             running: Dict[str, float] = {}
             if first is not None and epoch == start_epoch:
-                epoch_iter = _chain_first(first, it)
+                epoch_iter = _chain_first(first, prefetch(it))
             elif epoch == start_epoch and skip_batches and hasattr(train_ds, "iter_from"):
                 epoch_iter = prefetch(train_ds.iter_from(skip_batches, epoch=epoch))
             elif hasattr(train_ds, "iter_from"):
@@ -355,9 +381,11 @@ class Trainer:
                     log.info("epoch %d step %d: %s", epoch, n_batches,
                              " ".join(f"{k}={v:.5f}" for k, v in mvals.items()))
                 for k, v in metrics.items():
-                    running[k] = running.get(k, 0.0) + float(v)
+                    # accumulate device-side: float() would force a sync per
+                    # step (~30 ms round-trip on tunneled platforms)
+                    running[k] = running[k] + v if k in running else v
             dt = time.time() - t0
-            logs = {k: v / max(n_batches, 1) for k, v in running.items()}
+            logs = {k: float(v) / max(n_batches, 1) for k, v in running.items()}
             logs["examples_per_sec"] = n_examples / max(dt, 1e-9)
             if valid_ds is not None:
                 logs.update(self.evaluate(state, valid_ds))

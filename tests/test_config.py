@@ -173,3 +173,29 @@ def test_slot_map_ellipsis(tmp_path):
     conf = Configuration(conf=yaml.safe_load(text))
     names = conf.train_feature_names
     assert names == ["feat_0", "feat_2", "feat_3", "feat_4", "feat_5", "feat_9"]
+
+
+def test_plus_toggle_reenables_disabled_group_member(demo_conf_path):
+    """'+name' must find features that are currently disabled (the whole
+    point of the toggle) — contain_any vs working-only contain."""
+    conf = Configuration(demo_conf_path)
+    conf.features.set_feature_invalid(name="clk_cat_ids")
+    assert not conf.features.contain("clk_cat_ids")
+    conf.experiments[0]["features"] = ["+clk_cat_ids"]
+    conf.active_experiment(0)
+    assert conf.features.contain("clk_cat_ids")
+
+
+def test_discrete_with_int_bucket_rejected():
+    import yaml, textwrap
+    text = textwrap.dedent("""
+    Features:
+      feature_group: {}
+      feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+      features:
+        a,float,user,discrete,100,8,sum,true
+    Variables:
+      seeds: 1
+    """)
+    with pytest.raises(ValueError, match="bin boundaries"):
+        Configuration(conf=yaml.safe_load(text))

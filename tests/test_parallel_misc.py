@@ -206,3 +206,45 @@ def test_timeout_decorator():
     def fast():
         return 42
     assert fast() == 42
+
+
+def test_sharded_gather_bf16_packed(demo_conf_path):
+    """bf16 tables pack 4x at dim 64 / 16x at dim 16; the sharded gather must
+    infer the stored packing (was hardcoded f32)."""
+    import jax.numpy as jnp
+    conf = Configuration(demo_conf_path)
+    schema = compile_schema(conf.features)
+    params = init_tables(schema, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    mesh = make_mesh()
+    sharded = shard_tables(params, mesh)
+    rng = np.random.RandomState(2)
+    for dim, group in schema.groups.items():
+        gids = jnp.asarray(rng.randint(0, group.total_rows, (3, 5)).astype(np.int32))
+        ref = gather_group(params[f"dim{dim}"], group, gids)
+        got = sharded_gather_group(mesh, "dp", sharded[f"dim{dim}"], group, gids)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-2)
+
+
+def test_shard_tables_opt_state_row_sharded(demo_conf_path, tmp_path):
+    from jax.sharding import PartitionSpec as P
+    from recommendflow_tpu.data.synthetic import generate_records
+    from recommendflow_tpu.data.pipeline import Dataset
+    from recommendflow_tpu.models.base import build_network
+    from recommendflow_tpu.train import Trainer
+    conf = Configuration(demo_conf_path)
+    schema = compile_schema(conf.features)
+    paths = generate_records(conf, str(tmp_path / "r"), num_rows=256, num_files=1)
+    model, _ = build_network("dssm", {"conf": conf, "tower_units": [16]})
+    mesh = make_mesh()
+    tr = Trainer(model, mesh=mesh, shard_tables=True)
+    batch = next(iter(Dataset(schema, paths, batch_size=64)))
+    state = tr.init_state(tr._put(batch))
+    # find the sharded table's row count, assert an opt accumulator shares it
+    # and is actually row-sharded
+    sharded_leaves = [l for l in jax.tree.leaves(state.opt_state)
+                     if hasattr(l, "sharding") and
+                     getattr(l.sharding, "spec", P())[:1] == ("dp",)]
+    assert sharded_leaves, "no row-sharded optimizer accumulators found"
+    # step runs
+    s2, m = tr.train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))

@@ -82,9 +82,12 @@ def test_checkpoint_save_restore(world, tmp_path):
     b = jax.tree.leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
-    # resume training from the restored state
-    result2 = trainer.fit(train, epochs=1, state=restored)
-    assert result2["history"]
+    # resuming a FINISHED run (2 epochs done, epochs<=2 requested) is a no-op
+    done = trainer.fit(train, epochs=2, state=restored)
+    assert done["history"] == []
+    # extending to 3 epochs runs exactly the one remaining epoch
+    result2 = trainer.fit(train, epochs=3, state=restored)
+    assert len(result2["history"]) == 1
 
 
 def test_set_learning_rate(world):
