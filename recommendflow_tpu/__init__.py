@@ -13,6 +13,21 @@ jit-compatible. Strings never reach the device: hashing and vocab lookup are
 resolved host-side in the input pipeline (XLA has no string dtype).
 """
 
+import os as _os
+
+# Honor JAX_PLATFORMS even on runtimes whose platform plugins override it
+# (observed: a preinstalled TPU plugin wins over the env var unless the
+# platform is forced through jax.config before first backend use). Without
+# this, `JAX_PLATFORMS=cpu python -m recommendflow_tpu.cli.*` silently runs
+# on the accelerator.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # noqa: BLE001 — never block import on platform quirks
+        pass
+
 from recommendflow_tpu.version import __version__
 
 __all__ = ["__version__"]

@@ -65,9 +65,12 @@ def main(argv=None):
     callbacks = [eval_cb,
                  ModelCheckpoint(os.path.join(args.model_save_root, "ckpt"),
                                  monitor=args.monitor)]
+    # resume_data=False: finetune trains FRESH epochs from the restored
+    # weights — the restored step count is a different run's position, not a
+    # mid-run resume point
     result = trainer.fit(train_ds, epochs=args.epochs, valid_ds=valid_ds,
                          callbacks=callbacks, state=state,
-                         log_every=5 if debug else 100)
+                         log_every=5 if debug else 100, resume_data=False)
     final_logs = result["history"][-1] if result["history"] else {}
 
     if args.promotion_constraints:
