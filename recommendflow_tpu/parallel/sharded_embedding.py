@@ -29,6 +29,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from recommendflow_tpu.data.schema import TableGroup
+from recommendflow_tpu.ops.embedding import take_rows
 
 
 def local_gather_psum(table_shard: jnp.ndarray, flat_wide_ids: jnp.ndarray,
@@ -43,7 +44,7 @@ def local_gather_psum(table_shard: jnp.ndarray, flat_wide_ids: jnp.ndarray,
     local = flat_wide_ids - shard * s
     mine = (local >= 0) & (local < s)
     safe = jnp.where(mine, local, 0)
-    rows = jnp.take(table_shard, safe, axis=0)
+    rows = take_rows(table_shard, safe)  # sorted-scatter backward
     rows = rows * mine[:, None].astype(rows.dtype)
     return jax.lax.psum(rows, axis_name)
 
