@@ -37,6 +37,8 @@ def main(argv=None):
     for i in range(min(args.rows, nrows)):
         for name, (vals, splits) in block.items():
             cell = list(vals[splits[i]:splits[i + 1]])
+            cell = [f"<bytes:{len(v)}>" if isinstance(v, bytes) else v
+                    for v in cell]
             rows.append([i, name, str(cell[:8]) + ("…" if len(cell) > 8 else "")])
     print_table(rows, headers=["row", "column", "values"], title="Raw rows")
 

@@ -66,7 +66,8 @@ DEFAULT_MAP = {
 # deals that produce an embedding table
 EMBEDDING_DEALS = (FeatureDeal.Hashing, FeatureDeal.Lookup, FeatureDeal.Discrete)
 # deals whose embedding_dim field is forced to -1
+# (image keeps its dim: it is the patch-projection output width)
 NO_DIM_DEALS = (
     FeatureDeal.Numeric, FeatureDeal.Null, FeatureDeal.TokenId,
-    FeatureDeal.Image, FeatureDeal.Embedding, FeatureDeal.BertEncode,
+    FeatureDeal.Embedding, FeatureDeal.BertEncode,
 )

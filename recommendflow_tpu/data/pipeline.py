@@ -130,6 +130,12 @@ def _encode_slot(slot: FeatureSlot, values: np.ndarray,
                           0.0, np.float32)
         return out
 
+    if slot.kind == "image":
+        # decode jpeg/png/webp bytes host-side (PIL) -> [n, S, S, 3] float32
+        # in [0, 1]; missing rows -> zeros (reference second-pass decode,
+        # dataloader.py:60-89). Strings never reach the device; pixels do.
+        return _decode_images(values, splits, slot.max_len)
+
     if slot.kind == "bert":
         # host-side tokenization of the raw text column -> token ids
         # ('<name>:seg' segment ids are produced by encode_block)
@@ -191,6 +197,29 @@ def _encode_slot(slot: FeatureSlot, values: np.ndarray,
         return np.where(valid, ids, PAD_ID)[:, None, :].astype(np.int32)
 
     raise NotImplementedError(f"slot kind {slot.kind}/{slot.deal}")
+
+
+def _decode_images(values, splits: np.ndarray, side: int) -> np.ndarray:
+    """Ragged encoded-image column -> [n, side, side, 3] float32 in [0, 1]."""
+    import io as iolib
+
+    from PIL import Image
+
+    n = len(splits) - 1
+    out = np.zeros((n, side, side, 3), dtype=np.float32)
+    blobs = values.materialize() if hasattr(values, "materialize") \
+        else np.asarray(values, dtype=object)
+    for i in range(n):
+        if splits[i + 1] <= splits[i]:
+            continue
+        blob = blobs[splits[i]]
+        if not blob:
+            continue
+        img = Image.open(iolib.BytesIO(blob)).convert("RGB")
+        if img.size != (side, side):
+            img = img.resize((side, side), Image.BILINEAR)
+        out[i] = np.asarray(img, dtype=np.float32) / 255.0
+    return out
 
 
 def encode_block(schema: BatchSchema, block: Dict[str, recordio.ColumnValues],

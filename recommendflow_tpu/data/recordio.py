@@ -17,6 +17,9 @@ Block payload, per column in schema order:
     int    : i32 nvals | i64 values[nvals] | i32 row_splits[nrows+1]
     str    : i32 nvals | i32 nbytes | utf8 bytes | i32 byte_splits[nvals+1]
              | i32 row_splits[nrows+1]
+    bytes  : same layout as str, payload is opaque binary (e.g. encoded
+             images — the reference's raw-image bytes_list columns,
+             make_tfrecord.py:70-79)
 (All columns are lists — single-value columns are length-1 lists, matching
 the reference's "everything is a list" convention, CONF_README.md:20.)
 """
@@ -82,10 +85,47 @@ class StrColumn:
         return a.astype(dtype) if dtype is not None else a
 
 
+class BytesColumn:
+    """Lazy ragged binary column (encoded images etc.): blob + byte offsets."""
+
+    __slots__ = ("blob", "byte_splits", "_array")
+
+    def __init__(self, blob: bytes, byte_splits: np.ndarray):
+        self.blob = blob
+        self.byte_splits = byte_splits
+        self._array = None
+
+    def __len__(self) -> int:
+        return len(self.byte_splits) - 1
+
+    @property
+    def dtype(self):
+        return np.dtype(object)
+
+    def materialize(self) -> np.ndarray:
+        if self._array is None:
+            bs = self.byte_splits
+            arr = np.empty(len(self), dtype=object)
+            for i in range(len(self)):
+                arr[i] = self.blob[bs[i]:bs[i + 1]]
+            self._array = arr
+        return self._array
+
+    def __getitem__(self, idx):
+        return self.materialize()[idx]
+
+    def __iter__(self):
+        return iter(self.materialize())
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.materialize()
+        return a.astype(dtype) if dtype is not None else a
+
+
 @dataclass(frozen=True)
 class ColumnSpec:
     name: str
-    vtype: str  # 'float' | 'int' | 'str'
+    vtype: str  # 'float' | 'int' | 'str' | 'bytes'
 
 
 class BlockBuilder:
@@ -121,8 +161,9 @@ class BlockBuilder:
                 buf.write(np.asarray(vals, dtype=np.float32).tobytes())
             elif c.vtype == "int":
                 buf.write(np.asarray(vals, dtype=np.int64).tobytes())
-            elif c.vtype == "str":
-                encoded = [str(v).encode("utf-8") for v in vals]
+            elif c.vtype in ("str", "bytes"):
+                encoded = [v if isinstance(v, bytes) else str(v).encode("utf-8")
+                           for v in vals]
                 blob = b"".join(encoded)
                 byte_splits = np.zeros(len(encoded) + 1, dtype=np.int32)
                 if encoded:
@@ -260,7 +301,7 @@ def _parse_block(raw: bytes, schema: Sequence[ColumnSpec], nrows: int,
                     dtype=np.int32)
                 out[c.name] = (values, splits)
             off += nvals * itemsize + splits_bytes
-        elif c.vtype == "str":
+        elif c.vtype in ("str", "bytes"):
             (nbytes,) = struct.unpack_from("<i", raw, off)
             off += 4
             blob_start = off
@@ -271,7 +312,9 @@ def _parse_block(raw: bytes, schema: Sequence[ColumnSpec], nrows: int,
                 row_splits = np.frombuffer(
                     mv[off + 4 * (nvals + 1):off + 4 * (nvals + 1) + splits_bytes],
                     dtype=np.int32)
-                out[c.name] = (StrColumn(blob, byte_splits), row_splits)
+                col = StrColumn(blob, byte_splits) if c.vtype == "str" \
+                    else BytesColumn(blob, byte_splits)
+                out[c.name] = (col, row_splits)
             off += 4 * (nvals + 1) + splits_bytes
         else:
             raise ValueError(f"unknown vtype '{c.vtype}'")

@@ -58,6 +58,8 @@ class FeatureSlot:
         """Pooled output width of this feature."""
         if self.kind == "dense":
             return self.max_len
+        if self.kind == "image":
+            return self.dim      # patch-projected embedding width
         return self.num_hashes * self.dim
 
     @property
@@ -66,6 +68,8 @@ class FeatureSlot:
             return (self.max_len,)
         if self.kind == "sparse":
             return (self.num_hashes, self.max_len)
+        if self.kind == "image":
+            return (self.max_len, self.max_len, 3)  # max_len = resize side
         return (self.max_len,)   # token ids
 
 
@@ -126,7 +130,7 @@ class BatchSchema:
         spec: Dict[str, Tuple[Tuple[int, ...], str]] = {}
         for name in self.order:
             s = self.slots[name]
-            if s.kind in ("dense", "embedding"):
+            if s.kind in ("dense", "embedding", "image"):
                 spec[name] = ((batch_size,) + s.batch_shape, "float32")
             else:
                 spec[name] = ((batch_size,) + s.batch_shape, "int32")
@@ -185,6 +189,19 @@ def _slot_for(feature: Feature) -> FeatureSlot:
         return FeatureSlot(
             name=feature.name, kind="embedding", deal=deal, tower=feature.tower,
             pooling=feature.pooling, dtype=feature.type, max_len=feature.max_len)
+    if deal == FeatureDeal.Image:
+        # raw encoded image column decoded host-side (PIL) to a fixed
+        # [side, side, 3] float tensor, patch-projected on device to
+        # embedding_dim (reference: decode_jpeg/webp second parse,
+        # dataloader.py:60-89). max_len doubles as the resize side
+        # (max_len_map entry); default 64, rounded to a multiple of the
+        # 8x8 patch so the patchify reshape is exact.
+        side = feature.max_len if feature.max_len > 1 else 64
+        side = max(8, -(-side // 8) * 8)
+        return FeatureSlot(
+            name=feature.name, kind="image", deal=deal, tower=feature.tower,
+            pooling=feature.pooling, dtype=feature.type, max_len=side,
+            dim=feature.embedding_dim if feature.embedding_dim > 0 else 64)
     raise NotImplementedError(f"deal '{deal.value}' not yet supported on TPU path "
                               f"(feature '{feature.name}')")
 

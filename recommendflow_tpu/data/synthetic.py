@@ -17,6 +17,23 @@ from recommendflow_tpu.data.recordio import RecordWriter
 from recommendflow_tpu.data.writer import columns_for
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _category_png(cat: int, n_cat: int) -> bytes:
+    """Tiny solid-color PNG whose hue encodes the category (image-deal demo)."""
+    import colorsys
+    import io
+
+    from PIL import Image
+    r, g, b = colorsys.hsv_to_rgb(cat / max(n_cat, 1), 0.9, 0.9)
+    img = Image.new("RGB", (16, 16), (int(r * 255), int(g * 255), int(b * 255)))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def generate_records(conf: Configuration,
                      out_dir: str,
                      num_rows: int = 10000,
@@ -80,6 +97,9 @@ def generate_records(conf: Configuration,
                          "data cloud smart fast best top new hot free").split()
                 k = rng.randint(2, 6)
                 row[name] = [" ".join(rng.choice(words, size=k))]
+            elif f.deal == FeatureDeal.Image:
+                # planted visual signal: solid color keyed by item category
+                row[name] = [_category_png(int(item_cat[it]), n_cat)]
             else:
                 row[name] = [0.0] if f.type == "float" else [0]
         return row

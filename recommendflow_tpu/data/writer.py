@@ -27,7 +27,12 @@ def columns_for(conf: Configuration) -> List[ColumnSpec]:
     re-running ETL; the reference bakes hashing into the graph instead)."""
     cols = []
     for f in conf.features.train_features:
-        vtype = {"int": "int", "float": "float", "str": "str"}[f.type]
+        if f.deal == FeatureDeal.Image:
+            # raw encoded image bytes (reference: bytes_list of the file's
+            # contents, make_tfrecord.py:70-79); decoded at read time
+            vtype = "bytes"
+        else:
+            vtype = {"int": "int", "float": "float", "str": "str"}[f.type]
         cols.append(ColumnSpec(f.name, vtype))
     return cols
 
@@ -36,6 +41,15 @@ def parse_cell(raw: Any, vtype: str, deal: FeatureDeal) -> List[Any]:
     """One CSV cell -> list of values (the universal list convention)."""
     if raw is None or (isinstance(raw, float) and np.isnan(raw)):
         return []
+    if deal == FeatureDeal.Image:
+        # cell = image file path (or already-encoded bytes); store raw bytes
+        if isinstance(raw, bytes):
+            return [raw]
+        path = str(raw).strip()
+        if path in ("", "-1"):
+            return []
+        with open(path, "rb") as f:
+            return [f.read()]
     if isinstance(raw, (list, tuple, np.ndarray)):
         return list(raw)
     s = str(raw).strip()

@@ -60,6 +60,14 @@ class FeatureEmbedder(nn.Module):
                 f"table_dim{dim}", init_table,
                 table_shape(group, dtype),  # packed [rows/P, P*dim] layout
                 dtype)
+        for name in self.schema.order:
+            slot = self.schema.slots[name]
+            if slot.kind == "image":
+                from recommendflow_tpu.ops.embedding import IMAGE_PATCH
+                patch_dim = IMAGE_PATCH * IMAGE_PATCH * 3
+                tables[f"img_{name}"] = self.param(
+                    f"img_proj_{name}", nn.initializers.lecun_normal(),
+                    (patch_dim, slot.dim), jnp.float32)
         self._tables = tables
 
     def __call__(self, batch: Batch, tower: Optional[str] = None) -> Dict[str, jnp.ndarray]:

@@ -115,9 +115,13 @@ def table_shape(group: TableGroup, dtype=jnp.float32) -> Tuple[int, int]:
     return (padded_rows(group, dtype) // p, p * group.dim)
 
 
+IMAGE_PATCH = 8  # patchify side: [S,S,3] -> [(S/8)^2, 192] patch rows
+
+
 def init_tables(schema: BatchSchema, key: jax.Array,
                 dtype=jnp.float32, scale: float = 0.05) -> Params:
-    """Initialize one packed stacked array per dim group: params['dim{d}']."""
+    """Initialize one packed stacked array per dim group: params['dim{d}'],
+    plus a patch-projection matrix params['img_{name}'] per image slot."""
     params: Params = {}
     for dim, group in schema.groups.items():
         key, sub = jax.random.split(key)
@@ -128,7 +132,29 @@ def init_tables(schema: BatchSchema, key: jax.Array,
         flat = flat.at[pad_rows_idx].set(0.0)  # zero each member's pad row
         p = pack_factor(dim, dtype)
         params[f"dim{dim}"] = flat.reshape(rows // p, p * dim)
+    for name in schema.order:
+        slot = schema.slots[name]
+        if slot.kind == "image":
+            key, sub = jax.random.split(key)
+            patch_dim = IMAGE_PATCH * IMAGE_PATCH * 3
+            params[f"img_{name}"] = jax.nn.initializers.lecun_normal()(
+                sub, (patch_dim, slot.dim), jnp.float32)
     return params
+
+
+def patch_embed(proj: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
+    """[B, S, S, 3] pixels -> [B, dim] via 8x8 patchify + linear + mean pool.
+
+    One [B*(S/8)^2, 192] x [192, dim] matmul — the MXU-native way to fold an
+    image channel into a tower (vs the reference's undefined model-side image
+    handling; its dataloader only decodes, dataloader.py:71-89).
+    """
+    b, s, _, c = images.shape
+    p = IMAGE_PATCH
+    n = s // p
+    x = images.reshape(b, n, p, n, p, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, n * n, p * p * c)
+    return jnp.mean(x @ proj, axis=1)
 
 
 def gather_group(table: jnp.ndarray, group: TableGroup,
@@ -220,6 +246,9 @@ def embed_batch(params: Params, schema: BatchSchema,
             by_dim.setdefault(slot.dim, []).append(slot)
         elif slot.kind in ("dense", "embedding"):
             out[slot.name] = batch[slot.name].astype(jnp.float32)
+        elif slot.kind == "image":
+            out[slot.name] = patch_embed(params[f"img_{slot.name}"],
+                                         batch[slot.name].astype(jnp.float32))
 
     for dim, group_slots in by_dim.items():
         group = schema.groups[dim]
