@@ -231,3 +231,258 @@ class TpuSearcher:
     def load_pickle(cls, path: str) -> "TpuSearcher":
         with open(path, "rb") as f:
             return pickle.load(f)
+
+
+# ------------------------------------------------------------------ k-means
+def kmeans(vectors: jnp.ndarray, nlist: int, iters: int = 10,
+           seed: int = 0, spherical: bool = False) -> jnp.ndarray:
+    """Lloyd's k-means on device: assignment is one [N, D] x [D, C] MXU
+    matmul per iteration, the update a segment-sum. Returns [nlist, D]
+    centroids. spherical=True renormalizes centroids every step (cos/ip)."""
+    n, d = vectors.shape
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.choice(key, n, (nlist,), replace=n < nlist)
+    centroids = vectors[init_idx]
+
+    # vectors MUST be a jit argument, not a closure capture: captured device
+    # arrays are baked into the executable as constants and re-uploaded at
+    # compile time (measured: 128 MB constant -> 7.5 s/step over the tunnel)
+    @jax.jit
+    def step(x, c):
+        # nearest centroid in L2: argmin ||x||^2 - 2 x·c + ||c||^2
+        scores = 2.0 * (x @ c.T) - jnp.sum(c * c, axis=1)[None, :]
+        assign = jnp.argmax(scores, axis=1)                      # [N]
+        sums = jax.ops.segment_sum(x, assign, num_segments=nlist)
+        counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), jnp.float32),
+                                     assign, num_segments=nlist)
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        new = jnp.where(counts[:, None] > 0, new, c)             # keep empties
+        if spherical:
+            new = new / jnp.maximum(
+                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        return new
+
+    for _ in range(iters):
+        centroids = step(vectors, centroids)
+    return centroids
+
+
+class IvfSearcher(TpuSearcher):
+    """IVF approximate top-k: k-means coarse quantizer + capped inverted
+    lists, probed per query (parity surface: FAISS 'IVF{n},Flat' indices,
+    faiss_searcher.py:80-97; nprobe attribute like faiss).
+
+    TPU regime note (measured, v5e-1, 1M x 128 cos, k=100, recall@100 vs
+    exact = 0.992 on clustered corpora): exact MXU search wins at this scale
+    at every batch size (B=16: 4.2 vs 5.5 ms; B=256: 20 vs 91 ms) because
+    the dense [Q, D] x [D, N] scan is bandwidth-efficient while IVF's
+    per-query candidate gathers pay the fixed per-row gather cost
+    (~25 ns/512-byte row). IVF is the right tool when the corpus outgrows
+    what a scan can amortize — >=10M items with small online batches — or
+    memory-tiered corpora; at reference scales prefer the exact TpuSearcher.
+
+    Static-shape design (everything jit-safe):
+      * inverted lists are a dense [nlist, M] int32 matrix of item indices,
+        -1 padded, M = cap_factor * N / nlist;
+      * items overflowing their list's cap go to an OVERFLOW pool that is
+        always scanned exactly — recall never silently drops from capping;
+      * search: centroid matmul -> lax.top_k nprobe lists -> gather their
+        member ids -> gather member vectors -> batched einsum -> top-k over
+        (candidates + overflow).
+    """
+
+    def __init__(self, dim: int, metric: str = "cos", nlist: int = 1024,
+                 nprobe: int = 8, query_block: int = 256,
+                 cap_factor: float = 2.0, kmeans_iters: int = 10,
+                 train_sample: int = 262144, seed: int = 0):
+        super().__init__(dim, metric, query_block=query_block)
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.cap_factor = cap_factor
+        self.kmeans_iters = kmeans_iters
+        self.train_sample = train_sample
+        self.seed = seed
+        self._centroids = None      # [nlist, D]
+        self._lists = None          # [nlist, M] int32, -1 pad
+        self._overflow = None       # [O, D] overflow vectors (scanned exactly)
+        self._overflow_idx = None   # [O] their item indices
+
+    # --------------------------------------------------------------- build
+    def train(self, vectors: np.ndarray, items: Optional[Sequence[Any]] = None):
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}] vectors, got {vectors.shape}")
+        if self.metric == "cos":
+            vectors = _l2_normalize(vectors)
+        n = len(vectors)
+        self.num_items = n
+        self.items = np.asarray(items) if items is not None else np.arange(n)
+        self.nlist = max(1, min(self.nlist, n))
+
+        # 0. ONE corpus upload (row n = zeros for -1 pads); everything else
+        # (sampling, k-means, assignment) runs on device — the tunnel's
+        # host->device path is the slow resource, not the chip
+        padded = np.zeros((n + 1, self.dim), np.float32)
+        padded[:n] = vectors
+        self._vecs = jnp.asarray(padded)
+        dev_vecs = self._vecs[:n]
+
+        # 1. coarse quantizer on a device-side sample (faiss practice:
+        # don't kmeans 10M rows)
+        rng = np.random.RandomState(self.seed)
+        if n <= self.train_sample:
+            sample = dev_vecs
+        else:
+            sample_idx = rng.choice(n, self.train_sample, replace=False)
+            sample = jnp.take(self._vecs, jnp.asarray(sample_idx), axis=0)
+        self._centroids = kmeans(
+            sample, self.nlist, iters=self.kmeans_iters,
+            seed=self.seed, spherical=self.metric in ("cos", "ip"))
+
+        # 2. assign every item to its nearest centroid (one device pass,
+        # row-blocked via lax.map to bound the [block, nlist] score temp)
+        block = 65536
+        n_blk = -(-n // block)
+        pad_n = n_blk * block
+
+        @jax.jit
+        def assign_all(v, c):                      # v [n+1, D] padded corpus
+            c_sq = jnp.sum(c * c, axis=1)
+
+            def one(start):
+                x = jax.lax.dynamic_slice(v, (start, 0), (block, v.shape[1]))
+                return jnp.argmax(2.0 * (x @ c.T) - c_sq[None, :], axis=1)
+
+            starts = jnp.arange(n_blk) * block
+            return jax.lax.map(one, starts).reshape(-1)
+
+        pad_vecs = self._vecs if pad_n < n + 1 else jnp.concatenate(
+            [self._vecs, jnp.zeros((pad_n + 1 - (n + 1), self.dim), jnp.float32)])
+        assign = np.asarray(assign_all(pad_vecs, self._centroids))[:n].astype(np.int64)
+
+        # 3. capped dense lists + overflow pool (vectorized: a python loop
+        # over 1M items costs minutes; this is ~3 numpy passes)
+        m = max(1, int(np.ceil(self.cap_factor * n / self.nlist)))
+        order = np.argsort(assign, kind="stable")   # cluster-contiguous
+        sorted_assign = assign[order]
+        starts = np.searchsorted(sorted_assign, np.arange(self.nlist))
+        rank = np.arange(n) - starts[sorted_assign]  # position within cluster
+        keep = rank < m
+        lists = np.full((self.nlist, m), -1, np.int64)
+        lists[sorted_assign[keep], rank[keep]] = order[keep]
+        self._lists = jnp.asarray(lists.astype(np.int32))
+        ov = order[~keep]
+        self._overflow_idx = ov
+        self._overflow = jnp.take(self._vecs, jnp.asarray(ov), axis=0) \
+            if len(ov) else jnp.zeros((0, self.dim), jnp.float32)
+
+        if self.metric == "l2":
+            sqn = np.full((n + 1,), np.inf, np.float32)
+            sqn[:n] = (vectors ** 2).sum(-1)
+            self._sq_norms = jnp.asarray(sqn)
+        self._search_fn = None
+        return self
+
+    def add(self, vectors, items=None):
+        """Append = retrain quantizer + lists (exactness of the coarse
+        quantizer over drifting corpora beats incremental insertion at
+        offline-eval scales; FAISS also retrains for quality)."""
+        return super().add(vectors, items)
+
+    # -------------------------------------------------------------- search
+    def _build_search(self, k: int):
+        metric = self.metric
+        nprobe = min(self.nprobe, self.nlist)
+        num_items = self.num_items
+        n_over = int(self._overflow.shape[0])
+        over_idx = jnp.asarray(self._overflow_idx.astype(np.int32)) \
+            if n_over else jnp.zeros((0,), jnp.int32)
+
+        def search_block(queries, vecs, sq_norms, centroids, lists, overflow):
+            nq = queries.shape[0]
+            # coarse: pick nprobe lists (L2 and IP pick identically for
+            # normalized centroids; use the metric-true score)
+            if metric == "l2":
+                cs = 2.0 * (queries @ centroids.T) - \
+                    jnp.sum(centroids * centroids, axis=1)[None, :]
+            else:
+                cs = queries @ centroids.T
+            _, probe = jax.lax.top_k(cs, nprobe)                 # [Q, P]
+            cand_pm = lists[probe]                               # [Q, P, M]
+
+            # scan over the probe axis: peak temp is one [Q, M, D] gather
+            # instead of [Q, P*M, D] (which OOMs at Q=512, P=32, M~2000)
+            def score_probe(_, ids):                             # ids [Q, M]
+                safe = jnp.where(ids >= 0, ids, num_items)       # zero pad row
+                cv = jnp.take(vecs, safe, axis=0)                # [Q, M, D]
+                sp = jnp.einsum("qd,qmd->qm", queries, cv)
+                if metric == "l2":
+                    sp = 2.0 * sp - jnp.take(sq_norms, safe, axis=0)
+                return None, jnp.where(ids >= 0, sp, NEG)
+
+            _, s_pm = jax.lax.scan(score_probe, None,
+                                   cand_pm.transpose(1, 0, 2))   # [P, Q, M]
+            s = s_pm.transpose(1, 0, 2).reshape(nq, -1)          # [Q, P*M]
+            cand = cand_pm.reshape(nq, -1)
+            if n_over:
+                so = queries @ overflow.T                        # [Q, O]
+                if metric == "l2":
+                    so = 2.0 * so - jnp.take(sq_norms, over_idx, axis=0)[None, :]
+                s = jnp.concatenate([s, so], axis=1)
+                cand = jnp.concatenate(
+                    [cand, jnp.broadcast_to(over_idx[None, :], (nq, n_over))],
+                    axis=1)
+            top_scores, pos = jax.lax.top_k(s, k)
+            top_idx = jnp.take_along_axis(cand, pos, axis=1)
+            top_idx = jnp.maximum(top_idx, 0)   # k > matches: clamp pads
+            if metric == "l2":
+                q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
+                top_scores = jnp.sqrt(jnp.maximum(q_sq - top_scores, 0.0))
+            return top_scores, top_idx
+
+        jitted = jax.jit(search_block)
+        return lambda q, v, sq: jitted(q, v, sq, self._centroids,
+                                       self._lists, self._overflow)
+
+    # ------------------------------------------------------------- persist
+    def save(self, path: str):
+        if self._vecs is None:
+            raise RuntimeError("nothing to save")
+        np.savez_compressed(
+            path, vecs=np.asarray(self._vecs)[:self.num_items],
+            items=self.items, dim=self.dim, metric=self.metric,
+            nlist=self.nlist, nprobe=self.nprobe, ivf=True)
+
+    @classmethod
+    def load(cls, path: str) -> "IvfSearcher":
+        data = np.load(path if path.endswith(".npz") else path + ".npz",
+                       allow_pickle=True)
+        s = cls(int(data["dim"]), str(data["metric"]),
+                nlist=int(data["nlist"]), nprobe=int(data["nprobe"]))
+        s.train(data["vecs"], items=data["items"])
+        return s
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_vecs"] = np.asarray(self._vecs)[:self.num_items] \
+            if self._vecs is not None else None
+        for key in ("_sq_norms", "_search_fn", "_centroids", "_lists",
+                    "_overflow", "_overflow_idx"):
+            state[key] = None
+        return state
+
+
+def index_factory(dim: int, index_param: str = "Flat",
+                  metric: str = "cos", **kwargs) -> TpuSearcher:
+    """FAISS index_factory-style constructor (parity:
+    faiss_searcher.py:80-97): 'Flat' -> exact TpuSearcher;
+    'IVF{n},Flat' / 'IVF{n}' -> IvfSearcher with n lists."""
+    import re as _re
+    spec = (index_param or "Flat").strip()
+    m = _re.match(r"^IVF(\d+)(,Flat)?$", spec, _re.IGNORECASE)
+    if m:
+        return IvfSearcher(dim, metric, nlist=int(m.group(1)), **kwargs)
+    if spec.lower() == "flat":
+        return TpuSearcher(dim, metric, **kwargs)
+    raise ValueError(f"unsupported index_param '{index_param}' "
+                     "(supported: Flat, IVF{n}[,Flat])")

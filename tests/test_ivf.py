@@ -1,0 +1,101 @@
+"""IvfSearcher: approximate retrieval correctness vs the exact searcher.
+
+Parity surface: FAISS 'IVF{n},Flat' via index_factory
+(faiss_searcher.py:80-97) with the nprobe attribute.
+"""
+import numpy as np
+import pytest
+
+from recommendflow_tpu.retrieval import IvfSearcher, TpuSearcher, index_factory, kmeans
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.RandomState(0)
+    # clustered corpus (IVF's intended regime): 32 latent clusters
+    centers = rng.randn(32, 16).astype(np.float32) * 3
+    vecs = (centers[rng.randint(32, size=4000)] +
+            rng.randn(4000, 16).astype(np.float32))
+    queries = (centers[rng.randint(32, size=64)] +
+               0.5 * rng.randn(64, 16).astype(np.float32))
+    return vecs, queries
+
+
+def test_kmeans_assigns_all_clusters():
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    x = rng.randn(1000, 8).astype(np.float32)
+    c = np.asarray(kmeans(jnp.asarray(x), 16, iters=5))
+    assert c.shape == (16, 8)
+    assert np.isfinite(c).all()
+    # centroids spread out (not collapsed to one point)
+    assert np.std(c, axis=0).mean() > 0.1
+
+
+@pytest.mark.parametrize("metric", ["cos", "ip", "l2"])
+def test_ivf_recall_vs_exact(corpus, metric):
+    vecs, queries = corpus
+    exact = TpuSearcher(16, metric).train(vecs)
+    ivf = IvfSearcher(16, metric, nlist=64, nprobe=16, seed=0).train(vecs)
+    _, _, eidx = exact.search(queries, topk=10)
+    _, _, iidx = ivf.search(queries, topk=10)
+    recall = np.mean([len(set(a) & set(b)) / 10.0 for a, b in zip(eidx, iidx)])
+    assert recall > 0.9, f"{metric}: IVF recall@10 vs exact = {recall}"
+
+
+def test_ivf_full_probe_is_exact(corpus):
+    """nprobe == nlist scans everything -> identical results to exact."""
+    vecs, queries = corpus
+    exact = TpuSearcher(16, "cos").train(vecs)
+    ivf = IvfSearcher(16, "cos", nlist=16, nprobe=16, cap_factor=1.2).train(vecs)
+    _, es, eidx = exact.search(queries, topk=5)
+    _, is_, iidx = ivf.search(queries, topk=5)
+    assert np.allclose(np.sort(es, axis=1), np.sort(is_, axis=1), atol=1e-5)
+
+
+def test_ivf_overflow_pool_preserves_capped_items():
+    """Items over a tiny cap land in the always-scanned overflow pool and
+    remain retrievable (capping must never lose recall silently)."""
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(500, 8).astype(np.float32)
+    ivf = IvfSearcher(8, "cos", nlist=4, nprobe=1, cap_factor=0.1).train(vecs)
+    assert len(ivf._overflow_idx) > 0
+    # self-retrieval of an overflow item must hit itself at rank 1
+    probe = int(ivf._overflow_idx[0])
+    _, _, idx = ivf.search(vecs[probe], topk=1)
+    assert idx[0, 0] == probe
+
+
+def test_ivf_items_and_topk_list(corpus):
+    vecs, queries = corpus
+    items = np.asarray([f"item_{i}" for i in range(len(vecs))])
+    ivf = IvfSearcher(16, "cos", nlist=32, nprobe=8).train(vecs, items=items)
+    got_items, scores, idx = ivf.search(queries[:4], topk=[3, 5])
+    assert set(got_items) == {3, 5}
+    assert got_items[5].shape == (4, 5)
+    assert got_items[3][0, 0].startswith("item_")
+
+
+def test_ivf_save_load_pickle(tmp_path, corpus):
+    vecs, queries = corpus
+    ivf = IvfSearcher(16, "cos", nlist=32, nprobe=32).train(vecs)
+    _, _, before = ivf.search(queries[:8], topk=5)
+    p = str(tmp_path / "ivf.npz")
+    ivf.save(p)
+    loaded = IvfSearcher.load(p)
+    _, _, after = loaded.search(queries[:8], topk=5)
+    assert np.array_equal(before, after)
+
+    ivf.dump(str(tmp_path / "ivf.pkl"))
+    unpickled = IvfSearcher.load_pickle(str(tmp_path / "ivf.pkl"))
+    _, _, after2 = unpickled.search(queries[:8], topk=5)
+    assert np.array_equal(before, after2)
+
+
+def test_index_factory():
+    assert isinstance(index_factory(8, "Flat"), TpuSearcher)
+    s = index_factory(8, "IVF256,Flat", metric="ip")
+    assert isinstance(s, IvfSearcher) and s.nlist == 256 and s.metric == "ip"
+    assert isinstance(index_factory(8, "IVF64"), IvfSearcher)
+    with pytest.raises(ValueError):
+        index_factory(8, "HNSW32")
