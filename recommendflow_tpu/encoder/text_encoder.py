@@ -4,8 +4,9 @@ Capability parity with the reference's BertEncoder (backend/encoder/
 bert_encoder.py:32-283): batch text -> embedding with pooling position and
 output-layer selection, optional BERT-whitening auto-fit on the first batch,
 LRU-cached online encode (OnnxEncoder.encode parity, onnx_utils.py:102-137).
-The remote bert-serving client (bert_encoder.py:79-117) is replaced by local
-TPU encode — no external service dependency.
+The remote bert-serving path (bert_encoder.py:79-117) is provided by
+recommendflow_tpu.serving: cli/serve.py hosts this service over HTTP and
+serving.client.RemoteEncoderClient is the remote-with-local-fallback client.
 """
 from __future__ import annotations
 
