@@ -15,6 +15,20 @@ latency, the classic TPU double-buffering pattern (pallas_guide.md
 `take_rows` wraps them as a custom-VJP drop-in for jnp.take(axis=0); the
 backward pre-combines duplicate ids with an XLA sort+segment-sum so the RMW
 pipeline never sees the same row twice in its in-flight window.
+
+Measured reality check (v5e, 87k x 512-byte rows from a 1.5M-row bf16 table,
+benchmarks/micro_pallas_scatter.py): XLA take 35 ns/row, XLA sorted
+scatter-add 86 ns/row; this gather 128 ns/row, this RMW scatter 1154 ns/row.
+At single-row granularity the scalar core issuing DMA descriptors (3 DMAs +
+2 semaphore waits per row) is the bottleneck, not HBM — XLA's native
+gather/scatter wins the dim<128 packed regime and is what ops/embedding.py
+uses. These kernels remain the right shape for dim>=128 rows (>=1 full tile
+per DMA) where the descriptor cost amortizes.
+
+bf16 tables: Mosaic cannot DMA a single bf16 row (tiled HBM layout packs 2
+logical rows per sublane word), so both kernels run on zero-copy f32 byte
+views of the same buffers; the RMW add bitcasts in-register to bf16 — exact,
+since table and grad rows share the byte layout (_as_f32_view).
 """
 from __future__ import annotations
 
@@ -28,6 +42,41 @@ from jax.experimental.pallas import tpu as pltpu
 # rows processed per grid program / outstanding DMA depth
 CHUNK = 512
 NBUF = 32
+
+
+def _as_f32_view(x: jnp.ndarray) -> jnp.ndarray:
+    """[.., W] bf16 -> [.., W//2] f32 zero-copy byte view.
+
+    Mosaic cannot DMA a single bf16 row: the tiled HBM layout packs 2
+    logical rows per sublane word, so a [1, W] bf16 slice is neither
+    contiguous nor tile-aligned ("slice along dim 0 must be aligned to
+    tiling (8)"). An f32 view of the same bytes has packing 1 — single-row
+    slices with minor dim % 128 == 0 are legal DMA endpoints.
+    """
+    return jax.lax.bitcast_convert_type(
+        x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2)), jnp.float32)
+
+
+def _from_f32_view(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _as_f32_view: [.., W] f32 -> [.., 2*W] bf16."""
+    y = jax.lax.bitcast_convert_type(x, jnp.bfloat16)
+    return y.reshape(y.shape[:-2] + (y.shape[-2] * 2,))
+
+
+def _check_row_dma(table: jnp.ndarray, interpret: bool) -> None:
+    """On hardware a single-row HBM DMA must be exactly one (8,128) f32 tile:
+    in the tiled layout a [1, W] slice with W > 128 f32 straddles tiles and
+    is not contiguous (Mosaic: 'slice along dim 0 must be aligned to
+    tiling'). Verified on v5e: f32 W=128 and bf16 W=256 (via f32 view) work;
+    f32 W=256 does not."""
+    if interpret:
+        return
+    w_f32 = table.shape[1] * jnp.dtype(table.dtype).itemsize // 4
+    if w_f32 != 128:
+        raise NotImplementedError(
+            f"pallas row kernels require 512-byte rows on TPU (one DMA tile);"
+            f" got {table.shape[1]} x {jnp.dtype(table.dtype).name}. Use the"
+            f" XLA path (ops/embedding.py take_rows) for other widths.")
 
 
 def _gather_kernel(ids_ref, n_ref, table_ref, out_ref, sems):
@@ -64,6 +113,12 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
     """table [R, D] (HBM), ids [N] int32 -> [N, D]. D must be a multiple of
     128 lanes' dtype packing; any D works via the row-copy DMA."""
+    _check_row_dma(table, interpret)
+    if table.dtype == jnp.bfloat16 and not interpret:
+        # bf16 single-row DMA is illegal (tiled sublane packing) — gather on
+        # the f32 byte view and re-view the result (see _as_f32_view)
+        return _from_f32_view(gather_rows(_as_f32_view(table), ids,
+                                          interpret=interpret))
     n = ids.shape[0]
     n_pad = pl.cdiv(n, CHUNK) * CHUNK
     ids_pad = jnp.zeros((n_pad,), jnp.int32).at[:n].set(ids.astype(jnp.int32))
@@ -92,7 +147,8 @@ ACC_SLOTS = 2 * NBUF  # slot-reuse gap of 2*NBUF iterations hides write latency
 
 
 def _scatter_kernel(ids_ref, n_ref, grads_ref, table_in_ref, table_out_ref,
-                    acc, gbuf, sems, gsems, out_sems):
+                    acc, gbuf, sems, gsems, out_sems, *,
+                    sum_dtype=None):
     """RMW accumulate: for each (unique) id, DMA the table row AND its grad
     row in, add, DMA the sum back. Reads pipeline NBUF ahead over 2*NBUF acc
     slots: the read that reuses a slot waits the write issued 2*NBUF
@@ -106,7 +162,8 @@ def _scatter_kernel(ids_ref, n_ref, grads_ref, table_in_ref, table_out_ref,
     def wait_write(j):
         # waits the write DMA that used slot j % ACC_SLOTS (the descriptor
         # only carries the transfer size)
-        pltpu.make_async_copy(acc.at[j % ACC_SLOTS], table_out_ref.at[0],
+        pltpu.make_async_copy(acc.at[j % ACC_SLOTS, 0],
+                              table_out_ref.at[0],
                               out_sems.at[j % ACC_SLOTS]).wait()
 
     def issue_read(j, static_warmup: bool):
@@ -118,10 +175,10 @@ def _scatter_kernel(ids_ref, n_ref, grads_ref, table_in_ref, table_out_ref,
                 def _():
                     wait_write(j - ACC_SLOTS)
             pltpu.make_async_copy(
-                table_out_ref.at[ids_ref[j]], acc.at[j % ACC_SLOTS],
+                table_out_ref.at[ids_ref[j]], acc.at[j % ACC_SLOTS, 0],
                 sems.at[j % ACC_SLOTS]).start()
             pltpu.make_async_copy(
-                grads_ref.at[j], gbuf.at[j % ACC_SLOTS],
+                grads_ref.at[j], gbuf.at[j % ACC_SLOTS, 0],
                 gsems.at[j % ACC_SLOTS]).start()
 
     for j in range(NBUF):
@@ -131,14 +188,25 @@ def _scatter_kernel(ids_ref, n_ref, grads_ref, table_in_ref, table_out_ref,
         @pl.when(j < n_total)
         def _():
             pltpu.make_async_copy(
-                table_out_ref.at[0], acc.at[j % ACC_SLOTS],
+                table_out_ref.at[0], acc.at[j % ACC_SLOTS, 0],
                 sems.at[j % ACC_SLOTS]).wait()
             pltpu.make_async_copy(
-                grads_ref.at[0], gbuf.at[j % ACC_SLOTS],
+                grads_ref.at[0], gbuf.at[j % ACC_SLOTS, 0],
                 gsems.at[j % ACC_SLOTS]).wait()
-            acc[j % ACC_SLOTS] = acc[j % ACC_SLOTS] + gbuf[j % ACC_SLOTS]
+            # scratch is [SLOTS, 1, W]: the dynamic slot index stays on the
+            # untiled leading dim (Mosaic rejects dynamic sublane indices).
+            # For bf16 tables the buffers are f32 byte views (DMA legality);
+            # the add happens in the real dtype via an in-register bitcast —
+            # exact, since table/grad rows share the same byte layout.
+            if sum_dtype is not None:
+                s = (pltpu.bitcast(acc[j % ACC_SLOTS], sum_dtype) +
+                     pltpu.bitcast(gbuf[j % ACC_SLOTS], sum_dtype))
+                acc[j % ACC_SLOTS] = pltpu.bitcast(s, jnp.float32)
+            else:
+                acc[j % ACC_SLOTS] = acc[j % ACC_SLOTS] + gbuf[j % ACC_SLOTS]
             pltpu.make_async_copy(
-                acc.at[j % ACC_SLOTS], table_out_ref.at[ids_ref[j]],
+                acc.at[j % ACC_SLOTS, 0],
+                table_out_ref.at[ids_ref[j]],
                 out_sems.at[j % ACC_SLOTS]).start()
             issue_read(j + NBUF, static_warmup=False)
         return 0
@@ -165,29 +233,46 @@ def scatter_add_rows(ids: jnp.ndarray, grads: jnp.ndarray, table: jnp.ndarray,
     `n_valid` (scalar, may be traced) limits processing to the first entries
     — padded tails beyond it are never touched, so duplicate-padded ids
     cannot race a real row's read-modify-write."""
+    _check_row_dma(table, interpret)
     n = ids.shape[0]
     n_arr = jnp.asarray([n], jnp.int32) if n_valid is None else \
         jnp.asarray(n_valid, jnp.int32).reshape(1)
+
+    sum_dtype = None
+    orig_dtype = table.dtype
+    if table.dtype == jnp.bfloat16 and not interpret:
+        # single bf16 rows are not DMA-able (tiled sublane packing); run the
+        # whole kernel on f32 byte views and add via in-register bitcast
+        sum_dtype = jnp.bfloat16
+        table = _as_f32_view(table)
+        grads = _as_f32_view(grads.astype(jnp.bfloat16))
+    else:
+        grads = grads.astype(table.dtype)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),    # grads (HBM, DMA'd)
                   pl.BlockSpec(memory_space=pl.ANY)],   # table (aliased)
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.VMEM((ACC_SLOTS, grads.shape[1]), table.dtype),
-                        pltpu.VMEM((ACC_SLOTS, grads.shape[1]), grads.dtype),
+        scratch_shapes=[pltpu.VMEM((ACC_SLOTS, 1, grads.shape[1]), table.dtype),
+                        pltpu.VMEM((ACC_SLOTS, 1, grads.shape[1]), grads.dtype),
                         pltpu.SemaphoreType.DMA((ACC_SLOTS,)),
                         pltpu.SemaphoreType.DMA((ACC_SLOTS,)),
                         pltpu.SemaphoreType.DMA((ACC_SLOTS,))],
     )
-    return pl.pallas_call(
-        _scatter_kernel,
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, sum_dtype=sum_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
         input_output_aliases={3: 0},    # 2 scalar-prefetch + grads, table -> out
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ids.astype(jnp.int32), n_arr, grads, table)
+    if sum_dtype is not None:
+        out = _from_f32_view(out)
+    assert out.dtype == orig_dtype, (out.dtype, orig_dtype)
+    return out
 
 
 def _combine_duplicates(ids: jnp.ndarray, grads: jnp.ndarray):
