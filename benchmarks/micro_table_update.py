@@ -128,6 +128,25 @@ def bench_fused(width_elems: int, dtype=jnp.bfloat16, lr=0.05, eps=1e-10):
     return timed(run, p, acc, g)
 
 
+def bench_pallas(width_elems: int, dtype=jnp.bfloat16, lr=0.05, eps=1e-10):
+    from recommendflow_tpu.ops.pallas.table_update import rowwise_adagrad_update
+    rows = TOTAL_BYTES // (width_elems * jnp.dtype(dtype).itemsize)
+    p = jnp.ones((rows, width_elems), dtype)
+    acc = jnp.full((rows, 1), 0.1, jnp.float32)
+    g = jnp.full((rows, width_elems), 1e-3, dtype)
+
+    @jax.jit
+    def run(p, acc, g):
+        def body(carry, _):
+            p, acc = carry
+            p, acc = rowwise_adagrad_update(p, acc, g, lr=lr, eps=eps)
+            return (p, acc), p[0, 0].astype(jnp.float32)
+        (_, _), outs = lax.scan(body, (p, acc), None, length=K)
+        return outs.sum()
+
+    return timed(run, p, acc, g)
+
+
 def main(which=("sweep", "opt")):
     print(f"devices: {jax.devices()}")
     widths = [256, 512, 1024]  # bf16 elems -> 512/1024/2048 B rows
@@ -146,6 +165,13 @@ def main(which=("sweep", "opt")):
             o = bench_optax(256)
             f = bench_fused(256)
             print(f"trial {trial}: optax_update={o:.2f}ms  fused_update={f:.2f}ms",
+                  flush=True)
+    if "pallas" in which:
+        # interleaved A/B: XLA fused jnp update vs the Pallas streaming kernel
+        for trial in range(TRIALS):
+            f = bench_fused(256)
+            p = bench_pallas(256)
+            print(f"trial {trial}: xla_fused={f:.2f}ms  pallas_fused={p:.2f}ms",
                   flush=True)
 
 

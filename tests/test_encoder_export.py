@@ -165,3 +165,35 @@ def test_sdpa_pallas_seam_rank3_and_rank4():
                 use_pallas=True)
     finally:
         fa.flash_attention = orig
+
+
+def test_pallas_table_update_matches_rowwise_adagrad():
+    """The Pallas streaming update must reproduce the jnp rowwise-Adagrad
+    numerics exactly (same op order, f32 compute), including the padded
+    final block when rows % block_rows != 0."""
+    from recommendflow_tpu.ops.pallas.table_update import rowwise_adagrad_update
+    from recommendflow_tpu.train.optimizers import rowwise_adagrad
+
+    rng = np.random.RandomState(7)
+    for dtype, rtol, atol in ((np.float32, 1e-5, 1e-6),
+                              # the jnp path double-rounds (update to bf16,
+                              # then p+update in bf16); the kernel rounds the
+                              # f32 result once — allow ~1 bf16 ulp
+                              (jnp.bfloat16, 2e-2, 2e-3)):
+        p = jnp.asarray(rng.randn(300, 128), dtype)       # 300 % 128 != 0
+        g = jnp.asarray(rng.randn(300, 128) * 1e-2, dtype)
+        acc = jnp.asarray(rng.rand(300, 1).astype(np.float32) + 0.1)
+
+        tx = rowwise_adagrad(learning_rate=0.05)
+        state = tx.init({"t": p})._replace(accumulator={"t": acc})
+        updates, state = tx.update({"t": g}, state, {"t": p})
+        ref_p = p + updates["t"]
+        ref_acc = state.accumulator["t"]
+
+        got_p, got_acc = rowwise_adagrad_update(p, acc, g, lr=0.05,
+                                                block_rows=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_acc), np.asarray(ref_acc),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(got_p, np.float32), np.asarray(ref_p, np.float32),
+            rtol=rtol, atol=atol)
