@@ -1,6 +1,7 @@
 from recommendflow_tpu.retrieval.searcher import (
     IvfSearcher, TpuSearcher, index_factory, kmeans,
 )
+from recommendflow_tpu.retrieval.sharded import ShardedSearcher
 from recommendflow_tpu.retrieval.whitening import VecsWhitening
 from recommendflow_tpu.retrieval.eval import (
     batch_compute_group_recall_score, batch_compute_recall_score, click_ranks,

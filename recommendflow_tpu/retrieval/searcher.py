@@ -25,6 +25,13 @@ import numpy as np
 
 NEG = -1e30
 
+# tournament-pruned exact top-k parameters (see _build_search): items are
+# max-pooled in groups of _GROUP, group maxima in supergroups of _SUPERGROUP;
+# the hierarchical path engages above _HIER_MIN_ITEMS padded items
+_GROUP = 16
+_SUPERGROUP = 16
+_HIER_MIN_ITEMS = 262144
+
 
 def _l2_normalize(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
@@ -52,7 +59,9 @@ class TpuSearcher:
         self.pad_multiple = pad_multiple
         self.items: Optional[np.ndarray] = None          # identifiers
         self._vecs: Optional[jnp.ndarray] = None          # [N_pad, D] device
+        self._vecs_g: Optional[jnp.ndarray] = None        # [N_pad/G, G*D] view
         self._sq_norms: Optional[jnp.ndarray] = None      # for l2
+        self._sqn_g: Optional[jnp.ndarray] = None
         self.num_items = 0
         self._search_fn = None
 
@@ -79,6 +88,7 @@ class TpuSearcher:
             self._sq_norms = jnp.asarray(sq)
         self.items = np.asarray(items) if items is not None else np.arange(self.num_items)
         self._search_fn = None  # rebuilt lazily (item count may change)
+        self._vecs_g = self._sqn_g = None  # grouped relayouts, built lazily
         return self
 
     def add(self, vectors: np.ndarray, items=None):
@@ -102,28 +112,109 @@ class TpuSearcher:
     def _build_search(self, k: int):
         metric = self.metric
         num_items = self.num_items
+        n_pad = int(self._vecs.shape[0])
+        dim = self.dim
 
-        def search_block(queries: jnp.ndarray, vecs: jnp.ndarray,
-                         sq_norms: Optional[jnp.ndarray]):
+        def raw_scores(queries, vecs, sq_norms):
             if metric == "l2":
                 # argmin ||q - v||^2 == argmax 2 q·v - ||v||^2
                 scores = 2.0 * (queries @ vecs.T) - sq_norms[None, :]
             else:
                 scores = queries @ vecs.T
-            # mask padded rows
-            n_pad = vecs.shape[0]
             col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-            scores = jnp.where(col < num_items, scores, NEG)
-            # group-max pruned top-k: lax.top_k over millions of columns is
-            # the bottleneck, so first max-pool the item axis in groups of G
-            # and top-k the group maxima. EXACT for the same reason a
-            # tournament is: at most k groups can contain a top-k element,
-            # and each such group's max is itself >= the k-th best score, so
-            # the top-k groups-by-max cover every top-k element. Then gather
-            # those groups' members and finish with a small top-k.
-            G = 16
-            nq = scores.shape[0]
-            if n_pad % G == 0 and n_pad // G > 4 * k and n_pad > 262144:
+            return jnp.where(col < num_items, scores, NEG)
+
+        def finish_l2(queries, top_scores):
+            # convert the 2q·v − ‖v‖² surrogate back to real L2 distance
+            q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
+            return jnp.sqrt(jnp.maximum(q_sq - top_scores, 0.0))
+
+        # Tournament pruning: at most k groups can contain a top-k element,
+        # and each such group's max is itself >= the k-th best score, so the
+        # top-k groups-by-max cover every top-k element — EXACT at any depth
+        # of nesting (the same argument applies to supergroups of groups).
+        G, G2 = _GROUP, _SUPERGROUP
+
+        if n_pad % (G * G2) == 0 and n_pad // (G * G2) > max(k, 64) \
+                and n_pad >= _HIER_MIN_ITEMS:
+            if self._vecs_g is None:
+                # one-time device-side relayout ([N, D] -> [N/G, G*D] is a
+                # real copy on TPU: the (8,128) tilings differ — never do it
+                # inside the per-call jit)
+                self._vecs_g = jax.jit(
+                    lambda v: v.reshape(n_pad // G, G * dim))(self._vecs)
+                if self._sq_norms is not None:
+                    self._sqn_g = jax.jit(
+                        lambda s: s.reshape(n_pad // G, G))(self._sq_norms)
+            # Two-level tournament + vector-gather rescore. Measured (v5e,
+            # 1M x 128 f32, k=100, benchmarks/micro_search.py): the flat
+            # path's costs are the [Q, N] f32 score materialization
+            # (~8 MB/query of HBM traffic, ~250 GB/s ceiling) and
+            # lax.top_k over N/G=62.5k group maxima (~47 ms @ Q=256).
+            # Here top_k only ever sees N/(G*G2) supergroup maxima and the
+            # candidate-k*G2 / k*G tails; full scores for the k winning
+            # groups are RE-COMPUTED from gathered group vectors (k row
+            # gathers of G*D contiguous floats per query) instead of
+            # gathered out of a materialized score matrix. Same exact
+            # result, ~3x the throughput.
+            n_sg = n_pad // (G * G2)
+            # the scan stage (scores + group max) runs as a fused Pallas
+            # kernel on TPU — the [Q, N] score matrix never touches HBM
+            # (measured 31 -> 13 ms per 1024 queries at 1M x 128; see
+            # ops/pallas/grouped_topk.py). XLA fallback elsewhere.
+            use_kernel = (jax.default_backend() != "cpu"
+                          and dim % 128 == 0 and n_pad % (128 * G) == 0)
+
+            def compute_m1(queries, vecs, sq_norms):
+                if use_kernel:
+                    from recommendflow_tpu.ops.pallas.grouped_topk import (
+                        grouped_score_max)
+                    m1t = grouped_score_max(
+                        queries, vecs, sq_norms if metric == "l2" else None,
+                        group=G, num_items=num_items)
+                    return m1t.T
+                scores = raw_scores(queries, vecs, sq_norms)
+                return jnp.max(
+                    scores.reshape(queries.shape[0], n_pad // G, G), axis=-1)
+
+            def search_block(queries, vecs, vecs_g, sq_norms, sqn_g):
+                nq = queries.shape[0]
+                m1 = compute_m1(queries, vecs, sq_norms)
+                m2 = jnp.max(m1.reshape(nq, n_sg, G2), axis=-1)
+                _, sg = jax.lax.top_k(m2, k)                 # [Q, k] supergroups
+                # level-1 maxima of the winning supergroups, as ROW gathers
+                # ([Q, k, G2] — element-wise take_along_axis on [Q, N/G]
+                # costs ~30ns per element, measured)
+                c1 = jnp.take_along_axis(m1.reshape(nq, n_sg, G2),
+                                         sg[:, :, None], axis=1)
+                _, pos = jax.lax.top_k(c1.reshape(nq, k * G2), k)
+                gids = (sg[:, :, None] * G2 +
+                        jnp.arange(G2)[None, None, :]).reshape(nq, k * G2)
+                gidx = jnp.take_along_axis(gids, pos, axis=1)  # [Q, k] groups
+                # rescore the k winning groups from their vectors
+                gv = vecs_g[gidx]                              # [Q, k, G*dim]
+                cs = jnp.einsum("qkgd,qd->qkg",
+                                gv.reshape(nq, k, G, dim), queries)
+                cand = (gidx[:, :, None] * G +
+                        jnp.arange(G)[None, None, :]).reshape(nq, k * G)
+                if metric == "l2":
+                    cs = 2.0 * cs - sqn_g[gidx]                # [Q, k, G]
+                cs = jnp.where(cand.reshape(nq, k, G) < num_items,
+                               cs, NEG).reshape(nq, k * G)
+                top_scores, p2 = jax.lax.top_k(cs, k)
+                top_idx = jnp.take_along_axis(cand, p2, axis=1)
+                if metric == "l2":
+                    top_scores = finish_l2(queries, top_scores)
+                return top_scores, top_idx
+
+            jitted = jax.jit(search_block)
+            return lambda q, v, sq: jitted(q, v, self._vecs_g, sq, self._sqn_g)
+
+        if n_pad % G == 0 and n_pad // G > 4 * k and n_pad > 262144:
+            # single-level group-max prune (mid-size corpora)
+            def search_block(queries, vecs, sq_norms):
+                nq = queries.shape[0]
+                scores = raw_scores(queries, vecs, sq_norms)
                 gmax = jnp.max(scores.reshape(nq, n_pad // G, G), axis=-1)
                 _, gidx = jax.lax.top_k(gmax, k)              # [Q, k] group ids
                 member = gidx[:, :, None] * G + jnp.arange(G)[None, None, :]
@@ -131,14 +222,17 @@ class TpuSearcher:
                 cand_s = jnp.take_along_axis(scores, cand_idx, axis=1)
                 top_scores, pos = jax.lax.top_k(cand_s, k)
                 top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-            else:
+                if metric == "l2":
+                    top_scores = finish_l2(queries, top_scores)
+                return top_scores, top_idx
+
+        else:
+            def search_block(queries, vecs, sq_norms):
+                scores = raw_scores(queries, vecs, sq_norms)
                 top_scores, top_idx = jax.lax.top_k(scores, k)
-            if metric == "l2":
-                # convert back to true (negated) squared distance ordering:
-                # report actual L2 distance
-                q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
-                top_scores = jnp.sqrt(jnp.maximum(q_sq - top_scores, 0.0))
-            return top_scores, top_idx
+                if metric == "l2":
+                    top_scores = finish_l2(queries, top_scores)
+                return top_scores, top_idx
 
         return jax.jit(search_block)
 
@@ -169,14 +263,14 @@ class TpuSearcher:
             self._search_fn[k_max] = self._build_search(k_max)
         fn = self._search_fn[k_max]
 
-        scores_out, idx_out = [], []
+        # dispatch all blocks first, fetch after — np.asarray inside the loop
+        # would sync per block and serialize host transfer with device compute
+        out = []
         for start in range(0, len(queries), self.query_block):
             q = jnp.asarray(queries[start:start + self.query_block])
-            s, i = fn(q, self._vecs, self._sq_norms)
-            scores_out.append(np.asarray(s))
-            idx_out.append(np.asarray(i))
-        scores = np.concatenate(scores_out, axis=0)
-        idx = np.concatenate(idx_out, axis=0)
+            out.append(fn(q, self._vecs, self._sq_norms))
+        scores = np.concatenate([np.asarray(s) for s, _ in out], axis=0)
+        idx = np.concatenate([np.asarray(i) for _, i in out], axis=0)
 
         def slice_k(arr):
             return arr if len(ks) == 1 else {k: arr[:, :k] for k in ks}
@@ -211,8 +305,8 @@ class TpuSearcher:
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_vecs"] = np.asarray(self._vecs)[:self.num_items] if self._vecs is not None else None
-        state["_sq_norms"] = None
-        state["_search_fn"] = None
+        for key in ("_sq_norms", "_search_fn", "_vecs_g", "_sqn_g"):
+            state[key] = None
         return state
 
     def __setstate__(self, state):
@@ -466,8 +560,8 @@ class IvfSearcher(TpuSearcher):
         state = self.__dict__.copy()
         state["_vecs"] = np.asarray(self._vecs)[:self.num_items] \
             if self._vecs is not None else None
-        for key in ("_sq_norms", "_search_fn", "_centroids", "_lists",
-                    "_overflow", "_overflow_idx"):
+        for key in ("_sq_norms", "_search_fn", "_vecs_g", "_sqn_g",
+                    "_centroids", "_lists", "_overflow", "_overflow_idx"):
             state[key] = None
         return state
 

@@ -185,3 +185,75 @@ def test_add_appends_not_replaces():
     # under cosine, a query equal to a v2 row retrieves itself (sim = 1)
     _, _, idx = s.search(v2[:5], topk=1)
     np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(100, 105))
+
+
+@pytest.mark.parametrize("metric", ["ip", "cos", "l2"])
+def test_hierarchical_tournament_is_exact(metric, monkeypatch):
+    """Force the two-level tournament + vector-rescore path on a small corpus
+    and verify it returns exactly the brute-force top-k (scores and index
+    sets) for every metric."""
+    import recommendflow_tpu.retrieval.searcher as S
+    monkeypatch.setattr(S, "_HIER_MIN_ITEMS", 1024)
+    n, d, k = 20000, 16, 12   # pads to 20480 -> 80 supergroups (> 64 guard)
+    v = _corpus(n, d, seed=3)
+    q = _corpus(30, d, seed=4)
+    s = TpuSearcher(dim=d, metric=metric, pad_multiple=512).train(v)
+    n_pad = int(s._vecs.shape[0])
+    assert n_pad % (S._GROUP * S._SUPERGROUP) == 0
+    assert n_pad // (S._GROUP * S._SUPERGROUP) > max(k, 64)
+    items, scores, idx = s.search(q, topk=k)
+    assert s._vecs_g is not None  # hierarchical path engaged
+
+    vv = v / np.linalg.norm(v, axis=1, keepdims=True) if metric == "cos" else v
+    qq = q / np.linalg.norm(q, axis=1, keepdims=True) if metric == "cos" else q
+    if metric == "l2":
+        d2 = ((qq[:, None, :] - vv[None, :, :]) ** 2).sum(-1)
+        golden_idx = np.argsort(d2, axis=1)[:, :k]
+        golden_scores = np.sqrt(np.take_along_axis(d2, golden_idx, axis=1))
+    else:
+        sim = qq @ vv.T
+        golden_idx = np.argsort(-sim, axis=1)[:, :k]
+        golden_scores = np.take_along_axis(sim, golden_idx, axis=1)
+    np.testing.assert_allclose(np.sort(np.asarray(scores), axis=1),
+                               np.sort(golden_scores, axis=1),
+                               rtol=1e-4, atol=1e-4)
+    for r in range(len(q)):
+        assert set(np.asarray(idx)[r]) == set(golden_idx[r])
+
+
+@pytest.mark.parametrize("metric", ["ip", "cos", "l2"])
+def test_sharded_searcher_matches_single_device(metric):
+    """ShardedSearcher (corpus row-sharded over the 8 fake devices, SPMD
+    tournament + cross-shard merge) must return exactly the single-device
+    searcher's top-k, including the traced valid-boundary masking on the
+    last shard."""
+    import jax
+    from recommendflow_tpu.retrieval import ShardedSearcher
+    n, d, k = 3777, 16, 9          # deliberately not a multiple of anything
+    v = _corpus(n, d, seed=8)
+    q = _corpus(25, d, seed=9)
+    single = TpuSearcher(dim=d, metric=metric, pad_multiple=128).train(v)
+    sharded = ShardedSearcher(dim=d, metric=metric).train(v)
+    assert len(sharded.mesh.devices.ravel()) == len(jax.devices())
+    _, s1, i1 = single.search(q, topk=k)
+    _, s2, i2 = sharded.search(q, topk=k)
+    np.testing.assert_allclose(np.sort(np.asarray(s2), axis=1),
+                               np.sort(np.asarray(s1), axis=1),
+                               rtol=1e-4, atol=1e-4)
+    for r in range(len(q)):
+        assert set(np.asarray(i2)[r]) == set(np.asarray(i1)[r])
+
+
+def test_sharded_searcher_hier_local_path(monkeypatch):
+    """Force per-shard corpora large enough for the local hierarchical path
+    (n_local=512*... needs n_sg>64 -> n_local>16384) and check exactness."""
+    from recommendflow_tpu.retrieval import ShardedSearcher
+    n, d, k = 140_000, 16, 7       # 8 shards x 17920 local -> n_sg=70 > 64
+    rng = np.random.RandomState(11)
+    v = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(10, d).astype(np.float32)
+    sharded = ShardedSearcher(dim=d, metric="ip").train(v)
+    _, s2, i2 = sharded.search(q, topk=k)
+    golden = np.argsort(-(q @ v.T), axis=1)[:, :k]
+    for r in range(len(q)):
+        assert set(np.asarray(i2)[r]) == set(golden[r])
