@@ -366,14 +366,17 @@ class IvfSearcher(TpuSearcher):
     lists, probed per query (parity surface: FAISS 'IVF{n},Flat' indices,
     faiss_searcher.py:80-97; nprobe attribute like faiss).
 
-    TPU regime note (measured, v5e-1, 1M x 128 cos, k=100, recall@100 vs
-    exact = 0.992 on clustered corpora): exact MXU search wins at this scale
-    at every batch size (B=16: 4.2 vs 5.5 ms; B=256: 20 vs 91 ms) because
-    the dense [Q, D] x [D, N] scan is bandwidth-efficient while IVF's
-    per-query candidate gathers pay the fixed per-row gather cost
-    (~25 ns/512-byte row). IVF is the right tool when the corpus outgrows
-    what a scan can amortize — >=10M items with small online batches — or
-    memory-tiered corpora; at reference scales prefer the exact TpuSearcher.
+    TPU regime note (measured, v5e-1, 1M x 128 cos, k=100): the exact
+    tournament searcher wins at this scale at EVERY batch size and by a
+    wide margin (22.4k q/s exact vs 950 q/s IVF at nprobe=32; B=16: 4.2 vs
+    5.5 ms) because the dense [Q, D] x [D, N] scan rides the MXU while
+    IVF's per-query candidate gathers pay the fixed per-row gather cost
+    (~25 ns/512-byte row). Recall is also data-dependent: 0.992 on
+    clustered corpora but only ~0.2 on isotropic random vectors (neighbors
+    spread across lists — inherent to IVF, same as FAISS). Prefer the exact
+    TpuSearcher (or ShardedSearcher beyond one chip's HBM) at reference
+    scales; IvfSearcher exists for FAISS API parity and memory-tiered
+    setups where scanning is impossible.
 
     Static-shape design (everything jit-safe):
       * inverted lists are a dense [nlist, M] int32 matrix of item indices,
