@@ -275,3 +275,34 @@ def concat_tower(features: Dict[str, jnp.ndarray], schema: BatchSchema,
     parts = [features[s.name] for s in schema.tower_slots(tower)
              if s.name in features]
     return jnp.concatenate(parts, axis=-1)
+
+
+def touched_stored_rows(schema: BatchSchema, params: Params,
+                        batch: Dict[str, jnp.ndarray]
+                        ) -> Dict[str, jnp.ndarray]:
+    """Per stacked-table param name -> SORTED stored-row ids this batch
+    touches (same id math as embed_batch's fused gather, divided by the
+    packing factor inferred from the stored shape).
+
+    Duplicates are retained: for a row-wise optimizer consuming the DENSE
+    combined gradient, every duplicate computes the identical updated row,
+    so a sorted scatter-SET with duplicates is well-defined. Used by the
+    trainer's sparse table-update path (train/optimizers.py:
+    sparse_rowwise_adagrad_update) — at low touched-row fractions it skips
+    the 3 full-table HBM passes of the dense update."""
+    out: Dict[str, jnp.ndarray] = {}
+    by_dim: Dict[int, List[FeatureSlot]] = {}
+    for name in schema.order:
+        slot = schema.slots[name]
+        if slot.kind == "sparse":
+            by_dim.setdefault(slot.dim, []).append(slot)
+    for dim, group_slots in by_dim.items():
+        key = f"dim{dim}"
+        if key not in params:
+            continue
+        p = params[key].shape[1] // dim
+        gids = [_global_ids(schema, s, batch[s.name]).reshape(-1)
+                for s in group_slots]
+        flat = jnp.concatenate(gids) if len(gids) > 1 else gids[0]
+        out[key] = jnp.sort(flat // p if p > 1 else flat)
+    return out

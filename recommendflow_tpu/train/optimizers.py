@@ -62,10 +62,16 @@ def rowwise_adagrad(learning_rate: float = 0.05,
     return optax.GradientTransformation(init, update)
 
 
-def _label_params(params) -> Any:
-    """'table' for stacked embedding tables, 'dense' for everything else."""
+def _label_params(params, frozen_table_dims=None) -> Any:
+    """'table' for stacked embedding tables ('frozen' for those the trainer
+    updates itself on the sparse path), 'dense' for everything else."""
+    frozen = {f"table_dim{d}" for d in (frozen_table_dims or ())}
+
     def label(path, leaf):
-        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        keys = [str(getattr(p, "key", p)) for p in path]
+        name = "/".join(keys)
+        if keys and keys[-1] in frozen:
+            return "frozen"
         return "table" if "table_dim" in name or name.startswith("dim") else "dense"
     return jax.tree_util.tree_map_with_path(label, params)
 
@@ -74,12 +80,18 @@ def make_partitioned_optimizer(learning_rate: float = 1e-3,
                                table_learning_rate: Optional[float] = None,
                                dense_optimizer: str = "adam",
                                weight_decay: float = 0.0,
-                               clip_norm: float = 0.0
+                               clip_norm: float = 0.0,
+                               frozen_table_dims=None
                                ) -> optax.GradientTransformation:
     """Adam (dense) + row-wise Adagrad (tables), with an injectable dense LR
-    so ReduceLROnPlateau keeps working (train/trainer.py:set_learning_rate)."""
+    so ReduceLROnPlateau keeps working (train/trainer.py:set_learning_rate).
+
+    frozen_table_dims: dims whose tables the TRAINER updates itself (sparse
+    touched-row path) — optax gives them a zero update (an add XLA elides)
+    and keeps no state for them."""
     table_lr = table_learning_rate if table_learning_rate is not None \
         else max(learning_rate * 30.0, 0.01)  # adagrad wants a larger lr
+    frozen = set(frozen_table_dims or ())
 
     def build(learning_rate):
         dense = {
@@ -88,10 +100,49 @@ def make_partitioned_optimizer(learning_rate: float = 1e-3,
             "sgd": lambda: optax.sgd(learning_rate),
         }[dense_optimizer]()
         return optax.multi_transform(
-            {"dense": dense, "table": rowwise_adagrad(table_lr)},
-            _label_params)
+            {"dense": dense, "table": rowwise_adagrad(table_lr),
+             "frozen": optax.set_to_zero()},
+            lambda params: _label_params(params, frozen))
 
     tx = optax.inject_hyperparams(build)(learning_rate=learning_rate)
     if clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx
+
+
+def default_table_lr(learning_rate: float) -> float:
+    """The table LR make_partitioned_optimizer derives from the dense LR."""
+    return max(learning_rate * 30.0, 0.01)
+
+
+def sparse_rowwise_adagrad_update(p: jnp.ndarray, acc: jnp.ndarray,
+                                  g_dense: jnp.ndarray, sids: jnp.ndarray,
+                                  *, lr: float, eps: float = 1e-10):
+    """Row-wise Adagrad applied ONLY to the touched rows of a table.
+
+    (p [R, W], acc [R, 1] f32, g_dense [R, W] combined dense cotangent,
+    sids [N] SORTED touched stored-row ids, duplicates allowed) ->
+    (p', acc').
+
+    The dense update costs 3 full-table HBM passes regardless of how few
+    rows a batch touches (read g + read p + write p ~= 30 ms for a 2.5 GB
+    bf16 table at the measured ~250 GB/s ceiling); this variant costs
+    ~162 ns per touched row (3 gathers at ~12 ns + 2 sorted scatter-SETs at
+    ~63 ns, benchmarks/micro_scatter.py), so it wins when
+    3 * table_bytes / 250 GB/s > n_ids * 162 ns — e.g. the ranking bench
+    (0.3% rows touched) but NOT the recall bench (5.5%). The trainer's
+    'auto' mode applies exactly that inequality per table.
+
+    Duplicate ids are safe: the gradient is already duplicate-combined
+    (dense), so every duplicate computes the identical updated row and the
+    sorted scatter-SET writes the same bytes. Numerics match the dense
+    rowwise_adagrad up to one fewer rounding at bf16 (single f32 round
+    instead of round(update)+bf16 add).
+    """
+    g = jnp.take(g_dense, sids, axis=0).astype(jnp.float32)
+    acc_rows = jnp.take(acc, sids, axis=0)
+    acc_new = acc_rows + jnp.mean(g * g, axis=1, keepdims=True)
+    p_rows = jnp.take(p, sids, axis=0).astype(jnp.float32)
+    p_new = (p_rows - lr * g * jax.lax.rsqrt(acc_new + eps)).astype(p.dtype)
+    return (p.at[sids].set(p_new, indices_are_sorted=True),
+            acc.at[sids].set(acc_new, indices_are_sorted=True))

@@ -44,6 +44,9 @@ class TrainState(flax_train_state.TrainState):
     batch_stats: Any = None
     extra_vars: Any = None   # non-param collections beyond batch_stats (e.g. 'stats')
     rng: Any = None
+    table_acc: Any = None    # row-wise Adagrad accumulators of tables on the
+    # SPARSE update path (Trainer(table_update=...)); None on the dense path
+    # where the accumulator lives inside the optax state
 
 
 def make_optimizer(learning_rate: float = 1e-3, optimizer: str = "adam",
@@ -63,6 +66,13 @@ def make_optimizer(learning_rate: float = 1e-3, optimizer: str = "adam",
     if clip_norm > 0:
         return optax.chain(optax.clip_by_global_norm(clip_norm), base)
     return base
+
+
+def _set_path(tree, target_path, value):
+    """Return `tree` with the leaf at `target_path` replaced by `value`."""
+    def pick(path, leaf):
+        return value if path == target_path else leaf
+    return jax.tree_util.tree_map_with_path(pick, tree)
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
@@ -100,8 +110,10 @@ class Trainer:
                  learning_rate: float = 1e-3,
                  mesh=None,
                  shard_tables: bool = False,
+                 table_update: str = "auto",
                  seed: int = 0):
         self.model = model
+        self._default_tx = optimizer is None
         if optimizer is None:
             # default: Adam for dense params + row-wise Adagrad for embedding
             # tables — bounds optimizer HBM traffic by touched rows' dim-mean
@@ -112,6 +124,18 @@ class Trainer:
         self.base_lr = learning_rate
         self.mesh = mesh
         self.shard_tables = shard_tables
+        # 'dense' | 'sparse' | 'auto': how embedding-table rows get their
+        # row-wise Adagrad step. 'sparse' updates only the rows a batch
+        # touches (train/optimizers.py:sparse_rowwise_adagrad_update);
+        # 'auto' picks per table by the measured cost model (3 full-table
+        # HBM passes vs ~162 ns/touched row). Requires the default
+        # optimizer, an unsharded table, and a model exposing .schema —
+        # falls back to 'dense' otherwise.
+        if table_update not in ("dense", "sparse", "auto"):
+            raise ValueError(f"table_update must be dense|sparse|auto, "
+                             f"got '{table_update}'")
+        self.table_update = table_update
+        self._sparse_dims: Dict[int, Any] = {}
         self.seed = seed
         self.control: Dict[str, Any] = {"stop": False, "lr_scale": 1.0}
         self._train_step = None
@@ -128,10 +152,11 @@ class Trainer:
         batch_stats = variables.get("batch_stats", flax_core.freeze({}))
         extra = {k: v for k, v in variables.items()
                  if k not in ("params", "batch_stats")}
+        table_acc = self._plan_table_updates(params, sample_batch)
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=self.tx,
             batch_stats=batch_stats, extra_vars=flax_core.freeze(extra),
-            rng=state_rng)
+            rng=state_rng, table_acc=table_acc)
         if self.mesh is not None:
             if self.shard_tables:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -163,6 +188,87 @@ class Trainer:
                  if self.mesh is not None else "")
         return state
 
+    # ------------------------------------------------- sparse table updates
+    @staticmethod
+    def _table_leaves(params) -> Dict[int, Tuple[Any, Any]]:
+        """dim -> (path, leaf) for every 'table_dim{d}' param."""
+        import re
+        found = {}
+
+        def visit(path, leaf):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            m = re.search(r"table_dim(\d+)$", name)
+            if m:
+                found[int(m.group(1))] = (path, leaf)
+            return leaf
+
+        jax.tree_util.tree_map_with_path(visit, params)
+        return found
+
+    def _plan_table_updates(self, params, sample_batch):
+        """Decide per-table dense vs sparse row-wise Adagrad and return the
+        accumulator pytree for the sparse tables (None if all dense).
+
+        Cost model (measured, CLAUDE.md): dense = 3 full-table HBM passes at
+        ~250 GB/s; sparse = ~162 ns per touched row (3 gathers + 2 sorted
+        scatter-SETs). 'auto' picks sparse when dense costs more."""
+        self._sparse_dims = {}
+        schema = getattr(self.model, "schema", None)
+        if (self.table_update == "dense" or not self._default_tx
+                or self.shard_tables or schema is None):
+            return None
+        n_ids: Dict[int, int] = {}
+        for name in schema.order:
+            slot = schema.slots[name]
+            if slot.kind == "sparse" and name in sample_batch:
+                n_ids[slot.dim] = n_ids.get(slot.dim, 0) + \
+                    int(np.prod(sample_batch[name].shape))
+        acc = {}
+        for dim, (path, leaf) in self._table_leaves(params).items():
+            if dim not in n_ids:
+                continue
+            dense_cost = 3.0 * leaf.size * leaf.dtype.itemsize / 250e9
+            sparse_cost = n_ids[dim] * 162e-9
+            if self.table_update == "sparse" or dense_cost > sparse_cost:
+                self._sparse_dims[dim] = path
+                acc[f"dim{dim}"] = jnp.full((leaf.shape[0], 1), 0.1,
+                                            jnp.float32)
+        if not self._sparse_dims:
+            return None
+        # rebuild the optimizer so optax no longer touches the sparse
+        # tables (their update+state would otherwise cost the dense passes)
+        from recommendflow_tpu.train.optimizers import (
+            default_table_lr, make_partitioned_optimizer)
+        self._table_lr = default_table_lr(self.base_lr)
+        self.tx = make_partitioned_optimizer(
+            self.base_lr, frozen_table_dims=set(self._sparse_dims))
+        log.info("sparse table updates for dims %s (touched-row cost < "
+                 "3 dense passes)", sorted(self._sparse_dims))
+        return acc
+
+    def _apply_sparse_table_updates(self, state: TrainState, grads, batch):
+        """Replace the (frozen-by-optax) sparse tables' rows in-place."""
+        from recommendflow_tpu.ops.embedding import touched_stored_rows
+        from recommendflow_tpu.train.optimizers import (
+            sparse_rowwise_adagrad_update)
+        schema = self.model.schema
+        leaves = self._table_leaves(state.params)
+        shape_view = {f"dim{d}": leaf for d, (_, leaf) in leaves.items()}
+        touched = touched_stored_rows(schema, shape_view, batch)
+        grad_leaves = self._table_leaves(grads)
+        new_params = state.params
+        new_acc = dict(state.table_acc)
+        for dim, (path, p_leaf) in leaves.items():
+            if dim not in self._sparse_dims:
+                continue
+            key = f"dim{dim}"
+            p_new, a_new = sparse_rowwise_adagrad_update(
+                p_leaf, state.table_acc[key], grad_leaves[dim][1],
+                touched[key], lr=self._table_lr)
+            new_acc[key] = a_new
+            new_params = _set_path(new_params, path, p_new)
+        return state.replace(params=new_params, table_acc=new_acc)
+
     # -------------------------------------------------------------- steps
     @staticmethod
     def _variables(state: TrainState, params=None):
@@ -191,6 +297,10 @@ class Trainer:
         grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (aux, new_model_state)), grads = grads_fn(state.params)
         state = state.apply_gradients(grads=grads)
+        if self._sparse_dims:
+            # tables on the sparse path got a zero optax update above (a
+            # no-op add XLA elides); write their touched rows here
+            state = self._apply_sparse_table_updates(state, grads, batch)
         if "batch_stats" in new_model_state:
             state = state.replace(batch_stats=new_model_state["batch_stats"])
         metrics = {"loss": loss, **aux}

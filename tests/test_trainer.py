@@ -227,3 +227,71 @@ def test_epochs_reshuffle_differently(world):
     e0b = next(iter(ds.iter_from(0, epoch=0)))
     assert not np.array_equal(e0["user_id"], e1["user_id"])  # different order
     np.testing.assert_array_equal(e0["user_id"], e0b["user_id"])  # deterministic
+
+
+def test_sparse_table_update_matches_dense(world):
+    """Trainer(table_update='sparse') must produce the same training
+    trajectory as the dense row-wise Adagrad path (identical math on touched
+    rows, untouched rows untouched by definition)."""
+    import jax
+    conf, schema, paths, model = world
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=4)
+    batches = list(ds)
+
+    def run(mode):
+        t = Trainer(model, learning_rate=1e-3, table_update=mode, seed=3)
+        state = t.init_state(batches[0])
+        losses = []
+        for b in batches:
+            state, m = t.train_step(state, b)
+            losses.append(float(m["loss"]))
+        return losses, jax.device_get(state.params)
+
+    dense_losses, dense_params = run("dense")
+    sparse_losses, sparse_params = run("sparse")
+    np.testing.assert_allclose(sparse_losses, dense_losses, rtol=1e-4)
+    flat_d = jax.tree_util.tree_leaves_with_path(dense_params)
+    flat_s = dict((tuple(str(p) for p in k), v)
+                  for k, v in jax.tree_util.tree_leaves_with_path(sparse_params))
+    for k, v in flat_d:
+        key = tuple(str(p) for p in k)
+        np.testing.assert_allclose(flat_s[key], v, rtol=2e-4, atol=2e-5,
+                                   err_msg=str(key))
+
+
+def test_auto_table_update_gates_by_cost(world):
+    """'auto' must stay dense when the table is small relative to the batch's
+    touched rows (the demo config), engaging sparse only when forced."""
+    conf, schema, paths, model = world
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=1)
+    batch = next(iter(ds))
+    t_auto = Trainer(model, learning_rate=1e-3, table_update="auto")
+    t_auto.init_state(batch)
+    assert not t_auto._sparse_dims          # tiny demo tables: dense wins
+    t_sparse = Trainer(model, learning_rate=1e-3, table_update="sparse")
+    state = t_sparse.init_state(batch)
+    assert t_sparse._sparse_dims
+    assert state.table_acc                  # accumulators live on the state
+
+
+def test_sparse_table_update_under_mesh(world):
+    """sparse table updates must be exact under a dp mesh too (batch is
+    dp-sharded; ids all-gather implicitly, tables stay replicated)."""
+    import jax
+    conf, schema, paths, model = world
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=3)
+    batches = list(ds)
+
+    def run(mode, mesh):
+        t = Trainer(model, learning_rate=1e-3, table_update=mode,
+                    mesh=mesh, seed=3)
+        state = t.init_state(batches[0])
+        losses = []
+        for b in batches:
+            state, m = t.train_step(state, b)
+            losses.append(float(m["loss"]))
+        return losses
+
+    dense = run("dense", None)
+    sparse_mesh = run("sparse", make_mesh())
+    np.testing.assert_allclose(sparse_mesh, dense, rtol=1e-4)
