@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 from collections import OrderedDict
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -54,16 +54,21 @@ class TextEncoderService:
 
     # ------------------------------------------------------------- encode
     def _encode_raw(self, texts: Sequence[str]) -> np.ndarray:
-        outs: List[np.ndarray] = []
+        # dispatch every chunk before fetching any: host tokenization of
+        # chunk i+1 overlaps device compute of chunk i, and the device never
+        # idles on a per-chunk np.asarray sync (same pattern as
+        # retrieval/searcher.py:search)
+        pending: List[Tuple[Any, int]] = []
         for start in range(0, len(texts), self.batch_size):
             chunk = list(texts[start:start + self.batch_size])
             # pad the chunk to the full batch for one stable jit shape
             pad_n = self.batch_size - len(chunk)
             tok, seg = self.tokenizer.encode_batch(
                 chunk + [""] * pad_n, self.max_len)
-            emb = np.asarray(self._encode_fn(self.variables, tok, seg))
-            outs.append(emb[:len(chunk)])
-        return np.concatenate(outs, axis=0)
+            pending.append((self._encode_fn(self.variables, tok, seg),
+                            len(chunk)))
+        return np.concatenate(
+            [np.asarray(emb)[:n] for emb, n in pending], axis=0)
 
     def encode(self, texts: Sequence[str], normalize: bool = True) -> np.ndarray:
         """LRU-cached batch encode (OnnxEncoder.encode parity:
