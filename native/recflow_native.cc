@@ -129,4 +129,152 @@ void rf_hash_column_padded(const uint8_t* blob, const int32_t* byte_splits,
   }
 }
 
+// ---------------------------------------------------------------- wordpiece
+// ASCII fast path of the WordPiece tokenizer (encoder/tokenizer.py). The
+// Python Tokenizer routes ASCII-only texts here and keeps full-Unicode
+// texts (NFD folding, CJK splits) on its own path, so behavior over a batch
+// is bit-identical to pure Python (tests/test_encoder_export.py asserts).
+
+}  // extern "C"
+
+#include <string>
+#include <unordered_map>
+#include <vector>
+#include <mutex>
+#include <thread>
+#include <algorithm>
+
+namespace {
+
+struct WpVocab {
+  std::unordered_map<std::string, int32_t> map;
+  int32_t pad, unk, cls, sep;
+  bool lowercase;
+};
+
+std::vector<WpVocab*>& wp_registry() {
+  static std::vector<WpVocab*> r;
+  return r;
+}
+std::mutex& wp_mutex() {
+  static std::mutex m;
+  return m;
+}
+
+inline bool ascii_punct(uint8_t c) {
+  return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+         (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+void wp_encode_one(const WpVocab& v, const uint8_t* text, int32_t len,
+                   int64_t maxlen, int64_t max_wp_len, int32_t* tok_row) {
+  const int64_t budget = maxlen - 2;
+  std::vector<int32_t> ids;
+  ids.reserve(maxlen);
+  std::string word;
+  std::string cand;
+  auto flush = [&]() {
+    if (word.empty() || (int64_t)ids.size() >= budget) { word.clear(); return; }
+    if ((int64_t)word.size() > max_wp_len) {
+      ids.push_back(v.unk);
+      word.clear();
+      return;
+    }
+    // greedy longest-match wordpiece with '##' continuations
+    size_t start = 0;
+    std::vector<int32_t> pieces;
+    bool ok = true;
+    while (start < word.size()) {
+      size_t end = word.size();
+      int32_t piece = -1;
+      while (start < end) {
+        cand.assign(start > 0 ? "##" : "");
+        cand.append(word, start, end - start);
+        auto it = v.map.find(cand);
+        if (it != v.map.end()) { piece = it->second; break; }
+        --end;
+      }
+      if (piece < 0) { ok = false; break; }
+      pieces.push_back(piece);
+      start = end;
+    }
+    if (ok) ids.insert(ids.end(), pieces.begin(), pieces.end());
+    else ids.push_back(v.unk);
+    word.clear();
+  };
+  for (int32_t i = 0; i < len && (int64_t)ids.size() < budget + 8; ++i) {
+    uint8_t c = text[i];
+    if (v.lowercase && c >= 'A' && c <= 'Z') c += 32;
+    if (c == ' ' || (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f)) {
+      flush();
+    } else if (ascii_punct(c)) {
+      flush();
+      if ((int64_t)ids.size() < budget + 8) {
+        char pc[2] = {(char)c, 0};
+        auto it = v.map.find(pc);
+        ids.push_back(it != v.map.end() ? it->second : v.unk);
+      }
+    } else {
+      word.push_back((char)c);
+    }
+  }
+  flush();
+  if ((int64_t)ids.size() > budget) ids.resize(budget);
+  int64_t j = 0;
+  tok_row[j++] = v.cls;
+  for (int32_t id : ids) tok_row[j++] = id;
+  tok_row[j++] = v.sep;
+  for (; j < maxlen; ++j) tok_row[j] = v.pad;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t rf_wp_build(const uint8_t* blob, const int32_t* offsets, int64_t n,
+                    int32_t pad, int32_t unk, int32_t cls, int32_t sep,
+                    int32_t lowercase) {
+  auto* v = new WpVocab();
+  v->map.reserve((size_t)n * 2);
+  for (int64_t i = 0; i < n; ++i) {
+    std::string t((const char*)blob + offsets[i],
+                  (size_t)(offsets[i + 1] - offsets[i]));
+    v->map.emplace(std::move(t), (int32_t)i);
+  }
+  v->pad = pad; v->unk = unk; v->cls = cls; v->sep = sep;
+  v->lowercase = lowercase != 0;
+  std::lock_guard<std::mutex> g(wp_mutex());
+  wp_registry().push_back(v);
+  return (int64_t)wp_registry().size() - 1;
+}
+
+void rf_wp_encode_batch(int64_t handle, const uint8_t* blob,
+                        const int64_t* offsets, int64_t n_texts,
+                        int64_t maxlen, int64_t max_wp_len,
+                        int32_t* out_tok, int32_t n_threads) {
+  const WpVocab* v;
+  {
+    std::lock_guard<std::mutex> g(wp_mutex());
+    v = wp_registry()[(size_t)handle];
+  }
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      wp_encode_one(*v, blob + offsets[i],
+                    (int32_t)(offsets[i + 1] - offsets[i]),
+                    maxlen, max_wp_len, out_tok + i * maxlen);
+    }
+  };
+  if (n_threads <= 1 || n_texts < 256) {
+    work(0, n_texts);
+    return;
+  }
+  std::vector<std::thread> ts;
+  const int64_t per = (n_texts + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * per, hi = std::min(n_texts, lo + per);
+    if (lo < hi) ts.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+}
+
 }  // extern "C"

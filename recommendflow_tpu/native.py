@@ -59,6 +59,13 @@ def _load() -> Optional[ctypes.CDLL]:
                                           ctypes.c_int64,
                                           np.ctypeslib.ndpointer(
                                               np.int32, flags="C_CONTIGUOUS")]
+    lib.rf_wp_build.argtypes = [u8p, i32p, ctypes.c_int64, ctypes.c_int32,
+                                ctypes.c_int32, ctypes.c_int32,
+                                ctypes.c_int32, ctypes.c_int32]
+    lib.rf_wp_build.restype = ctypes.c_int64
+    lib.rf_wp_encode_batch.argtypes = [ctypes.c_int64, u8p, i64p,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64, i32p, ctypes.c_int32]
     _LIB = lib
     return _LIB
 
@@ -121,4 +128,43 @@ def pad_csr_f32(values: np.ndarray, row_splits: np.ndarray, max_len: int,
     n = len(row_splits) - 1
     out = np.empty((n, max_len), dtype=np.float32)
     lib.rf_pad_csr_f32(values, row_splits, n, max_len, pad_value, out)
+    return out
+
+
+def wp_build(tokens, pad_id: int, unk_id: int, cls_id: int, sep_id: int,
+             lowercase: bool) -> Optional[int]:
+    """Load a WordPiece vocab into the native library; returns a handle or
+    None when the library is unavailable. `tokens` must be ordered by id
+    (id = position)."""
+    lib = _load()
+    if lib is None:
+        return None
+    enc = [t.encode("utf-8") for t in tokens]
+    blob = b"".join(enc)
+    offs = np.zeros(len(enc) + 1, dtype=np.int32)
+    np.cumsum([len(e) for e in enc], out=offs[1:])
+    blob_arr = np.frombuffer(blob, dtype=np.uint8) if blob else \
+        np.zeros(1, dtype=np.uint8)
+    return int(lib.rf_wp_build(np.ascontiguousarray(blob_arr), offs,
+                               len(enc), pad_id, unk_id, cls_id, sep_id,
+                               1 if lowercase else 0))
+
+
+def wp_encode_batch(handle: int, texts, maxlen: int,
+                    max_wordpiece_len: int = 100,
+                    n_threads: int = 4) -> np.ndarray:
+    """ASCII texts -> [n, maxlen] int32 token ids via the native WordPiece
+    fast path (caller guarantees ASCII-only; see encoder/tokenizer.py)."""
+    lib = _load()
+    assert lib is not None and handle is not None
+    enc = [t.encode("ascii") for t in texts]
+    blob = b"".join(enc)
+    offs = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in enc], out=offs[1:])
+    blob_arr = np.frombuffer(blob, dtype=np.uint8) if blob else \
+        np.zeros(1, dtype=np.uint8)
+    out = np.empty((len(enc), maxlen), dtype=np.int32)
+    lib.rf_wp_encode_batch(handle, np.ascontiguousarray(blob_arr), offs,
+                           len(enc), maxlen, max_wordpiece_len, out,
+                           n_threads)
     return out

@@ -197,3 +197,38 @@ def test_pallas_table_update_matches_rowwise_adagrad():
         np.testing.assert_allclose(
             np.asarray(got_p, np.float32), np.asarray(ref_p, np.float32),
             rtol=rtol, atol=atol)
+
+
+def test_native_wordpiece_matches_python():
+    """The C++ WordPiece fast path must be bit-identical to the Python
+    tokenizer over ASCII edge cases (punctuation runs, case folding,
+    over-long words -> [UNK], truncation) with non-ASCII texts routed to
+    Python inside the same batch."""
+    from recommendflow_tpu import native
+    from recommendflow_tpu.encoder.tokenizer import Tokenizer
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import os
+    vocab_path = os.path.join(os.path.dirname(__file__), "..", "conf",
+                              "demo_vocab.txt")
+    tok = Tokenizer(vocab_path)
+    assert tok._native_handle is not None
+    rng = np.random.default_rng(3)
+    words = [w for w in tok.vocab if w.isalpha()][:300]
+    texts = []
+    for i in range(400):
+        t = " ".join(rng.choice(words, int(rng.integers(1, 14))))
+        if i % 5 == 0:
+            t = t.upper() + "!?,();"
+        if i % 7 == 0:
+            t += " " + "x" * int(rng.integers(90, 130))   # > max_wordpiece_len
+        if i % 9 == 0:
+            t += " 北京 café"                              # non-ascii row
+        texts.append(t)
+    got_t, got_s = tok.encode_batch(texts, 24)
+
+    tok_py = Tokenizer(vocab_path)
+    tok_py._native_handle_cached = None                    # force python path
+    ref_t, ref_s = tok_py.encode_batch(texts, 24)
+    np.testing.assert_array_equal(got_t, ref_t)
+    np.testing.assert_array_equal(got_s, ref_s)
