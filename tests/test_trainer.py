@@ -295,3 +295,27 @@ def test_sparse_table_update_under_mesh(world):
     dense = run("dense", None)
     sparse_mesh = run("sparse", make_mesh())
     np.testing.assert_allclose(sparse_mesh, dense, rtol=1e-4)
+
+
+def test_sparse_mode_checkpoint_roundtrip(world, tmp_path):
+    """table_acc (the sparse-path Adagrad accumulators on TrainState) must
+    survive a checkpoint save/restore and keep training identically."""
+    conf, schema, paths, model = world
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=2)
+    batches = list(ds)
+    trainer = Trainer(model, learning_rate=1e-3, table_update="sparse", seed=5)
+    state = trainer.init_state(batches[0])
+    for b in batches:
+        state, _ = trainer.train_step(state, b)
+    from recommendflow_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    root = str(tmp_path / "sparse_ckpt")
+    save_checkpoint(root, state, step=0)
+    restored = restore_checkpoint(root, trainer.init_state(batches[0]))
+    for k in state.table_acc:
+        np.testing.assert_allclose(np.asarray(restored.table_acc[k]),
+                                   np.asarray(state.table_acc[k]))
+    # one more step from each must agree
+    s1, m1 = trainer.train_step(state, batches[0])
+    s2, m2 = trainer.train_step(restored, batches[0])
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
