@@ -9,6 +9,15 @@ Shapes: q [B, H, Lq, D], k/v [B, H, Lk, D], optional key mask [B, Lk]
 (True = valid). D and the block sizes must respect TPU tiling (last dim
 a multiple of 128 is ideal; smaller D works via implicit padding by Mosaic
 for the MXU ops since tiles are VMEM-resident blocks, not HBM slices).
+
+MEASURED ON v5e (steady-state, interleaved, f32 in / bf16-pass matmuls):
+XLA's fused SDPA beats this kernel at every reference-relevant shape —
+[512,4,32,64]: 2.4-3.7 vs 4.1-4.5 ms; [32,8,512,64]: 4.4 vs 7.3 ms;
+[8,8,2048,64]: 11.8 vs 22.9 ms. Consistent with the chip's Pallas-pipeline
+vs XLA streaming gap (CLAUDE.md HBM calibration). `use_pallas` therefore
+stays OFF by default; the kernel is kept correct (interpret + on-device
+tests) for toolchains where the gap closes and as the seam for a future
+sequence-length regime that XLA mishandles.
 """
 from __future__ import annotations
 
