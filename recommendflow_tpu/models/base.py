@@ -60,19 +60,34 @@ class FeatureEmbedder(nn.Module):
                 f"table_dim{dim}", init_table,
                 table_shape(group, dtype),  # packed [rows/P, P*dim] layout
                 dtype)
+        vit = getattr(self.schema, "image_encoder", "linear") == "vit"
+        image_encoders = {}
         for name in self.schema.order:
             slot = self.schema.slots[name]
             if slot.kind == "image":
-                from recommendflow_tpu.ops.embedding import IMAGE_PATCH
-                patch_dim = IMAGE_PATCH * IMAGE_PATCH * 3
-                tables[f"img_{name}"] = self.param(
-                    f"img_proj_{name}", nn.initializers.lecun_normal(),
-                    (patch_dim, slot.dim), jnp.float32)
+                if vit:
+                    # full ViT over patches (Networks image_encoder: vit);
+                    # completes the reference's empty vit_encoder.py scaffold
+                    from recommendflow_tpu.ops.transformer import ImageEncoder
+                    image_encoders[name] = ImageEncoder(
+                        out_dim=slot.dim, name=f"vit_{name}")
+                else:
+                    from recommendflow_tpu.ops.embedding import IMAGE_PATCH
+                    patch_dim = IMAGE_PATCH * IMAGE_PATCH * 3
+                    tables[f"img_{name}"] = self.param(
+                        f"img_proj_{name}", nn.initializers.lecun_normal(),
+                        (patch_dim, slot.dim), jnp.float32)
+        self._image_encoders = image_encoders
         self._tables = tables
 
     def __call__(self, batch: Batch, tower: Optional[str] = None) -> Dict[str, jnp.ndarray]:
         from recommendflow_tpu.ops.embedding import embed_batch
-        return embed_batch(self._tables, self.schema, batch, tower=tower)
+        out = embed_batch(self._tables, self.schema, batch, tower=tower)
+        for name, enc in self._image_encoders.items():
+            slot = self.schema.slots[name]
+            if tower is None or slot in self.schema.tower_slots(tower):
+                out[name] = enc(batch[name].astype(jnp.float32))
+        return out
 
     def tower_vector(self, batch: Batch, tower: str) -> jnp.ndarray:
         from recommendflow_tpu.ops.embedding import concat_tower
@@ -93,6 +108,8 @@ class RecModel(nn.Module):
             schema = compile_schema(self.conf.features)
             schema.table_dtype = str(
                 self.conf.networks.get("table_dtype", "float32"))
+            schema.image_encoder = str(
+                self.conf.networks.get("image_encoder", "linear"))
             object.__setattr__(self, "_schema_cache", schema)
         return self._schema_cache
 

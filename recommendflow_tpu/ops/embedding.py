@@ -247,8 +247,12 @@ def embed_batch(params: Params, schema: BatchSchema,
         elif slot.kind in ("dense", "embedding"):
             out[slot.name] = batch[slot.name].astype(jnp.float32)
         elif slot.kind == "image":
-            out[slot.name] = patch_embed(params[f"img_{slot.name}"],
-                                         batch[slot.name].astype(jnp.float32))
+            if f"img_{slot.name}" in params:
+                out[slot.name] = patch_embed(
+                    params[f"img_{slot.name}"],
+                    batch[slot.name].astype(jnp.float32))
+            # else: a ViT image encoder owns this slot (models/base.py
+            # FeatureEmbedder with Networks image_encoder: vit)
 
     for dim, group_slots in by_dim.items():
         group = schema.groups[dim]

@@ -123,3 +123,49 @@ class TabTransformer(nn.Module):
                 name=f"block{i}")(x, None, training)
         b, f, d = x.shape
         return x.reshape(b, f * d)
+
+
+class ImageEncoder(nn.Module):
+    """ViT-style image encoder (completes the reference's empty scaffold
+    backend/encoder/vit_encoder.py:1 the way the empty model files were
+    completed as real models): patchify -> linear patch embedding + learned
+    [CLS] + learned position embeddings -> N transformer blocks -> pooled
+    [B, out_dim] image representation.
+
+    Input: [B, S, S, 3] float pixels (the image deal's host-decoded layout,
+    data/schema.py); S must be a multiple of patch. The cheap alternative
+    (linear patch projection + mean pool) remains the image deal's default —
+    ops/embedding.py:patch_embed; this module is for image towers that
+    deserve attention over patches.
+    """
+    out_dim: int = 128
+    patch: int = 8
+    num_layers: int = 2
+    model_dim: int = 128
+    num_heads: int = 4
+    ffn_hidden: int = 512
+    dropout: float = 0.1
+    pooling: str = "cls"          # cls | avg
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray,
+                 training: bool = False) -> jnp.ndarray:
+        b, s, _, c = images.shape
+        p, n = self.patch, images.shape[1] // self.patch
+        x = images.reshape(b, n, p, n, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, n * n, p * p * c)
+        x = nn.Dense(self.model_dim, name="patch_proj")(x)   # [B, N, D]
+        cls = self.param("cls", nn.initializers.zeros, (1, 1, self.model_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.model_dim)), x],
+                            axis=1)
+        pos = self.param("pos_emb", nn.initializers.normal(0.02),
+                         (1, n * n + 1, self.model_dim))
+        x = nn.LayerNorm(name="emb_ln")(x + pos)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        mask = jnp.ones((b, n * n + 1), bool)
+        for i in range(self.num_layers):
+            x = TransformerEncoderBlock(
+                self.num_heads, self.ffn_hidden, self.dropout,
+                name=f"block{i}")(x, mask, training)
+        pooled = x[:, 0] if self.pooling == "cls" else jnp.mean(x, axis=1)
+        return nn.Dense(self.out_dim, name="head")(pooled)

@@ -148,3 +148,35 @@ def test_train_step_with_image_feature(conf, records):
         state, metrics = trainer.train_step(state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]      # learns through the image channel too
+
+
+def test_train_step_with_vit_image_encoder(conf, records, tmp_path_factory):
+    """Networks image_encoder: vit routes the image slot through the full
+    ViT ImageEncoder (patch + CLS + transformer blocks) instead of the
+    linear projection; a training step must run and update its params."""
+    import jax
+    from recommendflow_tpu.models.base import build_network
+    from recommendflow_tpu.train import Trainer
+
+    p = tmp_path_factory.mktemp("vitconf") / "vit.yaml"
+    p.write_text(CONF.replace("Networks:", "Networks:\n  image_encoder: vit"))
+    vconf = Configuration(str(p))
+    schema = compile_schema(vconf.features)
+    model, _ = build_network(vconf.networks["class"], {"conf": vconf})
+    ds = Dataset(schema, records, batch_size=16)
+    batch = next(iter(ds))
+    trainer = Trainer(model, learning_rate=1e-3)
+    state = trainer.init_state(batch)
+    flat = jax.tree_util.tree_leaves_with_path(state.params)
+    vit_keys = [k for k, _ in flat if "vit_item_img" in "/".join(
+        str(getattr(s, "key", s)) for s in k)]
+    assert vit_keys, "ViT encoder params missing"
+    before = {"/".join(str(getattr(s, "key", s)) for s in k): np.asarray(v)
+              for k, v in flat if "vit_item_img" in str(k)}
+    state, m = trainer.train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    after = {"/".join(str(getattr(s, "key", s)) for s in k): np.asarray(v)
+             for k, v in jax.tree_util.tree_leaves_with_path(state.params)
+             if "vit_item_img" in str(k)}
+    changed = any(not np.allclose(before[k], after[k]) for k in before)
+    assert changed, "ViT params did not update"
