@@ -36,6 +36,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--monitor", default="val_auc")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_mesh", action="store_true", help="single-device jit")
+    p.add_argument("--preempt_dir", default=None,
+                   help="SIGTERM/SIGINT -> finish step, checkpoint here, "
+                        "exit cleanly (default: <model_save_root>/preempt)")
     p.add_argument("--shard_tables", action="store_true",
                    help="row-shard embedding tables over the mesh")
     return p
@@ -97,9 +100,16 @@ def main(argv=None):
         state = trainer.init_state(trainer._put(sample))
         state = restore_checkpoint(args.load_checkpoint, state)
 
+    preempt_dir = args.preempt_dir or (
+        os.path.join(save_root, "preempt") if save_root else None)
+    if preempt_dir:
+        from recommendflow_tpu.train.trainer import install_preemption_handler
+        install_preemption_handler(trainer)
+
     result = trainer.fit(train_ds, epochs=epochs, valid_ds=valid_ds,
                          callbacks=callbacks, state=state,
-                         log_every=5 if debug else 100)
+                         log_every=5 if debug else 100,
+                         preempt_dir=preempt_dir)
     final = result["history"][-1] if result["history"] else {}
     print("final:", {k: round(v, 5) for k, v in final.items()})
     return result

@@ -367,6 +367,12 @@ class Dataset:
         drop_remainder's discarded tail rows never desynchronize resume.
         """
         emitted = 0
+        # take_batches bounds the ABSOLUTE stream position, so a resumed
+        # iterator stops where the un-skipped one would (skipped batches
+        # count as already emitted)
+        already = skip_batches
+        if self.take_batches and already >= self.take_batches:
+            return
         per_rep = self._batches_per_rep()
         for rep in range(self.repeat):
             if skip_batches >= per_rep:
@@ -384,13 +390,13 @@ class Dataset:
                     batch, buf, buffered = _slice_buffer(buf, self.batch_size)
                     yield batch
                     emitted += 1
-                    if self.take_batches and emitted >= self.take_batches:
+                    if self.take_batches and already + emitted >= self.take_batches:
                         return
             if buf and not self.drop_remainder and buffered:
                 batch, _, _ = _slice_buffer(buf, buffered)
                 yield batch
                 emitted += 1
-            if self.take_batches and emitted >= self.take_batches:
+            if self.take_batches and already + emitted >= self.take_batches:
                 return
 
     def __len__(self) -> int:

@@ -420,7 +420,8 @@ class Trainer:
             state: Optional[TrainState] = None,
             profile_dir: Optional[str] = None,
             profile_steps: Tuple[int, int] = (10, 15),
-            resume_data: bool = True) -> Dict[str, Any]:
+            resume_data: bool = True,
+            preempt_dir: Optional[str] = None) -> Dict[str, Any]:
         callbacks = list(callbacks or [])
         history = History()
         callbacks.append(history)
@@ -483,6 +484,8 @@ class Trainer:
                     elif n_batches == profile_steps[1]:
                         jax.profiler.stop_trace()
                         log.info("profiler trace written to %s", profile_dir)
+                if self.control.get("preempt"):
+                    break
                 state, metrics = self.train_step(state, batch)
                 n_batches += 1
                 n_examples += len(next(iter(batch.values())))
@@ -506,9 +509,36 @@ class Trainer:
             print_table([[k, f"{v:.6g}"] for k, v in sorted(logs.items())],
                         headers=["metric", "value"],
                         title=f"Epoch {epoch} ({dt:.1f}s, {n_batches} steps)")
+        if self.control.pop("preempt", False) and preempt_dir:
+            # graceful preemption: the step counter inside `state` lets the
+            # next fit() resume mid-epoch from exactly this batch
+            from recommendflow_tpu.train.checkpoint import save_checkpoint
+            save_checkpoint(preempt_dir, state, step=int(state.step))
+            log.warning("preempted: checkpoint saved at step %d -> %s",
+                        int(state.step), preempt_dir)
         for cb in callbacks:
             cb.on_train_end(self, state, logs)
         return {"state": state, "history": history.epochs}
+
+
+def install_preemption_handler(trainer: "Trainer",
+                               signals=None) -> None:
+    """SIGTERM/SIGINT -> finish the in-flight step, checkpoint (fit's
+    preempt_dir), exit the train loop cleanly. The reference has no in-train
+    failure handling (SURVEY §5 — crashes resume manually from epoch files);
+    here preemption resumes mid-epoch via the step-level data resume."""
+    import signal as _signal
+    sigs = signals if signals is not None else (_signal.SIGTERM,
+                                                _signal.SIGINT)
+
+    def handler(signum, frame):
+        log.warning("signal %s: finishing current step, then checkpoint + "
+                    "clean exit", signum)
+        trainer.control["stop"] = True
+        trainer.control["preempt"] = True
+
+    for s in sigs:
+        _signal.signal(s, handler)
 
 
 def _chain_first(first, rest):

@@ -275,3 +275,25 @@ Networks:
     assert np.isfinite(float(loss))
     out = model.apply(v, jb, training=False)
     assert out["user"].shape == (8, 16)
+
+
+def test_iter_from_respects_take_batches(demo_conf_path, tmp_path):
+    """iter_from(skip) must stop at the same absolute position as the
+    un-skipped stream: a resume inside a take_batches-bounded epoch yields
+    exactly the remaining batches (regression: it used to emit take_batches
+    more, overrunning the epoch by `skip`)."""
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.pipeline import Dataset
+    from recommendflow_tpu.data.schema import compile_schema
+    conf = Configuration(demo_conf_path)
+    schema = compile_schema(conf.features)
+    paths = generate_records(conf, str(tmp_path / "r"), num_rows=800,
+                             num_files=1, seed=2)
+    ds = Dataset(schema, paths, batch_size=64, shuffle=False, take_batches=6)
+    full = list(ds)
+    assert len(full) == 6
+    resumed = list(ds.iter_from(2))
+    assert len(resumed) == 4
+    for a, b in zip(full[2:], resumed):
+        np.testing.assert_array_equal(a["label"], b["label"])
+    assert list(ds.iter_from(6)) == []

@@ -319,3 +319,49 @@ def test_sparse_mode_checkpoint_roundtrip(world, tmp_path):
     s1, m1 = trainer.train_step(state, batches[0])
     s2, m2 = trainer.train_step(restored, batches[0])
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+
+
+def test_graceful_preemption_checkpoints_and_resumes(world, tmp_path):
+    """A preempt signal mid-epoch must finish the in-flight step, save a
+    step-stamped checkpoint, exit fit() cleanly — and a fresh fit() from
+    that checkpoint resumes mid-epoch at the right batch."""
+    import os
+    import signal
+
+    from recommendflow_tpu.train.checkpoint import (
+        latest_step, restore_checkpoint)
+    from recommendflow_tpu.train.trainer import install_preemption_handler
+
+    conf, schema, paths, model = world
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=6)
+    trainer = Trainer(model, learning_rate=1e-3, seed=9)
+    install_preemption_handler(trainer)
+    pdir = str(tmp_path / "preempt")
+
+    class KillAfter(Dataset.__mro__[-1]):  # simple iterable wrapper
+        def __init__(self, inner, n, trainer):
+            self.inner, self.n, self.trainer = inner, n, trainer
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            for i, b in enumerate(self.inner):
+                if i == self.n:
+                    os.kill(os.getpid(), signal.SIGTERM)  # handler sets flags
+                yield b
+
+    result = trainer.fit(KillAfter(ds, 3, trainer), epochs=2,
+                         preempt_dir=pdir)
+    saved = latest_step(pdir)
+    # the prefetch thread runs ahead of the consumer, so the signal lands
+    # somewhere in [1, 4) consumed steps — what matters is a step-stamped
+    # checkpoint exists and matches the returned state
+    assert saved is not None and 1 <= saved <= 4, saved
+    assert int(result["state"].step) == saved
+
+    # resume: a fresh trainer picks up mid-epoch and finishes both epochs
+    trainer2 = Trainer(model, learning_rate=1e-3, seed=9)
+    restored = restore_checkpoint(pdir, trainer2.init_state(next(iter(ds))))
+    done = trainer2.fit(ds, epochs=2, state=restored)
+    assert int(done["state"].step) == 12           # 2 epochs x 6 batches
