@@ -145,8 +145,79 @@ def bench_pallas_scan(q_block=1024):
               flush=True)
 
 
+def bench_prod_stages(q_block=1024):
+    """Decompose the PRODUCTION two-level tournament search_block
+    (retrieval/searcher.py hierarchical path) stage by stage to find the
+    next lever. Each jitted probe runs the pipeline up to stage X and
+    returns a scalar from its last array (REPS iterations inside one scan
+    so dispatch overhead is amortized and stages are interleaved-comparable).
+    """
+    from recommendflow_tpu.ops.pallas.grouped_topk import grouped_score_max
+
+    G2 = 16
+    rng = np.random.default_rng(0)
+    n_pad = ((N + 65535) // 65536) * 65536
+    n_sg = n_pad // (G * G2)
+    vecs = jnp.asarray(rng.standard_normal((n_pad, D), np.float32))
+    vecs_g = jax.jit(lambda v: v.reshape(n_pad // G, G * D))(vecs)
+    qs = jnp.asarray(rng.standard_normal((q_block, D), np.float32))
+
+    def stages(queries, vecs, vecs_g, upto):
+        nq = queries.shape[0]
+        m1 = grouped_score_max(queries, vecs, None, group=G, num_items=N).T
+        if upto == "m1":
+            return m1
+        m2 = jnp.max(m1.reshape(nq, n_sg, G2), axis=-1)
+        if upto == "m2":
+            return m2
+        _, sg = lax.top_k(m2, K)
+        if upto == "topk_m2":
+            return sg
+        c1 = jnp.take_along_axis(m1.reshape(nq, n_sg, G2), sg[:, :, None],
+                                 axis=1)
+        _, pos = lax.top_k(c1.reshape(nq, K * G2), K)
+        gids = (sg[:, :, None] * G2 +
+                jnp.arange(G2)[None, None, :]).reshape(nq, K * G2)
+        gidx = jnp.take_along_axis(gids, pos, axis=1)
+        if upto == "topk_c1":
+            return gidx
+        gv = vecs_g[gidx]
+        if upto == "gather_gv":
+            return gv
+        cs = jnp.einsum("qkgd,qd->qkg", gv.reshape(nq, K, G, D), queries)
+        cand = (gidx[:, :, None] * G +
+                jnp.arange(G)[None, None, :]).reshape(nq, K * G)
+        cs = jnp.where(cand.reshape(nq, K, G) < N, cs, -1e30).reshape(nq, K * G)
+        top_scores, p2 = lax.top_k(cs, K)
+        top_idx = jnp.take_along_axis(cand, p2, axis=1)
+        return top_scores + top_idx.astype(jnp.float32)
+
+    def probe(upto):
+        @jax.jit
+        def fn(qs, vecs, vecs_g):
+            def body(c, _):
+                out = stages(qs + c, vecs, vecs_g, upto)
+                return c + 1e-6, out.ravel()[0]
+            _, outs = lax.scan(body, jnp.float32(0), None, length=REPS)
+            return outs
+        return fn
+
+    names = ["m1", "m2", "topk_m2", "topk_c1", "gather_gv", "full"]
+    fns = {nm: probe(nm) for nm in names}
+    for trial in range(3):
+        r = {nm: timed(fns[nm], qs, vecs, vecs_g) for nm in names}
+        qps = q_block / (r["full"] / 1e3)
+        print(f"trial {trial} Q={q_block}: " +
+              "  ".join(f"{k}={v:.2f}ms" for k, v in r.items()) +
+              f"  -> {qps:,.0f} q/s", flush=True)
+
+
 if __name__ == "__main__":
     if "pallas" in sys.argv:
         bench_pallas_scan()
+    elif "prod" in sys.argv:
+        qb = int(sys.argv[sys.argv.index("prod") + 1]) \
+            if len(sys.argv) > sys.argv.index("prod") + 1 else 1024
+        bench_prod_stages(qb)
     else:
         main()

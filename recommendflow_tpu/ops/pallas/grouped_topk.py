@@ -26,10 +26,13 @@ from jax.experimental import pallas as pl
 
 NEG = -1e30
 
-_BLOCK_QUERIES = 512   # QB: queries per grid step
+_BLOCK_QUERIES = 1024  # QB: queries per grid step. The MXU dot is
+# [C, D] x [D, QB] with a thin D=128 contraction — utilization scales with
+# QB (measured v5e, 1M x 128: qb=512 10.4 ms, qb=1024 5.9 ms per 1024
+# queries; block-size sweep in /tmp lost to history, summary in CLAUDE.md).
 # items per grid step is 128*group so the [QB, C/group] output block keeps a
 # 128-lane minor dim (Mosaic block requirement); at group=16 the score tile
-# is [512, 2048] f32 = 4 MB of VMEM
+# is [1024, 2048] f32 = 8 MB of VMEM (+1 MB corpus block +1 MB in/out)
 
 
 def _kernel(q_ref, v_ref, sqn_ref, o_ref, *, group: int, num_items: int,
@@ -39,6 +42,8 @@ def _kernel(q_ref, v_ref, sqn_ref, o_ref, *, group: int, num_items: int,
     # shape cast (minor lane dim unchanged) but not the lane-splitting
     # [QB, C] -> [QB, C/G, G] one.
     j = pl.program_id(0)
+    # bf16 corpus: bf16 x bf16 MXU dot with f32 accumulation (queries are
+    # pre-cast by the caller) — halves the HBM corpus stream
     s = jax.lax.dot_general(v_ref[...], q_ref[...], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)   # [C, QB]
     if l2:
@@ -66,6 +71,9 @@ def grouped_score_max(queries: jnp.ndarray, vecs: jnp.ndarray,
     c = 128 * group
     qb = min(_BLOCK_QUERIES, q)
     assert d % 128 == 0 and n_pad % c == 0
+    if vecs.dtype == jnp.bfloat16:
+        # match operand dtypes so the dot is a native bf16 MXU pass
+        queries = queries.astype(jnp.bfloat16)
     l2 = sq_norms is not None
     sqn = (sq_norms.reshape(n_pad, 1) if l2 else
            jnp.zeros((n_pad, 1), jnp.float32))

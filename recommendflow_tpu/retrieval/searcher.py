@@ -138,11 +138,15 @@ class TpuSearcher:
         if n_pad % (G * G2) == 0 and n_pad // (G * G2) > max(k, 64) \
                 and n_pad >= _HIER_MIN_ITEMS:
             if self._vecs_g is None:
-                # one-time device-side relayout ([N, D] -> [N/G, G*D] is a
+                # one-time device-side relayout ([N, D] -> [N/G, G, D] is a
                 # real copy on TPU: the (8,128) tilings differ — never do it
-                # inside the per-call jit)
+                # inside the per-call jit). The 3D group layout matters for
+                # the rescore gather: XLA row-gathers of [1, G, D] tiles run
+                # ~2x faster than [1, G*D] 8 KB rows (measured v5e, 102k
+                # gathers from 1M x 128: 6.2 vs 12.8 ms — wide 2D rows
+                # straddle lane tiles; see CLAUDE.md perf notes)
                 self._vecs_g = jax.jit(
-                    lambda v: v.reshape(n_pad // G, G * dim))(self._vecs)
+                    lambda v: v.reshape(n_pad // G, G, dim))(self._vecs)
                 if self._sq_norms is not None:
                     self._sqn_g = jax.jit(
                         lambda s: s.reshape(n_pad // G, G))(self._sq_norms)
@@ -191,14 +195,15 @@ class TpuSearcher:
                 gids = (sg[:, :, None] * G2 +
                         jnp.arange(G2)[None, None, :]).reshape(nq, k * G2)
                 gidx = jnp.take_along_axis(gids, pos, axis=1)  # [Q, k] groups
-                # rescore the k winning groups from their vectors
-                gv = vecs_g[gidx]                              # [Q, k, G*dim]
-                cs = jnp.einsum("qkgd,qd->qkg",
-                                gv.reshape(nq, k, G, dim), queries)
+                # rescore the k winning groups from their vectors (FLAT index
+                # into the 3D group table — 2x the 2D-row gather, see train())
+                gv = vecs_g[gidx.reshape(-1)].reshape(nq, k, G, dim)
+                cs = jnp.einsum("qkgd,qd->qkg", gv, queries)
                 cand = (gidx[:, :, None] * G +
                         jnp.arange(G)[None, None, :]).reshape(nq, k * G)
                 if metric == "l2":
-                    cs = 2.0 * cs - sqn_g[gidx]                # [Q, k, G]
+                    cs = 2.0 * cs - \
+                        sqn_g[gidx.reshape(-1)].reshape(nq, k, G)
                 cs = jnp.where(cand.reshape(nq, k, G) < num_items,
                                cs, NEG).reshape(nq, k * G)
                 top_scores, p2 = jax.lax.top_k(cs, k)
