@@ -164,6 +164,10 @@ class Tokenizer:
         (bit-identical to the Python path, ~25x faster); full-Unicode texts
         (NFD folding, CJK splits) and text pairs stay on Python."""
         import numpy as np
+        if maxlen < 2:
+            # [CLS] + [SEP] alone need 2 slots; the native path would write
+            # past a narrower row (and the Python path mis-truncates)
+            raise ValueError(f"encode_batch maxlen must be >= 2, got {maxlen}")
         tok = np.full((len(texts), maxlen), self.pad_id, dtype=np.int32)
         seg = np.zeros((len(texts), maxlen), dtype=np.int32)
         rest = range(len(texts))

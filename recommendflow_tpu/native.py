@@ -157,6 +157,10 @@ def wp_encode_batch(handle: int, texts, maxlen: int,
     fast path (caller guarantees ASCII-only; see encoder/tokenizer.py)."""
     lib = _load()
     assert lib is not None and handle is not None
+    if maxlen < 2:
+        # the C kernel writes [CLS]/[SEP] unconditionally at row[0]/row[1];
+        # a narrower row would be heap corruption, not truncation
+        raise ValueError(f"wp_encode_batch maxlen must be >= 2, got {maxlen}")
     enc = [t.encode("ascii") for t in texts]
     blob = b"".join(enc)
     offs = np.zeros(len(enc) + 1, dtype=np.int64)

@@ -37,6 +37,53 @@ def _l2_normalize(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
+def _tournament_select(queries, m1, vecs_g, sqn_g, k, select_k, valid,
+                       metric):
+    """Two-level tournament select + exact vector rescore.
+
+    m1      [Q, n_groups] per-group score maxima (masked by the caller).
+    vecs_g  [n_groups, G, D] grouped corpus relayout; sqn_g [n_groups, G]
+            squared norms (l2 only). valid: item indices >= valid score NEG
+            at rescore (may be a traced scalar).
+    select_k >= k supergroups/groups survive each tournament level — callers
+    that force an over-included candidate group (e.g. a traced-boundary
+    group pinned to +BIG, see sharded.py) pass select_k = k + 1 so the
+    forced group cannot displace a true top-k group from the k slots.
+
+    Exactness: at most k groups can contain a top-k element and each such
+    group's max is >= the k-th best score, so the top-select_k(>=k)
+    groups-by-max cover every top-k element — at any nesting depth. Full
+    scores for the winning groups are RE-COMPUTED from gathered group
+    vectors (FLAT index into the 3D group table: [1, G, D] tile gathers run
+    ~2x faster than [1, G*D] wide rows — 6.2 vs 12.8 ms per 102k gathers
+    from 1M x 128, measured v5e) instead of gathered out of a materialized
+    [Q, N] score matrix. take_along_axis with [:, :, None] indices lowers
+    to cheap row gathers; flat per-element indexing costs ~30 ns/element.
+    """
+    nq = queries.shape[0]
+    G2 = _SUPERGROUP
+    G, dim = vecs_g.shape[1], vecs_g.shape[2]
+    n_sg = m1.shape[1] // G2
+    m2 = jnp.max(m1.reshape(nq, n_sg, G2), axis=-1)
+    _, sg = jax.lax.top_k(m2, select_k)               # [Q, sk] supergroups
+    c1 = jnp.take_along_axis(m1.reshape(nq, n_sg, G2),
+                             sg[:, :, None], axis=1)
+    _, pos = jax.lax.top_k(c1.reshape(nq, select_k * G2), select_k)
+    gids = (sg[:, :, None] * G2 +
+            jnp.arange(G2)[None, None, :]).reshape(nq, select_k * G2)
+    gidx = jnp.take_along_axis(gids, pos, axis=1)     # [Q, sk] groups
+    gv = vecs_g[gidx.reshape(-1)].reshape(nq, select_k, G, dim)
+    cs = jnp.einsum("qkgd,qd->qkg", gv, queries)
+    cand = (gidx[:, :, None] * G +
+            jnp.arange(G)[None, None, :]).reshape(nq, select_k * G)
+    if metric == "l2":
+        cs = 2.0 * cs - sqn_g[gidx.reshape(-1)].reshape(nq, select_k, G)
+    cs = jnp.where(cand.reshape(nq, select_k, G) < valid,
+                   cs, NEG).reshape(nq, select_k * G)
+    top_scores, p2 = jax.lax.top_k(cs, k)
+    return top_scores, jnp.take_along_axis(cand, p2, axis=1)
+
+
 class TpuSearcher:
     """Exact top-k searcher over an item embedding matrix.
 
@@ -160,8 +207,8 @@ class TpuSearcher:
             # groups are RE-COMPUTED from gathered group vectors (k row
             # gathers of G*D contiguous floats per query) instead of
             # gathered out of a materialized score matrix. Same exact
-            # result, ~3x the throughput.
-            n_sg = n_pad // (G * G2)
+            # result, ~3x the throughput (select + rescore shared with the
+            # sharded searcher: _tournament_select above).
             # the scan stage (scores + group max) runs as a fused Pallas
             # kernel on TPU — the [Q, N] score matrix never touches HBM
             # (measured 31 -> 13 ms per 1024 queries at 1M x 128; see
@@ -182,32 +229,9 @@ class TpuSearcher:
                     scores.reshape(queries.shape[0], n_pad // G, G), axis=-1)
 
             def search_block(queries, vecs, vecs_g, sq_norms, sqn_g):
-                nq = queries.shape[0]
                 m1 = compute_m1(queries, vecs, sq_norms)
-                m2 = jnp.max(m1.reshape(nq, n_sg, G2), axis=-1)
-                _, sg = jax.lax.top_k(m2, k)                 # [Q, k] supergroups
-                # level-1 maxima of the winning supergroups, as ROW gathers
-                # ([Q, k, G2] — element-wise take_along_axis on [Q, N/G]
-                # costs ~30ns per element, measured)
-                c1 = jnp.take_along_axis(m1.reshape(nq, n_sg, G2),
-                                         sg[:, :, None], axis=1)
-                _, pos = jax.lax.top_k(c1.reshape(nq, k * G2), k)
-                gids = (sg[:, :, None] * G2 +
-                        jnp.arange(G2)[None, None, :]).reshape(nq, k * G2)
-                gidx = jnp.take_along_axis(gids, pos, axis=1)  # [Q, k] groups
-                # rescore the k winning groups from their vectors (FLAT index
-                # into the 3D group table — 2x the 2D-row gather, see train())
-                gv = vecs_g[gidx.reshape(-1)].reshape(nq, k, G, dim)
-                cs = jnp.einsum("qkgd,qd->qkg", gv, queries)
-                cand = (gidx[:, :, None] * G +
-                        jnp.arange(G)[None, None, :]).reshape(nq, k * G)
-                if metric == "l2":
-                    cs = 2.0 * cs - \
-                        sqn_g[gidx.reshape(-1)].reshape(nq, k, G)
-                cs = jnp.where(cand.reshape(nq, k, G) < num_items,
-                               cs, NEG).reshape(nq, k * G)
-                top_scores, p2 = jax.lax.top_k(cs, k)
-                top_idx = jnp.take_along_axis(cand, p2, axis=1)
+                top_scores, top_idx = _tournament_select(
+                    queries, m1, vecs_g, sqn_g, k, k, num_items, metric)
                 if metric == "l2":
                     top_scores = finish_l2(queries, top_scores)
                 return top_scores, top_idx
@@ -499,6 +523,12 @@ class IvfSearcher(TpuSearcher):
         n_over = int(self._overflow.shape[0])
         over_idx = jnp.asarray(self._overflow_idx.astype(np.int32)) \
             if n_over else jnp.zeros((0,), jnp.int32)
+        # k can exceed the candidate pool (nprobe lists + overflow) even when
+        # k <= num_items; FAISS pads such rows with -1 instead of erroring.
+        # Clamp top_k to the pool and pad the tail with NEG scores / index 0
+        # (index pads stay clamped to 0 like the in-pool -1 pads below).
+        cand_width = nprobe * int(self._lists.shape[1]) + n_over
+        k_eff = min(k, cand_width)
 
         def search_block(queries, vecs, sq_norms, centroids, lists, overflow):
             nq = queries.shape[0]
@@ -534,9 +564,13 @@ class IvfSearcher(TpuSearcher):
                 cand = jnp.concatenate(
                     [cand, jnp.broadcast_to(over_idx[None, :], (nq, n_over))],
                     axis=1)
-            top_scores, pos = jax.lax.top_k(s, k)
+            top_scores, pos = jax.lax.top_k(s, k_eff)
             top_idx = jnp.take_along_axis(cand, pos, axis=1)
             top_idx = jnp.maximum(top_idx, 0)   # k > matches: clamp pads
+            if k_eff < k:
+                pad = ((0, 0), (0, k - k_eff))
+                top_scores = jnp.pad(top_scores, pad, constant_values=NEG)
+                top_idx = jnp.pad(top_idx, pad)
             if metric == "l2":
                 q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
                 top_scores = jnp.sqrt(jnp.maximum(q_sq - top_scores, 0.0))
@@ -553,14 +587,21 @@ class IvfSearcher(TpuSearcher):
         np.savez_compressed(
             path, vecs=np.asarray(self._vecs)[:self.num_items],
             items=self.items, dim=self.dim, metric=self.metric,
-            nlist=self.nlist, nprobe=self.nprobe, ivf=True)
+            nlist=self.nlist, nprobe=self.nprobe, ivf=True,
+            # the quantizer is rebuilt at load(); persist everything that
+            # shapes it so the restored index equals the saved one
+            cap_factor=self.cap_factor, kmeans_iters=self.kmeans_iters,
+            train_sample=self.train_sample, seed=self.seed)
 
     @classmethod
     def load(cls, path: str) -> "IvfSearcher":
         data = np.load(path if path.endswith(".npz") else path + ".npz",
                        allow_pickle=True)
+        kw = {key: t(data[key]) for key, t in
+              [("cap_factor", float), ("kmeans_iters", int),
+               ("train_sample", int), ("seed", int)] if key in data}
         s = cls(int(data["dim"]), str(data["metric"]),
-                nlist=int(data["nlist"]), nprobe=int(data["nprobe"]))
+                nlist=int(data["nlist"]), nprobe=int(data["nprobe"]), **kw)
         s.train(data["vecs"], items=data["items"])
         return s
 

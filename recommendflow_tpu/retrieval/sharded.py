@@ -4,17 +4,19 @@ device mesh.
 The reference's FAISS path offers multi-GPU sharded indices
 (faiss_searcher.py GPU option); the TPU-native equivalent shards the item
 axis across the mesh with `shard_map`: every device runs the same
-tournament-pruned exact scan (see searcher.py:_build_search) over its local
-rows, then a cross-shard `all_gather` of the per-shard top-k merges to the
-global exact top-k (correct because a global top-k element is a local top-k
-element of its own shard).
+tournament-pruned exact scan (searcher.py:_tournament_select) over its
+local rows, then a cross-shard `all_gather` of the per-shard top-k merges
+to the global exact top-k (correct because a global top-k element is a
+local top-k element of its own shard).
 
 Per-shard masking with a TRACED valid count (shards cut the corpus at
-arbitrary offsets) uses the over-inclusion trick: fully-padded groups score
-NEG, the single group straddling the valid boundary scores +BIG so it is
-always selected as a candidate, and the exact per-item mask is applied at
-rescore time — a superset of the true top-k groups keeps the tournament
-exact.
+arbitrary offsets) uses over-inclusion: fully-padded groups score NEG, the
+single group straddling the valid boundary is pinned to +BIG so it is
+always carried as a candidate, and the exact per-item mask is applied at
+rescore time. The tournament runs with select_k = k + 1 so the pinned
+boundary group occupies the extra slot instead of displacing a true top-k
+group (with exactly k slots a true k-th item in its own group could be
+dropped — the over-inclusion must widen the selection, not just join it).
 """
 from __future__ import annotations
 
@@ -26,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from recommendflow_tpu.retrieval.searcher import (
-    NEG, _GROUP, _SUPERGROUP, TpuSearcher, _l2_normalize,
+    NEG, _GROUP, _SUPERGROUP, TpuSearcher, _l2_normalize, _tournament_select,
 )
 
 BIG = 1e30
@@ -56,37 +58,19 @@ def _local_m1(queries, vecs, sq_norms, valid, *, group, use_kernel):
     return jnp.where(full, m1, jnp.where(boundary, BIG, NEG))
 
 
-def _local_topk(queries, vecs, sq_norms, valid, k, *, metric, use_kernel):
+def _local_topk(queries, vecs, vecs_g, sq_norms, sqn_g, valid, k, *,
+                metric, use_kernel):
     """Exact (surrogate-score, local-index) top-k over one shard."""
-    nq = queries.shape[0]
     n_local = vecs.shape[0]
     G, G2 = _GROUP, _SUPERGROUP
     sqn = sq_norms if metric == "l2" else None
 
-    hier = (n_local % (G * G2) == 0 and n_local // (G * G2) > max(k, 64))
-    if hier:
-        n_sg = n_local // (G * G2)
+    if vecs_g is not None:
         m1 = _local_m1(queries, vecs, sqn, valid, group=G,
                        use_kernel=use_kernel)
-        m2 = jnp.max(m1.reshape(nq, n_sg, G2), axis=-1)
-        _, sg = jax.lax.top_k(m2, k)
-        c1 = jnp.take_along_axis(m1.reshape(nq, n_sg, G2),
-                                 sg[:, :, None], axis=1)
-        _, pos = jax.lax.top_k(c1.reshape(nq, k * G2), k)
-        gids = (sg[:, :, None] * G2 +
-                jnp.arange(G2)[None, None, :]).reshape(nq, k * G2)
-        gidx = jnp.take_along_axis(gids, pos, axis=1)        # [Q, k] groups
-        gv = vecs.reshape(n_local // G, G * vecs.shape[1])[gidx]
-        cs = jnp.einsum("qkgd,qd->qkg",
-                        gv.reshape(nq, k, G, vecs.shape[1]), queries)
-        cand = (gidx[:, :, None] * G +
-                jnp.arange(G)[None, None, :]).reshape(nq, k * G)
-        if metric == "l2":
-            cs = 2.0 * cs - sq_norms.reshape(n_local // G, G)[gidx]
-        cs = jnp.where(cand.reshape(nq, k, G) < valid,
-                       cs, NEG).reshape(nq, k * G)
-        top, p2 = jax.lax.top_k(cs, k)
-        return top, jnp.take_along_axis(cand, p2, axis=1)
+        # select_k = k + 1: one slot reserved for the +BIG boundary group
+        return _tournament_select(queries, m1, vecs_g, sqn_g, k, k + 1,
+                                  valid, metric)
 
     if sqn is not None:
         s = 2.0 * (queries @ vecs.T) - sqn[None, :]
@@ -153,17 +137,41 @@ class ShardedSearcher(TpuSearcher):
         num_items = self.num_items
         mesh = self.mesh
         n_dev = mesh.devices.size
-        n_local = int(self._vecs.shape[0]) // n_dev
+        n_pad = int(self._vecs.shape[0])
+        n_local = n_pad // n_dev
         use_kernel = (jax.default_backend() != "cpu"
                       and self.dim % 128 == 0 and n_local % (128 * _GROUP) == 0)
         axis = self.AXIS
+        G, G2 = _GROUP, _SUPERGROUP
+        k_local = min(k, n_local)
+        # select_k = k_local + 1 tournament slots must fit in the local
+        # supergroup count
+        hier = (n_local % (G * G2) == 0
+                and n_local // (G * G2) > max(k_local + 1, 64))
+        if hier and self._vecs_g is None:
+            # one-time grouped relayouts for the rescore gather, SHARDED the
+            # same way (row-sharding along axis 0 is preserved by the
+            # [N, D] -> [N/G, G, D] reshape since n_local % G == 0). Doing
+            # this inside the per-call jit would copy the full shard every
+            # search and gather slow [1, G*D] wide rows — see
+            # _tournament_select's layout notes / CLAUDE.md measurements.
+            dim = self.dim
+            self._vecs_g = jax.jit(
+                lambda v: v.reshape(n_pad // G, G, dim),
+                out_shardings=NamedSharding(mesh, P(axis, None, None)),
+            )(self._vecs)
+            if self._sq_norms is not None:
+                self._sqn_g = jax.jit(
+                    lambda s: s.reshape(n_pad // G, G),
+                    out_shardings=NamedSharding(mesh, P(axis, None)),
+                )(self._sq_norms)
 
-        def local_merge(queries, vecs, sq_norms):
+        def local_merge(queries, vecs, vecs_g, sq_norms, sqn_g):
             shard = jax.lax.axis_index(axis)
             offset = shard * n_local
             valid = jnp.clip(num_items - offset, 0, n_local)
-            s, i = _local_topk(queries, vecs, sq_norms, valid,
-                               min(k, n_local), metric=metric,
+            s, i = _local_topk(queries, vecs, vecs_g, sq_norms, sqn_g,
+                               valid, k_local, metric=metric,
                                use_kernel=use_kernel)
             i = i + offset
             s_all = jax.lax.all_gather(s, axis)          # [n_dev, Q, k']
@@ -179,14 +187,34 @@ class ShardedSearcher(TpuSearcher):
             return top, idx
 
         from jax import shard_map
-        if metric == "l2":
-            shard_fn = jax.jit(shard_map(
-                local_merge, mesh=mesh,
-                in_specs=(P(), P(axis, None), P(axis)),
-                out_specs=(P(), P()), check_vma=False))
-            return shard_fn
+        spec_g = P(axis, None, None) if hier else P()
+        spec_sq = P(axis) if metric == "l2" else P()
+        spec_sqg = P(axis, None) if (hier and metric == "l2") else P()
         shard_fn = jax.jit(shard_map(
-            lambda q, v: local_merge(q, v, None), mesh=mesh,
-            in_specs=(P(), P(axis, None)),
+            lambda q, v, vg, sq, sqg: local_merge(
+                q, v, vg if hier else None,
+                sq if metric == "l2" else None,
+                sqg if (hier and metric == "l2") else None),
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), spec_g, spec_sq, spec_sqg),
             out_specs=(P(), P()), check_vma=False))
-        return lambda q, v, sq: shard_fn(q, v)
+        zero = jnp.zeros((), jnp.float32)
+
+        def run(q, v, sq):
+            return shard_fn(q, v,
+                            self._vecs_g if hier else zero,
+                            sq if metric == "l2" else zero,
+                            self._sqn_g if (hier and metric == "l2") else zero)
+        return run
+
+    # ------------------------------------------------------------- persist
+    def __getstate__(self):
+        state = super().__getstate__()
+        # jax Device objects don't pickle; the restoring host rebuilds the
+        # mesh over its own devices in __setstate__
+        state["mesh"] = None
+        return state
+
+    def __setstate__(self, state):
+        state["mesh"] = Mesh(np.asarray(jax.devices()), (self.AXIS,))
+        super().__setstate__(state)

@@ -500,6 +500,11 @@ class Trainer:
             dt = time.time() - t0
             logs = {k: float(v) / max(n_batches, 1) for k, v in running.items()}
             logs["examples_per_sec"] = n_examples / max(dt, 1e-9)
+            if self.control.get("preempt"):
+                # checkpoint FIRST: a spot-VM grace window is seconds, not a
+                # validation pass — skip eval + epoch callbacks and fall
+                # through to the preempt save below immediately
+                break
             if valid_ds is not None:
                 logs.update(self.evaluate(state, valid_ds))
             for cb in callbacks:

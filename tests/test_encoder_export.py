@@ -232,3 +232,12 @@ def test_native_wordpiece_matches_python():
     ref_t, ref_s = tok_py.encode_batch(texts, 24)
     np.testing.assert_array_equal(got_t, ref_t)
     np.testing.assert_array_equal(got_s, ref_s)
+
+
+def test_tokenizer_batch_rejects_tiny_maxlen(tokenizer):
+    """maxlen < 2 can't hold [CLS]+[SEP]; the native C path would write past
+    the row (heap corruption) — must fail loudly host-side instead
+    (regression: review finding, native.py/tokenizer.py)."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="maxlen"):
+        tokenizer.encode_batch(["hello"], maxlen=1)

@@ -99,3 +99,37 @@ def test_index_factory():
     assert isinstance(index_factory(8, "IVF64"), IvfSearcher)
     with pytest.raises(ValueError):
         index_factory(8, "HNSW32")
+
+
+def test_ivf_topk_beyond_candidate_pool():
+    """k <= num_items but k > nprobe*list_cap + overflow must pad (FAISS
+    pads with -1; we pad scores with NEG / indices with 0) instead of
+    crashing lax.top_k (regression: review finding, searcher.py)."""
+    rng = np.random.RandomState(0)
+    v = rng.randn(2000, 16).astype(np.float32)
+    s = IvfSearcher(16, "cos", nlist=100, nprobe=1).train(v)
+    pool = s.nprobe * int(s._lists.shape[1]) + int(s._overflow.shape[0])
+    assert pool < 100, "setup must make the candidate pool smaller than k"
+    scores, idx = s.search(v[:4], topk=100, return_items=False)
+    assert scores.shape == (4, 100) and idx.shape == (4, 100)
+    # real candidates come first; the pad tail is NEG-scored
+    assert np.all(scores[:, pool:] < -1e20)
+    assert np.all(scores[:, 0] > 0.99)  # self-match still found
+
+
+def test_ivf_save_restores_quantizer_params(tmp_path):
+    """save/load must persist cap_factor/kmeans_iters/train_sample/seed so
+    the rebuilt index equals the one the user validated and saved."""
+    rng = np.random.RandomState(1)
+    v = rng.randn(1500, 8).astype(np.float32)
+    s = IvfSearcher(8, "cos", nlist=32, nprobe=4, cap_factor=4.0,
+                    kmeans_iters=25, seed=7).train(v)
+    p = str(tmp_path / "ivf_params.npz")
+    s.save(p)
+    loaded = IvfSearcher.load(p)
+    assert (loaded.cap_factor, loaded.kmeans_iters, loaded.seed,
+            loaded.train_sample) == (4.0, 25, 7, s.train_sample)
+    a, ia = s.search(v[:16], topk=9, return_items=False)
+    b, ib = loaded.search(v[:16], topk=9, return_items=False)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert np.array_equal(ia, ib)

@@ -257,3 +257,49 @@ def test_sharded_searcher_hier_local_path(monkeypatch):
     golden = np.argsort(-(q @ v.T), axis=1)[:, :k]
     for r in range(len(q)):
         assert set(np.asarray(i2)[r]) == set(golden[r])
+
+
+def test_sharded_boundary_group_cannot_displace_topk():
+    """Adversarial case for the traced-boundary over-inclusion: every true
+    top-k item planted in a DISTINCT supergroup of the boundary shard. The
+    +BIG boundary group must widen the tournament selection (select_k=k+1),
+    not consume one of the k slots — with exactly k slots the true k-th
+    group gets dropped (regression: review finding, sharded.py)."""
+    import jax
+    from recommendflow_tpu.retrieval import ShardedSearcher
+    n_dev = len(jax.devices())
+    n, d, k = 260_000, 16, 80
+    rng = np.random.RandomState(3)
+    v = rng.randn(n, d).astype(np.float32) * 0.01
+    q = rng.randn(1, d).astype(np.float32)
+    qn = (q / np.linalg.norm(q))[0]
+    sharded = ShardedSearcher(dim=d, metric="ip").train(v)
+    n_local = int(sharded._vecs.shape[0]) // n_dev
+    # the LAST shard holds the valid-boundary; plant each top item in its
+    # own supergroup there
+    offset = (n_dev - 1) * n_local
+    assert offset < n, "corpus must straddle the last shard"
+    for j in range(k):
+        v[offset + j * 256] = qn * (10.0 + j)
+    sharded.train(v)  # re-upload with the planted rows
+    assert sharded._search_fn is None
+    _, scores, idx = sharded.search(q, topk=k)
+    exact = set(np.argsort(-(v @ q[0]))[:k].tolist())
+    assert set(np.asarray(idx)[0].tolist()) == exact
+
+
+def test_sharded_searcher_pickle_roundtrip(tmp_path):
+    """dump/load_pickle parity (faiss_searcher.py:217-225): jax Device
+    handles must not leak into the pickle; the restored searcher rebuilds
+    on the current mesh and returns identical results."""
+    from recommendflow_tpu.retrieval import ShardedSearcher
+    v = _corpus(3000, 16, seed=4)
+    q = _corpus(7, 16, seed=5)
+    s = ShardedSearcher(dim=16, metric="cos").train(v)
+    _, sc1, i1 = s.search(q, topk=10)
+    s.dump(str(tmp_path / "sharded.pkl"))
+    s2 = ShardedSearcher.load_pickle(str(tmp_path / "sharded.pkl"))
+    _, sc2, i2 = s2.search(q, topk=10)
+    np.testing.assert_allclose(np.asarray(sc2), np.asarray(sc1),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(i2), np.asarray(i1))

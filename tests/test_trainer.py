@@ -365,3 +365,59 @@ def test_graceful_preemption_checkpoints_and_resumes(world, tmp_path):
     restored = restore_checkpoint(pdir, trainer2.init_state(next(iter(ds))))
     done = trainer2.fit(ds, epochs=2, state=restored)
     assert int(done["state"].step) == 12           # 2 epochs x 6 batches
+
+
+def test_preemption_skips_validation_and_epoch_callbacks(world, tmp_path):
+    """A spot-VM grace window is seconds: once preempt is flagged, fit()
+    must checkpoint immediately — no validation pass, no epoch-end
+    callbacks — before exiting (regression: review finding, trainer.py)."""
+    import os
+    import signal
+
+    from recommendflow_tpu.train.checkpoint import latest_step
+    from recommendflow_tpu.train.trainer import install_preemption_handler
+
+    conf, schema, paths, model = world
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=6)
+    trainer = Trainer(model, learning_rate=1e-3, seed=9)
+    install_preemption_handler(trainer)
+    pdir = str(tmp_path / "preempt")
+
+    class PoisonedValid:
+        """Any iteration after preempt == the bug we are guarding against."""
+        def __iter__(self):
+            raise AssertionError("validation ran during preemption")
+
+        def __len__(self):
+            return 1
+
+    class KillAfter:
+        def __init__(self, inner, n):
+            self.inner, self.n = inner, n
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            for i, b in enumerate(self.inner):
+                if i == self.n:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+    epoch_ends = []
+
+    class SpyCallback:
+        def on_train_begin(self, trainer):
+            pass
+
+        def on_epoch_end(self, trainer, state, epoch, logs):
+            epoch_ends.append(epoch)
+
+        def on_train_end(self, trainer, state, logs):
+            pass
+
+    result = trainer.fit(KillAfter(ds, 2), epochs=2,
+                         valid_ds=PoisonedValid(),
+                         callbacks=[SpyCallback()], preempt_dir=pdir)
+    assert latest_step(pdir) == int(result["state"].step)
+    assert epoch_ends == []          # no epoch-end work before the save
