@@ -158,15 +158,21 @@ class ItemSimilarityGating(nn.Module):
 
 class LocationBasedAttention(nn.Module):
     """FISSA LBA pooling: learnable query attends the sequence
-    (parity: network_layers.py:258-298 LBA)."""
+    (parity: network_layers.py:258-298 LBA — key projection W, scaled
+    (kW)·qᵀ/√d logits, padding mask, and output projection W₂ over the
+    attention-pooled values; keys and values may differ like the
+    reference's (k, v, mask) input triple)."""
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 values: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         d = x.shape[-1]
-        keys = nn.Dense(d, name="key")(x)              # [B, L, D]
+        v = x if values is None else values
+        keys = nn.Dense(d, use_bias=False, name="key")(x)   # [B, L, D]
         query = self.param("query", nn.initializers.lecun_normal(), (d, 1))
-        logits = (keys @ query)[..., 0]                # [B, L]
+        logits = (keys @ query)[..., 0] / jnp.sqrt(float(d))  # [B, L]
         if mask is not None:
             logits = jnp.where(mask, logits, NEG_INF)
         w = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum("bl,bld->bd", w, x)
+        pooled = jnp.einsum("bl,bld->bd", w, v)
+        return nn.Dense(v.shape[-1], use_bias=False, name="out")(pooled)

@@ -87,9 +87,15 @@ class CIN(nn.Module):
 
     Input [B, F, D]; each layer h^k = conv(outer(h^{k-1}, h^0)); output is
     the concat of per-layer sum-pooled feature maps -> [B, sum(layer_sizes)].
+
+    The reference applies NO nonlinearity between layers (its conv1d output
+    feeds the next layer raw, network_layers.py:249-251) and never splits;
+    activation="linear" + split_half=False reproduces that exactly (oracle
+    parity test). Defaults keep the xDeepFM-paper variant (relu + split).
     """
     layer_sizes: Sequence[int] = (128, 128)
     split_half: bool = True
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, field_emb: jnp.ndarray) -> jnp.ndarray:
@@ -103,7 +109,11 @@ class CIN(nn.Module):
             w = self.param(f"w{li}", nn.initializers.normal(0.05), (fk * f0, size))
             zf = z.reshape(b, fk * f0, d)
             h_next = jnp.einsum("bpd,ps->bsd", zf, w)      # [B, size, D]
-            h_next = nn.relu(h_next)
+            if self.activation == "relu":
+                h_next = nn.relu(h_next)
+            elif self.activation != "linear":
+                raise ValueError(f"CIN activation '{self.activation}' "
+                                 "(relu|linear)")
             if self.split_half and li != len(self.layer_sizes) - 1:
                 half = size // 2
                 direct, h = h_next[:, :half], h_next[:, half:]

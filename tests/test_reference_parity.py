@@ -24,6 +24,9 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 tf = pytest.importorskip("tensorflow")
 
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
 from recommendflow_tpu.losses import classify as C  # noqa: E402
 from recommendflow_tpu.losses import match as M  # noqa: E402
 
@@ -219,3 +222,293 @@ def test_sdpa_matches_reference_unmasked(ref_layer_utils):
     got_m = np.asarray(scaled_dot_product_attention(
         q, k, v, (mask[..., 0] > 0)[:, None, :]))
     assert not np.allclose(got_m, ref_m, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# Layer-zoo parity: the reference's Keras layers as oracles, our weights
+# injected with theirs so outputs must agree bit-for-bit (up to f32 reorder).
+# --------------------------------------------------------------------------
+
+def _load_ref_layers(relpath, name):
+    """network/attention layers use flat `from layer_utils import ...`
+    imports (SURVEY §2.10) — exec with backend/layers on sys.path."""
+    layers_dir = os.path.join(REF, "backend", "layers")
+    sys.path.insert(0, layers_dir)
+    try:
+        return _load_ref(relpath, name)
+    finally:
+        sys.path.remove(layers_dir)
+
+
+@pytest.fixture(scope="module")
+def ref_network():
+    return _load_ref_layers("backend/layers/network_layers.py",
+                            "ref_network_layers")
+
+
+@pytest.fixture(scope="module")
+def ref_attention():
+    return _load_ref_layers("backend/layers/attention_layers.py",
+                            "ref_attention_layers")
+
+
+@pytest.fixture(scope="module")
+def ref_matching():
+    return _load_ref("backend/layers/matching_layers.py",
+                     "ref_matching_layers")
+
+
+@pytest.fixture(scope="module")
+def ref_pooling():
+    return _load_ref("backend/layers/pooling_layers.py", "ref_pooling_layers")
+
+
+@pytest.fixture(scope="module")
+def ref_fusion():
+    return _load_ref("backend/layers/fusion_layers.py", "ref_fusion_layers")
+
+
+@pytest.mark.parametrize("mode", ["dot", "mul", "plus", "minus", "concat"])
+def test_matching_layer_matches_reference(ref_matching, mode):
+    """matching_matrix vs MatchingLayer (matching_layers.py:6-131) on all
+    five modes. The reference appends a trailing 1-axis in dot mode."""
+    from recommendflow_tpu.ops.matching import matching_matrix
+    rng = np.random.RandomState(0)
+    a = rng.randn(3, 4, 8).astype(np.float32)
+    b = rng.randn(3, 5, 8).astype(np.float32)
+    layer = ref_matching.MatchingLayer(matching_type=mode)
+    layer.build([a.shape, b.shape])
+    ref = layer.call([tf.constant(a), tf.constant(b)]).numpy()
+    got = np.asarray(matching_matrix(a, b, mode=mode))
+    if mode == "dot":
+        ref = ref[..., 0]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_matching_layer_normalized_dot_matches_reference(ref_matching):
+    from recommendflow_tpu.ops.matching import matching_matrix
+    rng = np.random.RandomState(1)
+    a = rng.randn(2, 4, 8).astype(np.float32)
+    b = rng.randn(2, 4, 8).astype(np.float32)
+    layer = ref_matching.MatchingLayer(matching_type="dot", normalize=True)
+    layer.build([a.shape, b.shape])
+    ref = layer.call([tf.constant(a), tf.constant(b)]).numpy()[..., 0]
+    an = a / np.linalg.norm(a, axis=2, keepdims=True)
+    bn = b / np.linalg.norm(b, axis=2, keepdims=True)
+    got = np.asarray(matching_matrix(an, bn, mode="dot"))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_kmax_pooling_matches_reference(ref_pooling):
+    from recommendflow_tpu.ops.pooling import kmax_pooling
+    rng = np.random.RandomState(2)
+    x = rng.randn(5, 13).astype(np.float32)
+    ref = ref_pooling.KMaxPooling(k=4)(tf.constant(x)).numpy()
+    got = np.asarray(kmax_pooling(x, 4, axis=-1))
+    np.testing.assert_allclose(got, ref)
+
+
+def test_dynamic_pooling_matches_reference_on_identity_index(ref_pooling):
+    """DynamicPoolingLayer with the identity dpool_index and divisible
+    sizes reduces to strided max-pool — our padded-pooling formulation must
+    agree there (pooling_layers.py:30-124; we drop the gather_nd index
+    juggling by construction)."""
+    from recommendflow_tpu.ops.pooling import dynamic_max_pooling
+    rng = np.random.RandomState(3)
+    b, m1, m2, p1, p2 = 2, 8, 12, 4, 3
+    x = rng.randn(b, m1, m2, 1).astype(np.float32)
+    ii, jj = np.meshgrid(np.arange(m1), np.arange(m2), indexing="ij")
+    idx = np.broadcast_to(np.stack([ii, jj], -1), (b, m1, m2, 2)).astype(np.int32)
+    layer = ref_pooling.DynamicPoolingLayer(p1, p2)
+    layer.build([x.shape, idx.shape])
+    ref = layer.call([tf.constant(x), tf.constant(idx)]).numpy()
+    got = np.asarray(dynamic_max_pooling(x, p1, p2))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_soft_attention_matches_reference_one_side(ref_attention):
+    """ESIM SoftAttention (attention_layers.py:10-80): the reference's
+    align_a equals our b_aligned exactly. DISCOVERED DEFECT: its align_b
+    re-uses weights normalized over the FIRST sequence's positions and
+    applies them to b (batch_dot of [B,Lb,La] with [B,Lb,D] only type-checks
+    because La==Lb) — not the ESIM paper's a_tilde = softmax_j(e_ij)·b_j.
+    We implement the paper; assert the reference deviates from it."""
+    from recommendflow_tpu.ops.attention import soft_attention_align
+    rng = np.random.RandomState(4)
+    L, D = 6, 8
+    a = rng.randn(3, L, D).astype(np.float32)
+    b = rng.randn(3, L, D).astype(np.float32)
+    align_a, align_b = ref_attention.SoftAttention()(
+        [tf.constant(a), tf.constant(b)])
+    a_aligned, b_aligned = soft_attention_align(a, b)
+    np.testing.assert_allclose(np.asarray(b_aligned), align_a.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    # the paper's a_tilde (ours) differs from the reference's align_b
+    assert not np.allclose(np.asarray(a_aligned), align_b.numpy(),
+                           rtol=1e-2, atol=1e-2)
+    # and the reference literal: softmax over axis 1 of e applied to b
+    e = np.einsum("bld,bmd->blm", a, b)
+    w = np.exp(e - e.max(axis=1, keepdims=True))
+    w /= w.sum(axis=1, keepdims=True)                  # softmax over La
+    literal = np.einsum("bjm,bjd->bmd", w, b)
+    np.testing.assert_allclose(literal, align_b.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_cross_network_matches_reference(ref_network):
+    """CrossNetwork (network_layers.py:130-171) with injected weights."""
+    from recommendflow_tpu.ops.interactions import CrossNetwork
+    import jax
+    rng = np.random.RandomState(5)
+    b, d, L = 4, 6, 3
+    x = rng.randn(b, d).astype(np.float32)
+    layer = ref_network.CrossNetwork(layer_num=L)
+    layer.build((b, d))
+    ref = layer(tf.constant(x)).numpy()
+    params = {}
+    for i in range(L):
+        params[f"w{i}"] = jnp.asarray(layer.cross_weights[i].numpy())
+        params[f"b{i}"] = jnp.asarray(layer.cross_bias[i].numpy()[:, 0])
+    got = np.asarray(CrossNetwork(num_layers=L).apply({"params": params}, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_cin_matches_reference(ref_network):
+    """CIN (network_layers.py:210-255) with injected conv filters. The
+    reference flattens the outer product with F0 outer / Fk inner and
+    applies NO activation and no split — activation='linear',
+    split_half=False, and a filter-axis permutation reproduce it."""
+    from recommendflow_tpu.ops.interactions import CIN
+    rng = np.random.RandomState(6)
+    b, f0, d = 3, 5, 4
+    sizes = [6, 4]
+    x = rng.randn(b, f0, d).astype(np.float32)
+    layer = ref_network.CIN(cin_size=sizes)
+    layer.build((b, f0, d))
+    ref = layer(tf.constant(x)).numpy()
+    params = {}
+    fk = f0
+    for i, s in enumerate(sizes):
+        wref = layer.cin_W[f"CIN_W_{i}"].numpy()[0]      # [F0*Fk, s]
+        # ref index p = f0*Fk + fk; ours p' = fk*F0 + f0
+        w = wref.reshape(f0, fk, s).transpose(1, 0, 2).reshape(fk * f0, s)
+        params[f"w{i}"] = jnp.asarray(w)
+        fk = s
+    got = np.asarray(CIN(layer_sizes=tuple(sizes), split_half=False,
+                         activation="linear").apply({"params": params}, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_fusion_matches_reference(ref_fusion):
+    """AttentionFusion (fusion_layers.py:6-61) with injected W; the
+    reference l2-normalizes by default (is_norm) — compare pre-norm
+    (is_norm=False), which is our contract (models normalize towers
+    explicitly). NOTE: the reference layer cannot even be constructed under
+    this image's Keras (positional add_weight('infer_weights', shape) no
+    longer matches Layer.add_weight) — assert that incompatibility, then
+    oracle against its call() formula (fusion_layers.py:36-46 literally:
+    softmax(concat(channels)·W) channel weights, weighted channel sum)."""
+    from recommendflow_tpu.ops.fusion import AttentionFusion
+    rng = np.random.RandomState(7)
+    b, d, c = 4, 8, 3
+    chans = [rng.randn(b, d).astype(np.float32) for _ in range(c)]
+    with pytest.raises(TypeError, match="add_weight"):
+        ref_fusion.AttentionFusion(input_dim=d, channel_num=c, is_norm=False)
+    W = rng.randn(d * c, c).astype(np.float32)
+    att = tf.nn.softmax(tf.matmul(tf.constant(np.concatenate(chans, 1)),
+                                  tf.constant(W)))
+    out = tf.stack([tf.constant(ch) for ch in chans]) * \
+        tf.expand_dims(tf.transpose(att), -1)
+    ref = tf.reduce_sum(out, axis=0).numpy()
+
+    class _Shim:
+        pass
+    layer = _Shim()
+    layer.W = tf.constant(W)
+    ours = AttentionFusion(num_channels=c)
+    variables = ours.init(jax.random.PRNGKey(0), chans, training=True)
+    params = {"att": {"kernel": jnp.asarray(layer.W.numpy()),
+                      "bias": jnp.zeros((c,), jnp.float32)}}
+    got = np.asarray(ours.apply(
+        {"params": params, "stats": variables["stats"]}, chans,
+        training=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_residual_units_matches_reference(ref_network):
+    """Residual_Units (network_layers.py:109-127) with injected Dense
+    kernels/biases."""
+    from recommendflow_tpu.ops.interactions import ResidualUnits
+    rng = np.random.RandomState(8)
+    b, d, h = 4, 6, 10
+    x = rng.randn(b, d).astype(np.float32)
+    layer = ref_network.Residual_Units(hidden_unit=h, dim_stack=d)
+    ref = layer(tf.constant(x)).numpy()
+    params = {
+        "Dense_0": {"kernel": jnp.asarray(layer.layer1.kernel.numpy()),
+                    "bias": jnp.asarray(layer.layer1.bias.numpy())},
+        "Dense_1": {"kernel": jnp.asarray(layer.layer2.kernel.numpy()),
+                    "bias": jnp.asarray(layer.layer2.bias.numpy())},
+    }
+    got = np.asarray(ResidualUnits(hidden=h).apply({"params": params}, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_item_similarity_gating_matches_reference(ref_attention):
+    """ItemSimilarityGating (attention_layers.py:171-195): sigmoid gate on
+    concat [item, global, candidate] with injected (bias-free) weights."""
+    from recommendflow_tpu.ops.attention import ItemSimilarityGating
+    rng = np.random.RandomState(9)
+    b, n, d = 2, 5, 8
+    item = rng.randn(b, n, d).astype(np.float32)
+    glob = rng.randn(b, n, d).astype(np.float32)
+    cand = rng.randn(b, n, d).astype(np.float32)
+    layer = ref_attention.ItemSimilarityGating()
+    layer.build([(b, n, d)] * 3)
+    ref = layer.call([tf.constant(item), tf.constant(glob),
+                      tf.constant(cand)]).numpy()
+    params = {"gate": {"kernel": jnp.asarray(layer.W.numpy()),
+                       "bias": jnp.zeros((1,), jnp.float32)}}
+    got = np.asarray(ItemSimilarityGating().apply(
+        {"params": params}, item, glob, cand))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_lba_matches_reference(ref_network):
+    """LBA (network_layers.py:258-298): key projection, scaled q·k logits,
+    mask, softmax pooling of values, output projection."""
+    from recommendflow_tpu.ops.attention import LocationBasedAttention
+    rng = np.random.RandomState(10)
+    b, L, d = 3, 7, 8
+    k = rng.randn(b, L, d).astype(np.float32)
+    v = rng.randn(b, L, d).astype(np.float32)
+    mask = (rng.rand(b, L, 1) > 0.3).astype(np.float32)
+    mask[:, 0] = 1.0                                   # nothing fully masked
+    layer = ref_network.LBA()
+    layer.build([(b, L, d)] * 2 + [(b, L, 1)])
+    ref = layer.call([tf.constant(k), tf.constant(v),
+                      tf.constant(mask)]).numpy()
+    params = {
+        "key": {"kernel": jnp.asarray(layer.W.numpy())},
+        "query": jnp.asarray(layer.q.numpy().T),       # ref q is [1, D]
+        "out": {"kernel": jnp.asarray(layer.W_2.numpy())},
+    }
+    got = np.asarray(LocationBasedAttention().apply(
+        {"params": params}, k, mask=mask[..., 0] > 0, values=v))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_new_fm_second_order_matches_reference(ref_network):
+    """New_FM's pairwise term (network_layers.py:174-207) vs fm_pairwise:
+    zero the linear weights so only the square-of-sum term remains."""
+    from recommendflow_tpu.ops.interactions import fm_pairwise
+    rng = np.random.RandomState(11)
+    b, f, d, vocab = 4, 5, 6, 50
+    emb = rng.randn(b, f, d).astype(np.float32)
+    ids = rng.randint(0, vocab, size=(b, f)).astype(np.int32)
+    layer = ref_network.New_FM(feature_length=vocab)
+    layer.build(None)
+    layer.w.assign(np.zeros((vocab, 1), np.float32))
+    ref = layer.call({"sparse_inputs": {"a": tf.constant(ids)},
+                      "embed_inputs": tf.constant(emb)}).numpy()[:, 0]
+    got = np.asarray(fm_pairwise(emb))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
