@@ -291,13 +291,17 @@ class Dataset:
         remaining_skip = skip_rows
         for path in files:
             if remaining_skip > 0:
-                total = recordio.count_rows(path)
+                # one header walk decides whole-file skip AND provides the
+                # block sizes for the permutation burn (count_rows + a second
+                # _iter_block_sizes pass would walk the headers twice)
+                sizes = [nrows for nrows, _ in _iter_block_sizes(path)]
+                total = sum(sizes)
                 if remaining_skip >= total:
                     remaining_skip -= total
                     if self.shuffle:
                         # burn the per-file permutation draws to keep the
                         # epoch's shuffle stream identical to a full pass
-                        for nrows, _ in _iter_block_sizes(path):
+                        for nrows in sizes:
                             rng.permutation(nrows)
                     continue
             file_schema = recordio.read_schema(path)
@@ -432,29 +436,47 @@ def _slice_buffer(buf: List[Batch], n: int) -> Tuple[Batch, List[Batch], int]:
 
 
 def prefetch(it: Iterable[Batch], size: int = 2) -> Iterator[Batch]:
-    """Background-thread prefetch (overlaps host decode with device step)."""
+    """Background-thread prefetch (overlaps host decode with device step).
+
+    Abandoning the returned generator (e.g. fit() breaking out mid-epoch on
+    preemption) releases the worker: a plain blocking q.put would otherwise
+    pin the thread plus size+1 decoded batches for the process lifetime."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _SENTINEL = object()
     err: List[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # propagate into consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 # --------------------------------------------------------------- top level

@@ -69,19 +69,28 @@ def sharded_gather_group(mesh: Mesh, axis: str, table: jnp.ndarray,
         out_specs=P(),
     )(table, wide.astype(jnp.int32))
 
+    # compute dtype is f32 regardless of table storage dtype, matching
+    # gather_group (bf16 tables are a STORAGE win; bf16 tower math is a
+    # measured regression — see CLAUDE.md)
     if p == 1:
-        return gathered.reshape(global_ids.shape + (dim,))
+        return gathered.reshape(global_ids.shape + (dim,)).astype(jnp.float32)
     seg = jax.nn.one_hot(flat % p, p, dtype=table.dtype)
     out = jnp.einsum("npd,np->nd", gathered.reshape(-1, p, dim), seg)
-    return out.reshape(global_ids.shape + (dim,))
+    return out.reshape(global_ids.shape + (dim,)).astype(jnp.float32)
 
 
 def shard_tables(params: Dict[str, jnp.ndarray], mesh: Mesh,
                  axis: str = "dp") -> Dict[str, jnp.ndarray]:
-    """Place each packed stacked table row-sharded on the mesh."""
+    """Place each packed stacked table row-sharded on the mesh.
+
+    Only the stacked embedding tables (keyed 'dim{d}' by init_tables) are
+    sharded; other 2-D params that happen to have divisible rows — e.g. the
+    tiny 'img_{name}' patch-projection matrices — stay replicated (sharding
+    a small dense matmul operand just buys an all-gather per use)."""
     out = {}
     for name, t in params.items():
-        if t.ndim == 2 and t.shape[0] % mesh.shape[axis] == 0:
+        if t.ndim == 2 and name.startswith("dim") \
+                and t.shape[0] % mesh.shape[axis] == 0:
             out[name] = jax.device_put(t, NamedSharding(mesh, P(axis, None)))
         else:
             out[name] = jax.device_put(t, NamedSharding(mesh, P()))

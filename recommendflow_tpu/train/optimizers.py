@@ -26,8 +26,15 @@ class RowwiseAdagradState(NamedTuple):
     accumulator: Any   # per-leaf: [rows, 1] for 2-D tables, else like-param
 
 
+# the single source of truth for the Adagrad accumulator seed: the trainer's
+# sparse touched-row path (trainer.py:_plan_table_updates) must initialize
+# its own accumulators with the SAME value or 'auto' mode silently changes
+# training numerics per table
+ADAGRAD_INIT_ACCUMULATOR = 0.1
+
+
 def rowwise_adagrad(learning_rate: float = 0.05,
-                    initial_accumulator: float = 0.1,
+                    initial_accumulator: float = ADAGRAD_INIT_ACCUMULATOR,
                     eps: float = 1e-10) -> optax.GradientTransformation:
     """DLRM-style row-wise Adagrad: acc_r += mean(g_r^2); p_r -= lr * g_r /
     sqrt(acc_r + eps). For 2-D [rows, dim] params the accumulator is [rows, 1]
@@ -90,7 +97,7 @@ def make_partitioned_optimizer(learning_rate: float = 1e-3,
     touched-row path) — optax gives them a zero update (an add XLA elides)
     and keeps no state for them."""
     table_lr = table_learning_rate if table_learning_rate is not None \
-        else max(learning_rate * 30.0, 0.01)  # adagrad wants a larger lr
+        else default_table_lr(learning_rate)  # adagrad wants a larger lr
     frozen = set(frozen_table_dims or ())
 
     def build(learning_rate):

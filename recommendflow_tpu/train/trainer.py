@@ -230,8 +230,11 @@ class Trainer:
             dense_cost = 3.0 * leaf.size * leaf.dtype.itemsize / 250e9
             sparse_cost = n_ids[dim] * 162e-9
             if self.table_update == "sparse" or dense_cost > sparse_cost:
+                from recommendflow_tpu.train.optimizers import (
+                    ADAGRAD_INIT_ACCUMULATOR)
                 self._sparse_dims[dim] = path
-                acc[f"dim{dim}"] = jnp.full((leaf.shape[0], 1), 0.1,
+                acc[f"dim{dim}"] = jnp.full((leaf.shape[0], 1),
+                                            ADAGRAD_INIT_ACCUMULATOR,
                                             jnp.float32)
         if not self._sparse_dims:
             return None
@@ -391,20 +394,26 @@ class Trainer:
             self._eval_sim_jit = jax.jit(lambda u, a: jnp.sum(u * a, axis=1))
         loss_jit = self._eval_loss_jit
         sim_jit = self._eval_sim_jit
+        # dispatch ALL batches before fetching anything: a float()/np.asarray
+        # inside the loop forces a device sync per batch (~30 ms round-trip
+        # on tunneled platforms) and serializes host decode with device
+        # compute — the same fix that took fit() from 8.4k to 93.2k ex/s
         for batch in prefetch(iter(dataset)):
             out = self.eval_step(state, batch)
             if "user" in out and "ad" in out:
                 y, u, a = out["label"], out["user"], out["ad"]
                 if loss_jit is not None:
-                    losses.append(float(loss_jit(y, u, a)))
-                scores.append(np.asarray(sim_jit(u, a)))
-                labels.append(np.asarray(y))
+                    losses.append(loss_jit(y, u, a))
+                scores.append(sim_jit(u, a))
+                labels.append(y)
             elif "score" in out:
-                scores.append(np.asarray(out["score"]).ravel())
-                labels.append(np.asarray(out["label"]).ravel())
+                scores.append(jnp.ravel(out["score"]))
+                labels.append(jnp.ravel(out["label"]))
+        scores = [np.asarray(s) for s in scores]
+        labels = [np.asarray(y) for y in labels]
         logs: Dict[str, float] = {}
         if losses:
-            logs["val_loss"] = float(np.mean(losses))
+            logs["val_loss"] = float(np.mean([float(x) for x in losses]))
         if scores:
             auc = roc_auc(np.concatenate(labels), np.concatenate(scores))
             if np.isfinite(auc):
@@ -449,10 +458,17 @@ class Trainer:
                     if start_epoch or skip_batches:
                         log.info("resuming at epoch %d, batch %d (step %d)",
                                  start_epoch, skip_batches, done)
+        # a previous fit()'s early-stop or an already-handled preemption must
+        # not make this run train zero steps (control['lr_scale'] is kept on
+        # purpose: ReduceLROnPlateau's LR carries into continued training,
+        # matching Keras' persistent optimizer LR)
+        self.control["stop"] = False
+        self.control.pop("preempt", None)
         for cb in callbacks:
             cb.on_train_begin(self)
 
         lr_scale_applied = 1.0
+        trace_active = False
         logs: Dict[str, float] = {}
         for epoch in range(start_epoch, epochs):
             if self.control["stop"]:
@@ -481,8 +497,10 @@ class Trainer:
                     # device trace over a steady-state step window
                     if n_batches == profile_steps[0]:
                         jax.profiler.start_trace(profile_dir)
+                        trace_active = True
                     elif n_batches == profile_steps[1]:
                         jax.profiler.stop_trace()
+                        trace_active = False
                         log.info("profiler trace written to %s", profile_dir)
                 if self.control.get("preempt"):
                     break
@@ -497,6 +515,14 @@ class Trainer:
                     # accumulate device-side: float() would force a sync per
                     # step (~30 ms round-trip on tunneled platforms)
                     running[k] = running[k] + v if k in running else v
+            if trace_active:
+                # the epoch ended (or preemption broke the loop) before the
+                # trace window closed — an open trace is lost AND poisons the
+                # next start_trace in this process
+                jax.profiler.stop_trace()
+                trace_active = False
+                log.info("profiler trace (short epoch) written to %s",
+                         profile_dir)
             dt = time.time() - t0
             logs = {k: float(v) / max(n_batches, 1) for k, v in running.items()}
             logs["examples_per_sec"] = n_examples / max(dt, 1e-9)

@@ -297,3 +297,37 @@ def test_iter_from_respects_take_batches(demo_conf_path, tmp_path):
     for a, b in zip(full[2:], resumed):
         np.testing.assert_array_equal(a["label"], b["label"])
     assert list(ds.iter_from(6)) == []
+
+
+def test_prefetch_abandonment_releases_worker():
+    """Breaking out of a prefetch()ed loop (the preemption path) must let
+    the worker thread exit instead of blocking forever on a full queue
+    (regression test for a review finding)."""
+    import threading
+    import time as _time
+
+    from recommendflow_tpu.data.pipeline import prefetch
+
+    n_before = threading.active_count()
+    for _ in range(3):
+        it = prefetch(iter(range(100)), size=2)
+        assert next(it) == 0
+        it.close()                      # abandon mid-stream
+    deadline = _time.time() + 5.0
+    while threading.active_count() > n_before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= n_before, "prefetch workers leaked"
+
+
+def test_prefetch_propagates_errors():
+    from recommendflow_tpu.data.pipeline import prefetch
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        list(it)

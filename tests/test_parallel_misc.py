@@ -248,3 +248,41 @@ def test_shard_tables_opt_state_row_sharded(demo_conf_path, tmp_path):
     # step runs
     s2, m = tr.train_step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sharded_gather_bf16_table_returns_f32(demo_conf_path):
+    """sharded_gather_group must match gather_group's compute-dtype contract:
+    bf16 is table STORAGE only — lookups come back f32 so the towers never
+    silently compute in bf16 (a measured regression; regression test for a
+    review finding)."""
+    conf = Configuration(demo_conf_path)
+    schema = compile_schema(conf.features)
+    params = init_tables(schema, jax.random.PRNGKey(0))
+    params = {k: v.astype(jnp.bfloat16) if k.startswith("dim") else v
+              for k, v in params.items()}
+    mesh = make_mesh()
+    sharded = shard_tables(params, mesh)
+    rng = np.random.RandomState(1)
+    for dim, group in schema.groups.items():
+        gids = jnp.asarray(rng.randint(0, group.total_rows, (2, 5)).astype(np.int32))
+        ref = gather_group(params[f"dim{dim}"], group, gids)
+        got = sharded_gather_group(mesh, "dp", sharded[f"dim{dim}"], group, gids)
+        assert got.dtype == jnp.float32 and ref.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6)
+
+
+def test_shard_tables_leaves_non_table_params_replicated():
+    """Only the stacked 'dim{d}' tables row-shard; an 'img_*' patch
+    projection with divisible rows must stay replicated (sharding a tiny
+    dense matmul operand costs an all-gather per use)."""
+    from jax.sharding import PartitionSpec as P
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    params = {
+        "dim8": jnp.zeros((16 * n_dev, 128), jnp.float32),
+        "img_pic": jnp.zeros((24 * n_dev, 64), jnp.float32),
+    }
+    sharded = shard_tables(params, mesh)
+    assert sharded["dim8"].sharding.spec == P("dp", None)
+    assert sharded["img_pic"].sharding.spec in (P(), P(None, None))

@@ -421,3 +421,18 @@ def test_preemption_skips_validation_and_epoch_callbacks(world, tmp_path):
                          callbacks=[SpyCallback()], preempt_dir=pdir)
     assert latest_step(pdir) == int(result["state"].step)
     assert epoch_ends == []          # no epoch-end work before the save
+
+
+def test_fit_reusable_after_early_stop(world):
+    """A second fit() on the same Trainer after an early stop (or handled
+    preemption) must actually train — the control flags reset at fit start
+    (regression test for a review finding)."""
+    conf, schema, paths, model = world
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=3)
+    trainer = Trainer(model, learning_rate=1e-3, seed=3)
+    r1 = trainer.fit(ds, epochs=1)
+    step1 = int(r1["state"].step)       # read BEFORE fit donates the buffers
+    trainer.control["stop"] = True      # what EarlyStopping leaves behind
+    trainer.control["preempt"] = True   # what a handled signal leaves behind
+    r2 = trainer.fit(ds, epochs=2, state=r1["state"])  # continue: epoch 2/2
+    assert int(r2["state"].step) == step1 + 3
