@@ -203,6 +203,13 @@ class Configuration:
                 exp_id = int(row[0])
             except (TypeError, ValueError):
                 raise ValueError(f"exp_id must be an int, got {row[0]!r}") from None
+            if len(row) != len(fields):
+                # dict(zip(...)) would silently drop extra cells or omit
+                # trailing fields (e.g. a stale row missing 'lr' -> the
+                # experiment trains with a default LR and no error)
+                raise ValueError(
+                    f"experiment row {exp_id}: {len(row)} cells for "
+                    f"{len(fields)} experiment_fields {fields}")
             values = [exp_id] + [self._parse_exp_cell(c) for c in row[1:]]
             # later duplicate exp_ids override earlier rows (the reference's
             # pandas index keeps duplicates, which breaks .loc — see SURVEY §2.10)

@@ -46,8 +46,14 @@ class Feature:
                 f"feature '{self.name}': type must be one of {SUPPORT_TYPE}, got '{self.type}'")
         self.default = DEFAULT_MAP[self.type]
         if isinstance(self.vocabs, list):
-            caster = {"int": int, "float": float, "str": str}[self.type]
-            self.vocabs = [caster(v) for v in self.vocabs]
+            if self.deal == FeatureDeal.Discrete:
+                # discrete vocabs are bin BOUNDARIES (thresholds), not
+                # values — int-casting [0.5, 1.5] for an int-typed feature
+                # would silently shift every bucket assignment
+                self.vocabs = [float(v) for v in self.vocabs]
+            else:
+                caster = {"int": int, "float": float, "str": str}[self.type]
+                self.vocabs = [caster(v) for v in self.vocabs]
 
     # --- predicates -------------------------------------------------------
     def is_hashing(self) -> bool:
@@ -275,6 +281,13 @@ class Features:
             vocabs = self._resolve_vocab_var(v[1:], materialize=False) if v.startswith("$") else v
             if not vocabs or vocabs == "null":
                 raise ValueError(f"bert_encode feature '{group}' needs a vocab path")
+            if not isinstance(vocabs, str):
+                # a token LIST (legal for lookup) would pass here but crash
+                # the tokenizer at first batch deep in the decode pool —
+                # fail at parse time instead
+                raise ValueError(
+                    f"bert_encode feature '{group}': vocab must be a file "
+                    f"path string, got {type(vocabs).__name__}")
 
         max_len = int(self.max_len_map.get(group, self.default_max_len))
         return [Feature(name, group, ftype, tower, deal, vocab_size, dim, pooling,

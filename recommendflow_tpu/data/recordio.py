@@ -42,15 +42,18 @@ DEFAULT_BLOCK_ROWS = 4096
 ColumnValues = Tuple[np.ndarray, np.ndarray]  # (flat values, row_splits)
 
 
-class StrColumn:
-    """Lazy ragged string column: raw utf-8 blob + byte offsets.
+class _RaggedBlobColumn:
+    """Lazy ragged column backed by one contiguous blob + byte offsets.
 
-    Keeps the decode zero-copy so the native fused hash kernel
+    Keeps the payload zero-copy so the native fused hash kernel
     (native/recflow_native.cc::rf_hash_column_padded) can consume the blob
-    directly; indexing/iteration materializes python strs on demand.
-    """
+    directly; indexing/iteration materializes python objects on demand via
+    the subclass' _DECODE hook (one shared implementation so str and bytes
+    columns can never drift apart)."""
 
     __slots__ = ("blob", "byte_splits", "_array")
+
+    _DECODE = staticmethod(lambda b: b)
 
     def __init__(self, blob: bytes, byte_splits: np.ndarray):
         self.blob = blob
@@ -69,8 +72,9 @@ class StrColumn:
             bs = self.byte_splits
             arr = np.empty(len(self), dtype=object)
             blob = self.blob
+            decode = self._DECODE
             for i in range(len(self)):
-                arr[i] = blob[bs[i]:bs[i + 1]].decode("utf-8")
+                arr[i] = decode(blob[bs[i]:bs[i + 1]])
             self._array = arr
         return self._array
 
@@ -85,41 +89,18 @@ class StrColumn:
         return a.astype(dtype) if dtype is not None else a
 
 
-class BytesColumn:
+class StrColumn(_RaggedBlobColumn):
+    """Lazy ragged string column: raw utf-8 blob + byte offsets."""
+
+    __slots__ = ()
+
+    _DECODE = staticmethod(lambda b: b.decode("utf-8"))
+
+
+class BytesColumn(_RaggedBlobColumn):
     """Lazy ragged binary column (encoded images etc.): blob + byte offsets."""
 
-    __slots__ = ("blob", "byte_splits", "_array")
-
-    def __init__(self, blob: bytes, byte_splits: np.ndarray):
-        self.blob = blob
-        self.byte_splits = byte_splits
-        self._array = None
-
-    def __len__(self) -> int:
-        return len(self.byte_splits) - 1
-
-    @property
-    def dtype(self):
-        return np.dtype(object)
-
-    def materialize(self) -> np.ndarray:
-        if self._array is None:
-            bs = self.byte_splits
-            arr = np.empty(len(self), dtype=object)
-            for i in range(len(self)):
-                arr[i] = self.blob[bs[i]:bs[i + 1]]
-            self._array = arr
-        return self._array
-
-    def __getitem__(self, idx):
-        return self.materialize()[idx]
-
-    def __iter__(self):
-        return iter(self.materialize())
-
-    def __array__(self, dtype=None, copy=None):
-        a = self.materialize()
-        return a.astype(dtype) if dtype is not None else a
+    __slots__ = ()
 
 
 @dataclass(frozen=True)
@@ -138,7 +119,17 @@ class BlockBuilder:
     def reset(self):
         self._values: Dict[str, List[Any]] = {c.name: [] for c in self.columns}
         self._splits: Dict[str, List[int]] = {c.name: [0] for c in self.columns}
+        self._col_bytes: Dict[str, int] = {c.name: 0 for c in self.columns}
         self.nrows = 0
+
+    @property
+    def blob_bytes(self) -> int:
+        """Accumulated blob bytes of the LARGEST str/bytes column: byte
+        offsets are int32 in the block format, so each column blob must
+        stay under 2^31 bytes — the writer flushes early on byte budget
+        (a 4096-row block of ~1MB images would overflow a row-count-only
+        flush policy)."""
+        return max(self._col_bytes.values(), default=0)
 
     def add_row(self, row: Dict[str, Any]):
         for c in self.columns:
@@ -149,6 +140,10 @@ class BlockBuilder:
                 vals = [vals]
             self._values[c.name].extend(vals)
             self._splits[c.name].append(len(self._values[c.name]))
+            if c.vtype in ("str", "bytes"):
+                self._col_bytes[c.name] += sum(
+                    len(v) if isinstance(v, bytes) else len(str(v))
+                    for v in vals)
         self.nrows += 1
 
     def serialize(self) -> bytes:
@@ -165,6 +160,12 @@ class BlockBuilder:
                 encoded = [v if isinstance(v, bytes) else str(v).encode("utf-8")
                            for v in vals]
                 blob = b"".join(encoded)
+                if len(blob) > 2**31 - 1:
+                    raise ValueError(
+                        f"column '{c.name}': {len(blob)} blob bytes exceed "
+                        "the int32 offset limit in one block — lower "
+                        "block_rows (RecordWriter flushes on byte budget "
+                        "for this automatically)")
                 byte_splits = np.zeros(len(encoded) + 1, dtype=np.int32)
                 if encoded:
                     np.cumsum([len(e) for e in encoded], out=byte_splits[1:])
@@ -196,10 +197,15 @@ class RecordWriter:
         self._builder = BlockBuilder(self.columns)
         self.rows_written = 0
 
+    # flush well below the 2^31 int32-offset ceiling: decompression buffers
+    # and the splits arrays add overhead on top of the blob itself
+    MAX_BLOCK_BLOB_BYTES = 1 << 30
+
     def write_row(self, row: Dict[str, Any]):
         self._builder.add_row(row)
         self.rows_written += 1
-        if self._builder.nrows >= self.block_rows:
+        if (self._builder.nrows >= self.block_rows
+                or self._builder.blob_bytes >= self.MAX_BLOCK_BLOB_BYTES):
             self._flush_block()
 
     def write_rows(self, rows: Sequence[Dict[str, Any]]):
@@ -340,18 +346,4 @@ def iter_block_nrows(path: str):
 
 
 def count_rows(path: str) -> int:
-    total = 0
-    with open(path, "rb") as f:
-        f.seek(4)
-        (n,) = struct.unpack("<I", f.read(4))
-        f.seek(4 + 4 + n)
-        while True:
-            header = f.read(16)
-            if len(header) < 16:
-                break
-            magic, nrows, comp_size, _ = struct.unpack("<IIII", header)
-            if magic != BLOCK_MAGIC:
-                raise ValueError(f"{path}: corrupt block header")
-            total += nrows
-            f.seek(comp_size, 1)
-    return total
+    return sum(iter_block_nrows(path))

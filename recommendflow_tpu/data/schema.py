@@ -55,11 +55,19 @@ class FeatureSlot:
 
     @property
     def out_dim(self) -> int:
-        """Pooled output width of this feature."""
+        """Pooled output width of this feature in the tower concat."""
         if self.kind == "dense":
             return self.max_len
         if self.kind == "image":
             return self.dim      # patch-projected embedding width
+        if self.kind == "embedding":
+            # pre-computed embedding columns concat at their stored width
+            # (ops/embedding.py:embed_batch passes them through)
+            return self.max_len
+        if self.kind == "token":
+            # token/segment id sequences feed text encoders, not the tower
+            # concat — they contribute no width there
+            return 0
         return self.num_hashes * self.dim
 
     @property

@@ -53,9 +53,19 @@ def parse_cell(raw: Any, vtype: str, deal: FeatureDeal) -> List[Any]:
     if isinstance(raw, (list, tuple, np.ndarray)):
         return list(raw)
     s = str(raw).strip()
-    if s == "" or s == "-1" and vtype == "str":
+    # "-1" is the missing sentinel for id-like deals of EVERY dtype
+    # (DEFAULT_MAP, config/proto.py; reference: '-1'->'' padding,
+    # make_tfrecord.py:36-41) — but a real value for numeric/embedding
+    # columns. Without the deal gate a numeric-typed discrete feature's
+    # missing cells would train a real bucket (ids<0 masking only exists on
+    # the hashing/lookup paths).
+    id_like = deal in (FeatureDeal.Hashing, FeatureDeal.Lookup,
+                       FeatureDeal.Discrete, FeatureDeal.TokenId)
+    if s == "" or (s == "-1" and (vtype == "str" or id_like)):
         return []
     parts = [p for p in s.split(",") if p != ""]
+    if id_like:
+        parts = [p for p in parts if p != "-1"]   # per-element sentinel
     if vtype == "int":
         return [int(float(p)) for p in parts]
     if vtype == "float":
@@ -68,8 +78,21 @@ def convert_rows(conf: Configuration, rows: Sequence[Dict[str, Any]],
     """Write an iterable of raw row-dicts to one RFB file."""
     specs = columns_for(conf)
     feats = {f.name: f for f in conf.features.train_features}
+    checked = False
     with RecordWriter(out_path, specs, block_rows=block_rows) as w:
         for row in rows:
+            if not checked:
+                # fail loudly on a header mismatch — row.get() of a missing
+                # column would otherwise write an all-empty (all-pad) dataset
+                # with no error anywhere downstream
+                missing = [s.name for s in specs if s.name not in row]
+                if missing:
+                    raise KeyError(
+                        f"source rows lack feature column(s) {missing}; "
+                        f"available: {sorted(row)} (feature names are "
+                        "lower-cased at config parse — check the CSV header "
+                        "case)")
+                checked = True
             rec = {}
             for spec in specs:
                 f = feats[spec.name]
@@ -97,9 +120,15 @@ def build_records(conf_path: str, src_pattern: str, out_dir: str,
         raise FileNotFoundError(f"no source files match {src_pattern}")
     os.makedirs(out_dir, exist_ok=True)
     jobs = []
+    used: Dict[str, int] = {}
     for src in srcs:
         base = os.path.splitext(os.path.basename(src))[0]
-        jobs.append((conf_path, src, os.path.join(out_dir, base + ".rfb")))
+        # same basename from different directories must not clobber one
+        # output file (under mp.Pool the writes would interleave)
+        n = used.get(base, 0)
+        used[base] = n + 1
+        name = base if n == 0 else f"{base}-{n}"
+        jobs.append((conf_path, src, os.path.join(out_dir, name + ".rfb")))
     procs = min(num_procs or mp.cpu_count(), MAX_PROCS, len(jobs))
     if procs <= 1:
         results = [_convert_csv_file(j) for j in jobs]

@@ -199,3 +199,66 @@ def test_discrete_with_int_bucket_rejected():
     """)
     with pytest.raises(ValueError, match="bin boundaries"):
         Configuration(conf=yaml.safe_load(text))
+
+
+# ------------------------------------------------------------- review fixes
+def _write_conf(tmp_path, features_row, extra=""):
+    p = tmp_path / "c.yaml"
+    p.write_text(f"""
+Variables:
+  vocabs:
+    frac_bins: [0.5, 1.5]
+    token_list: [a, b, c]
+Features:
+  feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+  features:
+    {features_row}
+    label,float,label,numeric,null,-1,null,true
+{extra}
+Networks:
+  class: recommendflow_tpu.models.matching.dssm.Dssm
+""")
+    return str(p)
+
+
+def test_discrete_boundaries_not_int_cast(tmp_path):
+    """Bin boundaries are thresholds, not values: an int-typed discrete
+    feature with fractional boundaries must keep them (regression test for
+    a review finding)."""
+    from recommendflow_tpu.config import Configuration
+
+    conf = Configuration(_write_conf(
+        tmp_path, "cnt,int,user,discrete,$frac_bins,8,sum,true"))
+    f = conf.features.get_features_by_name(["cnt"])[0]
+    assert list(f.vocabs) == [0.5, 1.5]
+
+
+def test_bert_encode_list_vocab_rejected(tmp_path):
+    """bert_encode vocab must be a file path; a token list (legal for
+    lookup) must fail at parse time, not inside the decode pool
+    (regression test for a review finding)."""
+    import pytest as _pytest
+
+    from recommendflow_tpu.config import Configuration
+
+    with _pytest.raises(ValueError, match="file path"):
+        Configuration(_write_conf(
+            tmp_path, "txt,str,user,bert_encode,$token_list,8,cls,true"))
+
+
+def test_experiment_row_length_checked(tmp_path):
+    """Experiment rows must match experiment_fields exactly — zip() would
+    silently drop/omit cells (regression test for a review finding)."""
+    import pytest as _pytest
+
+    from recommendflow_tpu.config import Configuration
+
+    extra = """
+Experiments:
+  experiment_fields: [exp_id, loss, lr]
+  experiments:
+    - 0,cosent_loss
+"""
+    with _pytest.raises(ValueError, match="experiment row 0"):
+        Configuration(_write_conf(
+            tmp_path, "cat,str,user,hashing,100,8,sum,true", extra))

@@ -331,3 +331,78 @@ def test_prefetch_propagates_errors():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="decode failed"):
         list(it)
+
+
+# ------------------------------------------------------------- review fixes
+def test_parse_cell_missing_sentinel_for_id_deals():
+    """'-1' is the missing sentinel for id-like deals of every dtype
+    (DEFAULT_MAP), but a real value for numeric columns — a numeric-typed
+    discrete feature's missing cells must NOT train a real bucket
+    (regression test for a review finding)."""
+    from recommendflow_tpu.config.proto import FeatureDeal
+    from recommendflow_tpu.data.writer import parse_cell
+
+    assert parse_cell("-1", "float", FeatureDeal.Discrete) == []
+    assert parse_cell("-1", "int", FeatureDeal.Lookup) == []
+    assert parse_cell("-1", "str", FeatureDeal.Hashing) == []
+    assert parse_cell("3,-1,5", "int", FeatureDeal.Lookup) == [3, 5]
+    # numeric keeps -1 as a value (it is a legitimate measurement)
+    assert parse_cell("-1", "float", FeatureDeal.Numeric) == [-1.0]
+
+
+def test_convert_rows_rejects_header_mismatch(demo_conf_path, tmp_path):
+    """A misnamed CSV column must fail loudly, not write an all-empty
+    dataset (regression test for a review finding)."""
+    import pytest as _pytest
+
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.writer import convert_rows
+
+    conf = Configuration(demo_conf_path)
+    rows = [{"totally_wrong_column": "1"}]
+    with _pytest.raises(KeyError, match="lack feature column"):
+        convert_rows(conf, rows, str(tmp_path / "bad.rfb"))
+
+
+def test_build_records_same_basename_no_clobber(demo_conf_path, tmp_path):
+    """Sources in different directories with the same basename must map to
+    distinct output files (regression test for a review finding)."""
+    import csv as csvlib
+
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.writer import build_records, columns_for
+
+    conf = Configuration(demo_conf_path)
+    names = [s.name for s in columns_for(conf)]
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        with open(d / "events.csv", "w", newline="") as f:
+            w = csvlib.DictWriter(f, fieldnames=names)
+            w.writeheader()
+            w.writerow({n: "1" for n in names})
+    outs = build_records(demo_conf_path, str(tmp_path / "*" / "events.csv"),
+                         str(tmp_path / "out"), num_procs=1)
+    assert len(outs) == len(set(outs)) == 2
+
+
+def test_record_writer_flushes_on_blob_byte_budget(tmp_path, monkeypatch):
+    """str/bytes blobs are int32-offset-limited per block; the writer must
+    flush on byte budget, not only on row count (regression test for a
+    review finding)."""
+    from recommendflow_tpu.data import recordio
+    from recommendflow_tpu.data.recordio import ColumnSpec, RecordWriter
+
+    monkeypatch.setattr(RecordWriter, "MAX_BLOCK_BLOB_BYTES", 1024)
+    path = str(tmp_path / "big.rfb")
+    payload = b"x" * 600
+    with RecordWriter(path, [ColumnSpec("img", "bytes")],
+                      block_rows=1000) as w:
+        for _ in range(10):
+            w.write_row({"img": [payload]})
+    # 600B rows against a 1KiB budget -> blocks of 2 rows, never 1000
+    sizes = list(recordio.iter_block_nrows(path))
+    assert max(sizes) <= 2 and sum(sizes) == 10
+    got = [bytes(v) for _, cols in recordio.iter_blocks(path)
+           for v in cols["img"][0]]
+    assert got == [payload] * 10
