@@ -40,9 +40,11 @@ def main(argv=None):
     lines = (sys.stdin if args.input == "-" else open(args.input)).read().splitlines()
     texts = [l for l in lines if l.strip()]
     emb = service.encode(texts)
-    np.savez_compressed(args.out, texts=np.asarray(texts, dtype=object),
+    # np.savez appends .npz when absent — report the REAL path written
+    out = args.out if args.out.endswith(".npz") else args.out + ".npz"
+    np.savez_compressed(out, texts=np.asarray(texts, dtype=object),
                         embeddings=emb)
-    print(f"encoded {len(texts)} texts -> {args.out} {emb.shape}")
+    print(f"encoded {len(texts)} texts -> {out} {emb.shape}")
 
 
 if __name__ == "__main__":

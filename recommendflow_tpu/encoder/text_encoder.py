@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 from collections import OrderedDict
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -74,7 +74,20 @@ class TextEncoderService:
         """LRU-cached batch encode (OnnxEncoder.encode parity:
         onnx_utils.py:123-137). Whitening auto-fits on the first call when
         enabled (bert_encoder.py:160-182 behavior)."""
-        missing = [t for t in texts if t not in self._cache]
+        if len(texts) == 0:
+            dim = (self.whitening.kernel.shape[1]
+                   if self.use_whitening and self._whitening_fit
+                   else self.model.model_dim)
+            return np.zeros((0, dim), np.float32)
+        # snapshot the cached rows this call needs BEFORE any insertion:
+        # inserting at capacity evicts LRU entries, which may include them
+        have: Dict[str, np.ndarray] = {}
+        for t in texts:
+            if t not in have and t in self._cache:
+                have[t] = self._cache[t]
+                self._cache.move_to_end(t)
+        missing = [t for t in texts if t not in have]
+        fresh: Dict[str, np.ndarray] = {}
         if missing:
             uniq = list(dict.fromkeys(missing))
             embs = self._encode_raw(uniq)
@@ -83,13 +96,16 @@ class TextEncoderService:
                     self.whitening.fit(embs)
                     self._whitening_fit = True
                 embs = self.whitening.transform(embs, normalize=False)
-            for t, e in zip(uniq, embs):
-                if len(self._cache) >= self.cache_size:
+            # keep this call's results OUT of the eviction's reach: inserting
+            # at capacity pops LRU entries, which may include texts this very
+            # call still has to return (or earlier uniq entries when
+            # len(uniq) > cache_size)
+            fresh = dict(zip(uniq, embs))
+            for t, e in fresh.items():
+                if t not in self._cache and len(self._cache) >= self.cache_size:
                     self._cache.popitem(last=False)
                 self._cache[t] = e
-        out = np.stack([self._cache[t] for t in texts])
-        for t in texts:
-            self._cache.move_to_end(t)
+        out = np.stack([fresh[t] if t in fresh else have[t] for t in texts])
         if normalize:
             out = out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
         return out
@@ -106,6 +122,9 @@ class TextEncoderService:
         from recommendflow_tpu.train.checkpoint import restore_pytree
         self.variables = restore_pytree(os.path.join(directory, "variables"),
                                         self.variables)
+        # embeddings cached under the OLD weights would silently mix two
+        # incompatible embedding spaces into one output matrix
+        self._cache.clear()
         wpath = os.path.join(directory, "whitening.npz")
         if os.path.exists(wpath):
             self.whitening = VecsWhitening.load(wpath)

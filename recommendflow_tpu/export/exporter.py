@@ -39,7 +39,11 @@ def export_model(model, variables, sample_batch: Dict[str, np.ndarray],
     arrays = [jax.ShapeDtypeStruct(np.shape(sample_batch[k]),
                                    np.asarray(sample_batch[k]).dtype)
               for k in batch_keys]
-    exported = jax_export.export(jax.jit(predict))(*arrays)
+    # lower for BOTH platforms: without this the artifact binds to the
+    # export-time backend (TPU under the preset JAX_PLATFORMS) and a CPU
+    # serving host rejects it with a platform mismatch
+    exported = jax_export.export(jax.jit(predict),
+                                 platforms=["cpu", "tpu"])(*arrays)
     blob = exported.serialize()
 
     meta = {

@@ -26,15 +26,16 @@ import jax.numpy as jnp
 MASK = -1e9
 
 
-def _gather_negatives(query, doc, y_true, axis_name: Optional[str]):
-    """Return (doc_all [Bg, D], y_all [Bg], pos_idx [B]) for the global batch."""
+def _gather_negatives(query, doc, axis_name: Optional[str]):
+    """Return (doc_all [Bg, D], pos_idx [B]) for the global batch. Labels
+    are NOT gathered — every loss weights by its local shard's y_true, so a
+    label all-gather would be a wasted per-step collective."""
     b = query.shape[0]
     if axis_name is None:
-        return doc, y_true, jnp.arange(b)
+        return doc, jnp.arange(b)
     doc_all = jax.lax.all_gather(doc, axis_name, axis=0, tiled=True)
-    y_all = jax.lax.all_gather(y_true, axis_name, axis=0, tiled=True)
     shard = jax.lax.axis_index(axis_name)
-    return doc_all, y_all, shard * b + jnp.arange(b)
+    return doc_all, shard * b + jnp.arange(b)
 
 
 def _mean_over_axis(value, axis_name: Optional[str]):
@@ -119,7 +120,7 @@ def pos_aux_label_cosent_loss(y_true, aux_true, query, doc, scale: float = 20.0)
 def batch_neg_sample_ce_loss(y_true, query, doc, axis_name: Optional[str] = None):
     """Softmax CE of each query against the (global) batch of docs, weighted
     by y_true (parity intent: match_losses.py:118-130 — scores as logits)."""
-    doc_all, _, pos = _gather_negatives(query, doc, y_true, axis_name)
+    doc_all, pos = _gather_negatives(query, doc, axis_name)
     logits = query @ doc_all.T
     logp = jax.nn.log_softmax(logits, axis=-1)
     loss = -jnp.take_along_axis(logp, pos[:, None], axis=1)[:, 0] * y_true
@@ -146,7 +147,7 @@ def batch_neg_sample_symmetrical_ce_loss(y_true, query, doc,
                                          axis_name: Optional[str] = None):
     """Symmetric (query->doc and doc->query) in-batch CE
     (parity: match_losses.py:133-146)."""
-    doc_all, y_all, pos = _gather_negatives(query, doc, y_true, axis_name)
+    doc_all, pos = _gather_negatives(query, doc, axis_name)
     logits = query @ doc_all.T                       # [B, Bg]
     lp_q = jax.nn.log_softmax(logits, axis=-1)
     picked_q = jnp.take_along_axis(lp_q, pos[:, None], 1)[:, 0]
@@ -162,7 +163,7 @@ def batch_neg_sample_scaled_multi_class_ce_loss(y_true, query, doc,
     """Que2Search scaled in-batch softmax: loss_i = −log softmax(s·cos)_ii,
     weighted by y_true to allow 0-labeled hot negatives
     (parity: match_losses.py:149-165)."""
-    doc_all, _, pos = _gather_negatives(query, doc, y_true, axis_name)
+    doc_all, pos = _gather_negatives(query, doc, axis_name)
     logits = scale * (query @ doc_all.T)
     logp = jax.nn.log_softmax(logits, axis=-1)
     loss = -jnp.take_along_axis(logp, pos[:, None], 1)[:, 0] * y_true
@@ -174,7 +175,7 @@ def batch_neg_sample_symmetrical_scaled_multi_class_ce_loss(
         axis_name: Optional[str] = None):
     """Symmetric Que2Search loss (docstring formula of match_losses.py:168-189;
     the reference body double-scales by s² — we implement the stated formula)."""
-    doc_all, _, pos = _gather_negatives(query, doc, y_true, axis_name)
+    doc_all, pos = _gather_negatives(query, doc, axis_name)
     logits = scale * (query @ doc_all.T)
     lp_q = jax.nn.log_softmax(logits, axis=-1)
     picked_q = jnp.take_along_axis(lp_q, pos[:, None], 1)[:, 0]
@@ -189,10 +190,16 @@ def batch_neg_sample_margin_rank_loss(y_true, query, doc, margin: float = 0.1,
     """Margin ranking against every in-batch negative:
     Σ_j max(0, −(cos_ii − cos_ij) + margin) · y_i
     (parity: match_losses.py:192-205; sum-reduced like the reference)."""
-    doc_all, _, pos = _gather_negatives(query, doc, y_true, axis_name)
+    doc_all, pos = _gather_negatives(query, doc, axis_name)
     scores = query @ doc_all.T
     pos_score = jnp.take_along_axis(scores, pos[:, None], 1)
     viol = jnp.clip(-(pos_score - scores) + margin, 0.0, None)
+    # the positive column is not a negative: without masking it every
+    # positive row adds a constant `margin`, so a perfectly ranked batch
+    # reports margin * num_pos instead of 0 (the hard-neg sibling below
+    # always masked it)
+    viol = viol * (1.0 - jax.nn.one_hot(pos, scores.shape[1],
+                                        dtype=viol.dtype))
     loss = jnp.sum(viol * y_true[:, None])
     return jax.lax.psum(loss, axis_name) if axis_name else loss
 
@@ -202,7 +209,7 @@ def batch_hard_neg_sample_margin_rank_loss(y_true, query, doc,
                                            axis_name: Optional[str] = None):
     """Hardest-in-batch negative margin loss (Que2Search stage-2;
     parity: match_losses.py:208-226). Requires a warm model."""
-    doc_all, _, pos = _gather_negatives(query, doc, y_true, axis_name)
+    doc_all, pos = _gather_negatives(query, doc, axis_name)
     scores = jnp.asarray(query @ doc_all.T)
     pos_score = jnp.take_along_axis(scores, pos[:, None], 1)[:, 0]
     is_pos_col = jax.nn.one_hot(pos, scores.shape[1], dtype=bool)
@@ -218,7 +225,7 @@ def batch_softmax_probabilistic_combining_soft(batch_size: int, miu: float = 0.6
     xi = 1.0 / batch_size
 
     def loss_fn(y_true, query, doc, axis_name: Optional[str] = None):
-        doc_all, _, pos = _gather_negatives(query, doc, y_true, axis_name)
+        doc_all, pos = _gather_negatives(query, doc, axis_name)
         scores = query @ doc_all.T                       # [B, Bg]
         pos_score = jnp.take_along_axis(scores, pos[:, None], 1)[:, 0]
         is_pos_col = jax.nn.one_hot(pos, scores.shape[1], dtype=bool)

@@ -36,30 +36,15 @@ class FeatureEmbedder(nn.Module):
     schema: BatchSchema
 
     def setup(self):
-        import numpy as np
-
-        from recommendflow_tpu.ops.embedding import pack_factor, table_shape
+        from recommendflow_tpu.ops.embedding import init_group_table
         dtype = jnp.dtype(getattr(self.schema, "table_dtype", "float32"))
         tables = {}
         for dim, group in self.schema.groups.items():
-            # symmetric U[-0.05, 0.05] (flax uniform(scale) is [0, scale) —
-            # all-positive init saturates cosine losses) with each member
-            # table's pad row zeroed
-            pad_rows = np.asarray(group.offsets, dtype=np.int32)
-            p = pack_factor(dim, dtype)
-
-            def init_table(key, shape, table_dtype=dtype, _pad=pad_rows,
-                           _p=p, _dim=dim):
-                import jax as _jax
-                flat = _jax.random.uniform(
-                    key, (shape[0] * _p, _dim), table_dtype, -0.05, 0.05)
-                flat = flat.at[_pad].set(0.0)
-                return flat.reshape(shape)
-
+            # shared init contract with the functional engine (packed
+            # layout + pad-row zeroing + symmetric scale live in ONE place)
             tables[f"dim{dim}"] = self.param(
-                f"table_dim{dim}", init_table,
-                table_shape(group, dtype),  # packed [rows/P, P*dim] layout
-                dtype)
+                f"table_dim{dim}",
+                lambda key, _g=group: init_group_table(key, _g, dtype))
         vit = getattr(self.schema, "image_encoder", "linear") == "vit"
         image_encoders = {}
         for name in self.schema.order:
@@ -137,9 +122,13 @@ def build_network(class_path: str, model_kwargs: Dict[str, Any],
         candidates += [f"recommendflow_tpu.models.{path}"]
         # bare model name: 'dssm' -> matching/ranking/... search
         if "." not in path:
+            # snake_case -> CamelCase ('dssm_encoder' -> 'DssmEncoder');
+            # a case-insensitive module scan below catches the rest
+            # ('xdeepfm' -> XDeepFm)
+            camel = "".join(p.capitalize() for p in path.lower().split("_"))
             for stage in ("matching", "preranking", "ranking", "reranking"):
                 candidates.append(
-                    f"recommendflow_tpu.models.{stage}.{path.lower()}.{path.capitalize()}")
+                    f"recommendflow_tpu.models.{stage}.{path.lower()}.{camel}")
     # legacy reference paths: 'models.matching.dssm.Dssm'
     if path.startswith("models."):
         candidates.append("recommendflow_tpu." + path)
@@ -151,15 +140,58 @@ def build_network(class_path: str, model_kwargs: Dict[str, Any],
             continue
         try:
             module = importlib.import_module(module_name)
+        except ModuleNotFoundError as e:
+            if e.name and (module_name == e.name
+                           or module_name.startswith(e.name + ".")):
+                last_err = e       # the candidate itself doesn't exist
+                continue
+            raise                  # the module EXISTS but its imports broke
+        try:
             cls = getattr(module, cls_name)
-        except (ImportError, AttributeError) as e:
-            last_err = e
-            continue
+        except AttributeError as e:
+            # case-insensitive fallback: the module is right, the class
+            # casing isn't ('xdeepfm' -> XDeepFm)
+            matches = [v for k, v in vars(module).items()
+                       if k.lower() == cls_name.lower()
+                       and isinstance(v, type)]
+            if not matches:
+                last_err = e
+                continue
+            cls = matches[0]
         model = cls(**model_kwargs)
         restored = None
         if checkpoint_path:
             from recommendflow_tpu.train.checkpoint import restore_variables
             restored = restore_variables(checkpoint_path)
         return model, restored
+    if "." not in path:
+        # last resort for bare names: scan the zoo packages for a class
+        # that doesn't live in a same-named module ('xdeepfm' -> XDeepFm
+        # in ranking/deepfm.py)
+        cls = _scan_zoo(path)
+        if cls is not None:
+            model = cls(**model_kwargs)
+            restored = None
+            if checkpoint_path:
+                from recommendflow_tpu.train.checkpoint import (
+                    restore_variables)
+                restored = restore_variables(checkpoint_path)
+            return model, restored
     raise ImportError(f"cannot resolve model class '{class_path}' "
                       f"(tried {candidates}): {last_err}")
+
+
+def _scan_zoo(name: str):
+    """Find a zoo class by case/underscore-insensitive bare name."""
+    import pkgutil
+    want = name.lower().replace("_", "")
+    for stage in ("matching", "preranking", "ranking", "reranking"):
+        pkg = importlib.import_module(f"recommendflow_tpu.models.{stage}")
+        for info in pkgutil.iter_modules(pkg.__path__):
+            mod = importlib.import_module(
+                f"recommendflow_tpu.models.{stage}.{info.name}")
+            for k, v in vars(mod).items():
+                if (isinstance(v, type) and v.__module__ == mod.__name__
+                        and k.lower().replace("_", "") == want):
+                    return v
+    return None

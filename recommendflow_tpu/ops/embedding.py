@@ -118,6 +118,24 @@ def table_shape(group: TableGroup, dtype=jnp.float32) -> Tuple[int, int]:
 IMAGE_PATCH = 8  # patchify side: [S,S,3] -> [(S/8)^2, 192] patch rows
 
 
+def init_group_table(key: jax.Array, group: TableGroup, dtype=jnp.float32,
+                     scale: float = 0.05) -> jnp.ndarray:
+    """One dim group's packed stacked table: symmetric U[-scale, scale)
+    (all-positive init saturates cosine losses) with each member table's
+    pad row zeroed, reshaped to the packed [rows/P, P*dim] stored layout.
+
+    The SINGLE init contract — both the functional engine (init_tables) and
+    the linen FeatureEmbedder (models/base.py) call this, so the packing /
+    pad-zeroing / scale can never diverge between the two paths."""
+    rows = padded_rows(group, dtype)
+    flat = jax.random.uniform(key, (rows, group.dim), dtype=dtype,
+                              minval=-scale, maxval=scale)
+    pad_rows_idx = np.asarray(group.offsets, dtype=np.int32)
+    flat = flat.at[pad_rows_idx].set(0.0)  # zero each member's pad row
+    p = pack_factor(group.dim, dtype)
+    return flat.reshape(rows // p, p * group.dim)
+
+
 def init_tables(schema: BatchSchema, key: jax.Array,
                 dtype=jnp.float32, scale: float = 0.05) -> Params:
     """Initialize one packed stacked array per dim group: params['dim{d}'],
@@ -125,13 +143,7 @@ def init_tables(schema: BatchSchema, key: jax.Array,
     params: Params = {}
     for dim, group in schema.groups.items():
         key, sub = jax.random.split(key)
-        rows = padded_rows(group, dtype)
-        flat = jax.random.uniform(sub, (rows, dim), dtype=dtype,
-                                  minval=-scale, maxval=scale)
-        pad_rows_idx = np.asarray(group.offsets, dtype=np.int32)
-        flat = flat.at[pad_rows_idx].set(0.0)  # zero each member's pad row
-        p = pack_factor(dim, dtype)
-        params[f"dim{dim}"] = flat.reshape(rows // p, p * dim)
+        params[f"dim{dim}"] = init_group_table(sub, group, dtype, scale)
     for name in schema.order:
         slot = schema.slots[name]
         if slot.kind == "image":

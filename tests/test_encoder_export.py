@@ -241,3 +241,40 @@ def test_tokenizer_batch_rejects_tiny_maxlen(tokenizer):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="maxlen"):
         tokenizer.encode_batch(["hello"], maxlen=1)
+
+
+def test_encoder_cache_eviction_mid_call(tokenizer):
+    """Requests larger than the cache (or evicting entries the same call
+    still needs) must not crash or corrupt results (regression test for a
+    review finding)."""
+    service = TextEncoderService(tokenizer, max_len=12, batch_size=4,
+                                 model_dim=32, num_layers=1, num_heads=2,
+                                 ffn_hidden=64, cache_size=2)
+    texts = [f"word{i}" for i in range(6)]
+    emb = service.encode(texts + texts[:1])        # 7 requests, cache of 2
+    assert emb.shape == (7, 32)
+    np.testing.assert_allclose(emb[6], emb[0], rtol=1e-6)
+    # warm entry + cold batch that evicts it, same call
+    warm = service.encode(["warm"])
+    mixed = service.encode(["cold_a", "cold_b", "warm", "cold_c"])
+    np.testing.assert_allclose(mixed[2], warm[0], rtol=1e-5)
+    # empty input returns an empty [0, D] matrix, not a crash
+    assert service.encode([]).shape == (0, 32)
+
+
+def test_encoder_load_weights_invalidates_cache(tokenizer, tmp_path):
+    """Embeddings cached under old weights must not leak into results after
+    load_weights (regression test for a review finding)."""
+    svc = TextEncoderService(tokenizer, max_len=12, batch_size=4,
+                             model_dim=32, num_layers=1, num_heads=2,
+                             ffn_hidden=64, seed=0)
+    trained = TextEncoderService(tokenizer, max_len=12, batch_size=4,
+                                 model_dim=32, num_layers=1, num_heads=2,
+                                 ffn_hidden=64, seed=99)
+    d = str(tmp_path / "w")
+    trained.save(d)
+    before = svc.encode(["hello"])
+    svc.load_weights(d)
+    after = svc.encode(["hello"])
+    np.testing.assert_allclose(after, trained.encode(["hello"]), rtol=1e-5)
+    assert not np.allclose(after, before, rtol=1e-3)

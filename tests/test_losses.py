@@ -75,9 +75,15 @@ def test_margin_rank_golden():
     golden = 0.0
     for i in range(10):
         for j in range(10):
-            golden += max(0.0, -(scores[i, i] - scores[i, j]) + m) * y[i]
+            if j != i:  # the positive column is not a negative
+                golden += max(0.0, -(scores[i, i] - scores[i, j]) + m) * y[i]
     got = float(M.batch_neg_sample_margin_rank_loss(y, q, d, margin=m))
     np.testing.assert_allclose(got, golden, rtol=1e-4)
+    # a perfectly ranked batch scores exactly 0 (no constant margin floor)
+    qq = np.eye(4, 8, dtype=np.float32)
+    perfect = float(M.batch_neg_sample_margin_rank_loss(
+        np.ones(4, np.float32), qq, qq, margin=m))
+    assert perfect == 0.0
 
 
 def test_hard_neg_margin_golden():

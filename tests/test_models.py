@@ -140,3 +140,36 @@ def test_build_network_legacy_and_short_names(recall_world):
     assert type(m1).__name__ == type(m2).__name__ == type(m3).__name__ == "Dssm"
     with pytest.raises(ImportError, match="cannot resolve"):
         build_network("nonexistent.model.Nope", {"conf": conf})
+
+
+def test_build_network_bare_multiword_names(demo_conf_path):
+    """Bare zoo names resolve for multi-word classes too: snake_case ->
+    CamelCase plus a case-insensitive module scan ('xdeepfm' -> XDeepFm)
+    (regression test for a review finding)."""
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.models.base import build_network
+
+    conf = Configuration(demo_conf_path)
+    m1, _ = build_network("dssm_encoder", {"conf": conf})
+    assert type(m1).__name__ == "DssmEncoder"
+    m2, _ = build_network("xdeepfm", {"conf": conf})
+    assert type(m2).__name__ == "XDeepFm"
+
+
+def test_build_network_does_not_mask_real_import_errors(tmp_path, monkeypatch):
+    """An ImportError raised INSIDE an existing model module must surface,
+    not be shadowed by later 'no such module' candidates (regression test
+    for a review finding)."""
+    import sys
+
+    import pytest as _pytest
+
+    pkg = tmp_path / "brokenzoo"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "broken.py").write_text("import not_a_real_dependency\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    from recommendflow_tpu.models.base import build_network
+    with _pytest.raises(ModuleNotFoundError, match="not_a_real_dependency"):
+        build_network("brokenzoo.broken.Whatever", {})

@@ -117,6 +117,9 @@ def test_margin_rank_deviates_as_documented(ref_match):
     scores = q @ d.T
     viol = np.clip(-(np.diag(scores)[:, None] - scores) + m, 0, None)
     literal_colweight = float(np.sum(viol * y[None, :]))
+    # ours also masks the positive column (it is not a negative; unmasked it
+    # adds a constant margin per positive row, flooring the loss above 0)
+    np.fill_diagonal(viol, 0.0)
     formula_rowweight = float(np.sum(viol * y[:, None]))
     ref = float(ref_match.batch_neg_sample_margin_rank_loss(
         tf.constant(y), tf.constant(q), tf.constant(d)))
