@@ -37,6 +37,7 @@ class TextEncoderService:
         self.tokenizer = tokenizer
         self.max_len = max_len
         self.batch_size = batch_size
+        model_kwargs.setdefault("max_len", max_len)
         self.model = model or TextEncoder(vocab_size=len(tokenizer.vocab),
                                           **model_kwargs)
         if variables is None:

@@ -106,6 +106,13 @@ class RecModel(nn.Module):
             raise ValueError("no loss given (model arg or Networks.loss)")
         return str2fn(loss) if isinstance(loss, str) else loss
 
+    def token_max_len(self, default: int = 64) -> int:
+        """Longest token feature in the schema — sizes TextEncoder.max_len
+        so the encoder's length guard matches what the pipeline emits."""
+        lens = [s.max_len for s in self.schema.slots.values()
+                if s.kind == "token"]
+        return max(lens) if lens else default
+
     def network_conf(self, key: str, default=None):
         return self.conf.networks.get(key, default)
 

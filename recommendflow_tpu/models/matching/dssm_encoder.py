@@ -26,6 +26,7 @@ class DssmEncoder(RecModel):
             num_layers=int(cfg.get("num_layers", 4)),
             model_dim=int(cfg.get("model_dim", 256)),
             pooling=str(cfg.get("pooling", "cls")),
+            max_len=self.token_max_len(),
             name=name)
 
     @nn.compact

@@ -53,7 +53,8 @@ class Que2Search(RecModel):
         text_encoder = TextEncoder(
             vocab_size=vocab, num_layers=self.text_layers,
             model_dim=int(self.network_conf("text_dim") or self.text_dim),
-            pooling="cls", name="text_encoder")  # shared across towers
+            pooling="cls", max_len=self.token_max_len(),
+            name="text_encoder")  # shared across towers
 
         def tower(tower_name: str):
             toks, sparse = self._tower_channels(schema, tower_name)

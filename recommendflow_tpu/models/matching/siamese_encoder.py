@@ -42,6 +42,7 @@ class SiameseEncoder(RecModel):
             num_layers=int(self.network_conf("text_layers") or 4),
             model_dim=int(self.network_conf("text_dim") or 256),
             pooling=str(self.network_conf("text_pooling") or "cls"),
+            max_len=self.token_max_len(),
             name="encoder")  # SHARED weights across towers & inputs
 
         def tower(tower_name: str):

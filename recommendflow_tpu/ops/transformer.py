@@ -74,6 +74,11 @@ class TextEncoder(nn.Module):
                  segment_ids: Optional[jnp.ndarray] = None,
                  training: bool = False,
                  use_pallas: bool = False) -> jnp.ndarray:
+        if token_ids.shape[1] > self.max_len:
+            raise ValueError(
+                f"sequence length {token_ids.shape[1]} exceeds the "
+                f"encoder's configured max_len={self.max_len} — truncate "
+                "at tokenization (Tokenizer.encode_batch maxlen)")
         mask = token_ids > 0
         x = nn.Embed(self.vocab_size, self.model_dim, name="tok_emb")(token_ids)
         if segment_ids is not None:
@@ -162,10 +167,10 @@ class ImageEncoder(nn.Module):
                          (1, n * n + 1, self.model_dim))
         x = nn.LayerNorm(name="emb_ln")(x + pos)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
-        mask = jnp.ones((b, n * n + 1), bool)
         for i in range(self.num_layers):
+            # no padding exists over fixed-size patch grids: mask=None
             x = TransformerEncoderBlock(
                 self.num_heads, self.ffn_hidden, self.dropout,
-                name=f"block{i}")(x, mask, training)
+                name=f"block{i}")(x, None, training)
         pooled = x[:, 0] if self.pooling == "cls" else jnp.mean(x, axis=1)
         return nn.Dense(self.out_dim, name="head")(pooled)

@@ -37,20 +37,29 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
     IMPORTANT: no jax.* call may run before jax.distributed.initialize
     (touching the backend — even jax.process_count() — locks single-process
-    mode), so the no-op decision uses env/args only."""
-    env_says_multihost = any(v in os.environ for v in
-                             ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
-    if coordinator_address is None and num_processes is None and not env_says_multihost:
+    mode), so the no-op decision uses env/args only.
+
+    On Cloud TPU pod slices NO coordinator env var is set — initialize()
+    is meant to be called arg-less and autodetect via the TPU metadata
+    server; TPU_WORKER_HOSTNAMES / MEGASCALE vars mark that case. A
+    requested multi-host init that fails RAISES: swallowing it would let
+    one host fall back to an independent single-host job that races the
+    rest of the cluster's writes to shared checkpoint roots."""
+    env_says_multihost = any(v in os.environ for v in (
+        "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES", "MEGASCALE_NUM_SLICES"))
+    if coordinator_address is None and num_processes is None \
+            and not env_says_multihost:
         return
-    try:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-        log.info("jax.distributed initialized: process %d/%d, %d local devices",
-                 jax.process_index(), jax.process_count(),
-                 jax.local_device_count())
-    except Exception as e:  # noqa: BLE001
-        log.warning("jax.distributed.initialize failed (%s); continuing single-host", e)
+    coordinator_address = coordinator_address or os.environ.get(
+        "COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    log.info("jax.distributed initialized: process %d/%d, %d local devices",
+             jax.process_index(), jax.process_count(),
+             jax.local_device_count())
 
 
 def host_id() -> int:

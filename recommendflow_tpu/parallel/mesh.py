@@ -37,8 +37,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Dict, axis: str = "dp") -> Dict:
-    """device_put every array of a host batch with batch-dim sharding."""
+    """Place every array of a host batch with batch-dim sharding.
+
+    Single-process: a plain device_put. Multi-host: each process holds a
+    DIFFERENT per-host batch (data/pipeline.py:shard_for_host), so the
+    local array is process-local DATA, not a copy of the global value —
+    device_put with a global-mesh sharding would silently keep only each
+    host's addressable quarter of its own batch and drop the rest;
+    make_array_from_process_local_data concatenates the per-host batches
+    into the [n_hosts * B] global batch instead."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

@@ -36,16 +36,25 @@ def _improved(value: float, best: float, mode: str, min_delta: float) -> bool:
     return value < best - min_delta
 
 
+def _auto_mode(monitor: str, mode: str) -> str:
+    """One shared monitor-direction rule: every retrieval/quality metric the
+    framework emits (auc/hit/mrr/ndcg/recall, retrieval/eval.py) maximizes;
+    losses minimize. A narrower copy of this list once inverted
+    best-model selection for val_mrr/val_ndcg monitors."""
+    if mode != "auto":
+        return mode
+    return ("max" if any(k in monitor for k in
+                         ("auc", "hit", "mrr", "ndcg", "recall"))
+            else "min")
+
+
 class EarlyStopping(Callback):
     def __init__(self, monitor: str = "val_loss", patience: int = 3,
                  mode: str = "auto", min_delta: float = 0.0,
                  restore_best: bool = True):
         self.monitor = monitor
         self.patience = patience
-        self.mode = ("max" if ("auc" in monitor or "hit" in monitor or
-                               "mrr" in monitor or "ndcg" in monitor or
-                               "recall" in monitor)
-                     else "min") if mode == "auto" else mode
+        self.mode = _auto_mode(monitor, mode)
         self.min_delta = min_delta
         self.restore_best = restore_best
         self.best = -math.inf if self.mode == "max" else math.inf
@@ -82,8 +91,7 @@ class ReduceLROnPlateau(Callback):
         self.factor = factor
         self.patience = patience
         self.min_lr_scale = min_lr_scale
-        self.mode = ("max" if ("auc" in monitor or "hit" in monitor)
-                     else "min") if mode == "auto" else mode
+        self.mode = _auto_mode(monitor, mode)
         self.min_delta = min_delta
         self.best = -math.inf if self.mode == "max" else math.inf
         self.wait = 0
@@ -115,8 +123,7 @@ class ModelCheckpoint(Callback):
         self.keep = keep
         self.save_best = save_best
         self.monitor = monitor
-        self.mode = ("max" if ("auc" in monitor or "hit" in monitor)
-                     else "min") if mode == "auto" else mode
+        self.mode = _auto_mode(monitor, mode)
         self.best = -math.inf if self.mode == "max" else math.inf
 
     def on_epoch_end(self, trainer, state, epoch, logs):

@@ -21,9 +21,19 @@ def _checkpointer():
 
 def save_pytree(path: str, tree: Any, force: bool = True):
     # save device-agnostic host arrays: checkpoints written from a sharded
-    # mesh must stay restorable in processes with a different device count
-    tree = jax.tree.map(
-        lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
+    # mesh must stay restorable in processes with a different device count.
+    # Arrays row-sharded ACROSS processes (multi-host shard_tables) are not
+    # np.asarray-able — gather their remote shards first.
+    def to_host(x):
+        if not hasattr(x, "shape"):
+            return x
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
+
+    tree = jax.tree.map(to_host, tree)
     path = os.path.abspath(path)
     _checkpointer().save(path, tree, force=force)
 

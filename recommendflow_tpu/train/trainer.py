@@ -336,8 +336,10 @@ class Trainer:
 
     def _put(self, batch: Dict[str, np.ndarray]):
         if self.mesh is not None:
-            sh = batch_sharding(self.mesh)
-            return {k: jax.device_put(v, sh) for k, v in batch.items()}
+            # shard_batch owns batch placement (incl. the multi-host
+            # per-process-data path) — keep exactly one implementation
+            from recommendflow_tpu.parallel.mesh import shard_batch
+            return shard_batch(self.mesh, batch)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def train_step(self, state, batch):

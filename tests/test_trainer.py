@@ -436,3 +436,19 @@ def test_fit_reusable_after_early_stop(world):
     trainer.control["preempt"] = True   # what a handled signal leaves behind
     r2 = trainer.fit(ds, epochs=2, state=r1["state"])  # continue: epoch 2/2
     assert int(r2["state"].step) == step1 + 3
+
+
+def test_auto_mode_maximizes_all_quality_metrics(tmp_path):
+    """ModelCheckpoint/ReduceLROnPlateau auto-mode must maximize mrr/ndcg/
+    recall monitors like EarlyStopping does — a narrower copy of the rule
+    once inverted best-model selection (regression test for a review
+    finding)."""
+    from recommendflow_tpu.train.callbacks import (
+        EarlyStopping, ModelCheckpoint, ReduceLROnPlateau)
+
+    for monitor in ("val_mrr@10", "val_ndcg@50", "val_recall@100",
+                    "val_auc", "val_hit@5"):
+        assert ModelCheckpoint(str(tmp_path), monitor=monitor).mode == "max"
+        assert ReduceLROnPlateau(monitor=monitor).mode == "max"
+        assert EarlyStopping(monitor=monitor).mode == "max"
+    assert ModelCheckpoint(str(tmp_path), monitor="val_loss").mode == "min"
