@@ -57,10 +57,16 @@ def main(argv=None):
             [("", d_pos.dtype)] * d_pos.shape[1]).ravel()
         _, first_idx, inverse = np.unique(keys, return_index=True,
                                           return_inverse=True)
+        if not pos.any():
+            print("no positive rows in the eval set — recall metrics skipped")
+            return
         corpus = d_pos[first_idx]
         searcher = TpuSearcher(dim=q.shape[1], metric="cos").train(corpus)
-        topk = [k for k in str2list(args.topk, trans_type=int)
-                if k <= len(corpus)]
+        topk_list = str2list(args.topk, trans_type=int)
+        # tiny corpora: keep at least the smallest K (clamped in-searcher)
+        # instead of crashing on max() of an empty filter
+        topk = [k for k in topk_list if k <= len(corpus)] or \
+            [min(topk_list)]
         metrics = batch_compute_recall_score(searcher, q[pos], inverse, topk)
         print(f"corpus items: {len(corpus)}, queries: {int(pos.sum())}")
         print(recall_report(metrics, topk))

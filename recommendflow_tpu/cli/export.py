@@ -25,12 +25,12 @@ def main(argv=None):
     from recommendflow_tpu.models.base import build_network
     from recommendflow_tpu.train import Trainer
     from recommendflow_tpu.train.checkpoint import restore_checkpoint
-    from __graft_entry__ import _synthetic_batch
+    from recommendflow_tpu.data.synthetic import synthetic_batch
 
     conf = Configuration(args.conf)
     model, _ = build_network(conf.networks["class"], {"conf": conf})
     schema = compile_schema(conf.features)
-    sample = _synthetic_batch(schema, args.batch_size)
+    sample = synthetic_batch(schema, args.batch_size)
     trainer = Trainer(model)
     state = trainer.init_state(trainer._put(sample))
     if args.checkpoint:

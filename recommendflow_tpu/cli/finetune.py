@@ -57,8 +57,7 @@ def main(argv=None):
 
     eval_cb = EvalCallback(make_recall_evaluator(conf, valid_ds or train_ds))
     base_logs: dict = {}
-    eval_cb.eval_fn_orig = eval_cb.eval_fn
-    base_logs.update(eval_cb.eval_fn_orig(trainer, state))
+    base_logs.update(eval_cb.eval_fn(trainer, state))
     base_logs.update(trainer.evaluate(state, valid_ds or train_ds))
     print("pre-finetune metrics:", {k: round(v, 5) for k, v in base_logs.items()})
 

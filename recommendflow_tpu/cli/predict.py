@@ -44,8 +44,10 @@ def main(argv=None):
         state = restore_checkpoint(args.checkpoint, state)
     outputs = trainer.predict(state, ds)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    np.savez_compressed(args.out, **outputs)
-    print(f"wrote {args.out}: " + ", ".join(f"{k}{v.shape}" for k, v in outputs.items()))
+    # np.savez appends .npz when absent — report the REAL path written
+    out = args.out if args.out.endswith(".npz") else args.out + ".npz"
+    np.savez_compressed(out, **outputs)
+    print(f"wrote {out}: " + ", ".join(f"{k}{v.shape}" for k, v in outputs.items()))
 
 
 if __name__ == "__main__":

@@ -115,6 +115,8 @@ def normalize_seeds(seeds: Union[int, Sequence[int], None],
     if isinstance(seeds, int):
         return [seeds + 7 * i for i in range(num_hashes)]
     seeds = list(seeds)
+    if not seeds:
+        return normalize_seeds(0, num_hashes)   # [] -> documented default
     if len(seeds) < num_hashes:
         seeds = seeds + [seeds[-1] + 7 * (i + 1) for i in range(num_hashes - len(seeds))]
     return seeds[:num_hashes]

@@ -113,3 +113,24 @@ def generate_records(conf: Configuration,
                 w.write_row(make_row(fi * per_file + i))
         paths.append(path)
     return paths
+
+
+def synthetic_batch(schema, batch_size: int, seed: int = 0):
+    """One random device-shaped batch straight from a compiled schema
+    (ids/dense/labels only — no record files). Used by the export CLI's
+    sample batch, the driver entrypoints, and the benchmarks."""
+    rng = np.random.RandomState(seed)
+    batch = {}
+    for name in schema.order:
+        s = schema.slots[name]
+        if s.kind == "sparse":
+            batch[name] = rng.randint(
+                0, s.num_rows, size=(batch_size,) + s.batch_shape).astype(np.int32)
+        elif s.kind == "dense":
+            batch[name] = rng.rand(batch_size, *s.batch_shape).astype(np.float32)
+        else:
+            batch[name] = rng.randint(
+                0, 100, size=(batch_size,) + s.batch_shape).astype(np.int32)
+    for name in schema.label_names:
+        batch[name] = (rng.rand(batch_size) > 0.5).astype(np.float32)
+    return batch

@@ -406,3 +406,9 @@ def test_record_writer_flushes_on_blob_byte_budget(tmp_path, monkeypatch):
     got = [bytes(v) for _, cols in recordio.iter_blocks(path)
            for v in cols["img"][0]]
     assert got == [payload] * 10
+
+
+def test_normalize_seeds_empty_list_falls_back():
+    from recommendflow_tpu.data.hashing import normalize_seeds
+    assert normalize_seeds([], 2) == normalize_seeds(0, 2) == [0, 7]
+    assert normalize_seeds([5], 2) == [5, 12]
