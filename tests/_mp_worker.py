@@ -68,9 +68,27 @@ def main():
     # both processes, so save must process_allgather them
     save_pytree(os.path.join(out_dir, "mp_ckpt"), state.params)
 
+    # sharded retrieval across PROCESSES: corpus rows split over all 8
+    # devices (4 per process), per-shard tournament + cross-process
+    # all_gather merge; every process must see the identical global top-k
+    import numpy as np
+
+    from recommendflow_tpu.retrieval import ShardedSearcher
+    rng = np.random.RandomState(0)
+    corpus = rng.randn(3000, 16).astype(np.float32)
+    queries = rng.randn(32, 16).astype(np.float32)
+    searcher = ShardedSearcher(dim=16, metric="ip")  # own 'items' mesh
+    searcher.train(corpus)
+    scores, ids = searcher.search(queries, topk=9, return_items=False)
+    golden = np.argsort(-(queries @ corpus.T), axis=1)[:, :9]
+    for r in range(len(queries)):
+        assert set(np.asarray(ids)[r]) == set(golden[r]), \
+            f"proc {idx}: sharded search row {r} wrong"
+
     if idx == 0:
         with open(os.path.join(out_dir, "digest.json"), "w") as f:
-            json.dump({"losses": losses, "param_total": total}, f)
+            json.dump({"losses": losses, "param_total": total,
+                       "search_ok": True}, f)
 
 
 if __name__ == "__main__":
