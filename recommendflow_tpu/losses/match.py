@@ -157,14 +157,28 @@ def batch_neg_sample_symmetrical_ce_loss(y_true, query, doc,
     return _mean_over_axis(jnp.mean(loss), axis_name)
 
 
+def _logq_correct(logits, logq, axis_name: Optional[str]):
+    """Sampled-softmax bias correction (Yi et al. 2019): in-batch negatives
+    are sampled ∝ item frequency, so subtract log p(item) from every
+    column's logits. logq [B] is the LOCAL shard's docs' log-probabilities
+    (train/freq.py:log_q); gathered to the global column axis under dp."""
+    if logq is None:
+        return logits
+    lq = jax.lax.all_gather(logq, axis_name, axis=0, tiled=True) \
+        if axis_name is not None else logq
+    return logits - lq[None, :]
+
+
 def batch_neg_sample_scaled_multi_class_ce_loss(y_true, query, doc,
                                                 scale: float = 20.0,
-                                                axis_name: Optional[str] = None):
+                                                axis_name: Optional[str] = None,
+                                                logq=None):
     """Que2Search scaled in-batch softmax: loss_i = −log softmax(s·cos)_ii,
     weighted by y_true to allow 0-labeled hot negatives
-    (parity: match_losses.py:149-165)."""
+    (parity: match_losses.py:149-165). `logq` enables the sampling-bias
+    correction (BEYOND the reference; see _logq_correct/train/freq.py)."""
     doc_all, pos = _gather_negatives(query, doc, axis_name)
-    logits = scale * (query @ doc_all.T)
+    logits = _logq_correct(scale * (query @ doc_all.T), logq, axis_name)
     logp = jax.nn.log_softmax(logits, axis=-1)
     loss = -jnp.take_along_axis(logp, pos[:, None], 1)[:, 0] * y_true
     return _mean_over_axis(jnp.mean(loss), axis_name)
@@ -172,11 +186,11 @@ def batch_neg_sample_scaled_multi_class_ce_loss(y_true, query, doc,
 
 def batch_neg_sample_symmetrical_scaled_multi_class_ce_loss(
         y_true, query, doc, scale: float = 20.0,
-        axis_name: Optional[str] = None):
+        axis_name: Optional[str] = None, logq=None):
     """Symmetric Que2Search loss (docstring formula of match_losses.py:168-189;
     the reference body double-scales by s² — we implement the stated formula)."""
     doc_all, pos = _gather_negatives(query, doc, axis_name)
-    logits = scale * (query @ doc_all.T)
+    logits = _logq_correct(scale * (query @ doc_all.T), logq, axis_name)
     lp_q = jax.nn.log_softmax(logits, axis=-1)
     picked_q = jnp.take_along_axis(lp_q, pos[:, None], 1)[:, 0]
     pos_logit = jnp.take_along_axis(logits, pos[:, None], 1)[:, 0]

@@ -106,6 +106,37 @@ class RecModel(nn.Module):
             raise ValueError("no loss given (model arg or Networks.loss)")
         return str2fn(loss) if isinstance(loss, str) else loss
 
+    def logq_correction(self, batch, update: bool = True):
+        """Sampled-softmax bias correction inputs (BEYOND the reference,
+        Yi et al. 2019): when `Networks.logq_feature` names a sparse item
+        feature, maintain a streaming frequency estimate over its
+        first-hash ids (a 'freq' variable collection the trainer threads
+        through steps and checkpoints) and return the batch docs' log q
+        for the loss's `logq=` parameter. Returns None when unconfigured.
+
+        Call UNCONDITIONALLY from the model (models init with
+        training=False, and the collection must exist at init for the
+        trainer to thread it); pass update=training so only train steps
+        advance the stream."""
+        feat = self.network_conf("logq_feature")
+        if not feat:
+            return None
+        import jax.numpy as jnp
+
+        from recommendflow_tpu.train.freq import freq_init, freq_update, log_q
+        buckets = int(self.network_conf("logq_buckets") or (1 << 20))
+        alpha = float(self.network_conf("logq_alpha") or 0.05)
+        ids = batch[feat].reshape(batch[feat].shape[0], -1)[:, 0] % buckets
+        fstate = self.variable("freq", "state", lambda: freq_init(buckets))
+        fstep = self.variable("freq", "step",
+                              lambda: jnp.zeros((), jnp.int32))
+        lq = log_q(fstate.value, ids)        # estimate BEFORE this batch
+        if update and not self.is_initializing():
+            fstep.value = fstep.value + 1
+            fstate.value = freq_update(fstate.value, ids, fstep.value,
+                                       alpha=alpha)
+        return lq
+
     def token_max_len(self, default: int = 64) -> int:
         """Longest token feature in the schema — sizes TextEncoder.max_len
         so the encoder's length guard matches what the pipeline emits."""

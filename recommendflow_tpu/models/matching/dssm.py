@@ -62,8 +62,13 @@ class Dssm(RecModel):
         label_name = schema.label_names[0] if schema.label_names else "label"
         y_true = batch.get(label_name, jnp.ones(u.shape[0], u.dtype))
 
+        # unconditional so the 'freq' collection exists at init; only train
+        # steps advance the stream
+        logq = self.logq_correction(batch, update=training)
         if training:
-            loss = self.resolve_loss()(y_true, u, a)
+            loss_fn = self.resolve_loss()
+            loss = loss_fn(y_true, u, a) if logq is None else \
+                loss_fn(y_true, u, a, logq=logq)
             aux = {"pos_cos": jnp.mean(jnp.sum(u * a, axis=1) * y_true)}
             return loss, aux
         out: Dict[str, jnp.ndarray] = {"user": u, "ad": a, "label": y_true}

@@ -306,6 +306,15 @@ class Trainer:
             state = self._apply_sparse_table_updates(state, grads, batch)
         if "batch_stats" in new_model_state:
             state = state.replace(batch_stats=new_model_state["batch_stats"])
+        extra_mut = {k: v for k, v in new_model_state.items()
+                     if k != "batch_stats"}
+        if extra_mut:
+            # persist OTHER mutated collections too (e.g. the 'freq'
+            # streaming-frequency state of the logQ correction) — they were
+            # previously computed and dropped
+            merged = dict(state.extra_vars) if state.extra_vars else {}
+            merged.update(extra_mut)
+            state = state.replace(extra_vars=flax_core.freeze(merged))
         metrics = {"loss": loss, **aux}
         return state, metrics
 

@@ -237,3 +237,59 @@ def test_weighted_cosent_pair_semantics():
     # upweighting samples increases the loss (heavier violated pairs)
     heavy = float(weighted_cosent_loss(y, q, d, np.full(8, 3.0, np.float32)))
     assert heavy > uniform
+
+
+# ----------------------------------------------------- logQ bias correction
+def test_logq_corrected_softmax_closed_form():
+    """logq subtracts log p(item) from every column's logits (Yi et al.
+    2019 sampled-softmax correction) — verify against a manual softmax."""
+    y, q, d = _rand_embeddings(b=8, seed=21)
+    logq = np.log(np.linspace(0.01, 0.3, 8)).astype(np.float32)
+    s = 20.0
+    logits = s * (q @ d.T) - logq[None, :]
+    lp = logits - np.log(np.exp(logits - logits.max(1, keepdims=True))
+                         .sum(1, keepdims=True)) - logits.max(1, keepdims=True)
+    golden = float(np.mean(-np.diag(lp) * y))
+    got = float(M.batch_neg_sample_scaled_multi_class_ce_loss(
+        y, q, d, scale=s, logq=logq))
+    np.testing.assert_allclose(got, golden, rtol=1e-4)
+    # logq=None unchanged
+    base = float(M.batch_neg_sample_scaled_multi_class_ce_loss(y, q, d))
+    assert not np.isclose(got, base)
+
+
+def test_logq_sharded_equals_single():
+    y, q, d = _rand_embeddings(b=32, d=8, seed=22)
+    logq = np.log(np.linspace(0.01, 0.3, 32)).astype(np.float32)
+    for loss in (M.batch_neg_sample_scaled_multi_class_ce_loss,
+                 M.batch_neg_sample_symmetrical_scaled_multi_class_ce_loss):
+        global_val = float(loss(y, q, d, logq=logq))
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        sharded = shard_map(
+            lambda yy, qq, dd, ll: loss(yy, qq, dd, axis_name="dp", logq=ll),
+            mesh=mesh, in_specs=(P("dp"),) * 4, out_specs=P())
+        got = float(jax.jit(sharded)(y, q, d, logq))
+        np.testing.assert_allclose(got, global_val, rtol=2e-4, atol=2e-5)
+
+
+def test_freq_estimator_tracks_item_rates():
+    """Items occurring every k steps converge to interval≈k, i.e.
+    log q ≈ -log k (train/freq.py, Yi et al. Algorithm 1)."""
+    import jax.numpy as jnp
+
+    from recommendflow_tpu.train.freq import freq_init, freq_update, log_q
+    state = freq_init(64)
+    # item 1 every step, item 2 every 4 steps, item 3 every 8 steps
+    for step in range(1, 65):
+        ids = [1]
+        if step % 4 == 0:
+            ids.append(2)
+        if step % 8 == 0:
+            ids.append(3)
+        state = freq_update(state, jnp.asarray(ids, jnp.int32), step,
+                            alpha=0.3)
+    lq = np.asarray(log_q(state, jnp.asarray([1, 2, 3, 9], jnp.int32)))
+    np.testing.assert_allclose(lq[0], np.log(1.0), atol=0.05)
+    np.testing.assert_allclose(lq[1], -np.log(4.0), atol=0.1)
+    np.testing.assert_allclose(lq[2], -np.log(8.0), atol=0.15)
+    assert lq[3] < -10  # never-seen item: floor probability

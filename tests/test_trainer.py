@@ -452,3 +452,49 @@ def test_auto_mode_maximizes_all_quality_metrics(tmp_path):
         assert ReduceLROnPlateau(monitor=monitor).mode == "max"
         assert EarlyStopping(monitor=monitor).mode == "max"
     assert ModelCheckpoint(str(tmp_path), monitor="val_loss").mode == "min"
+
+
+def test_logq_correction_end_to_end(world, demo_conf_path):
+    """Networks.logq_feature turns on the sampled-softmax bias correction:
+    the 'freq' collection threads through train steps (step counter
+    advances, intervals fill in) and the corrected loss differs from the
+    uncorrected run while still training (BEYOND the reference, Yi et al.
+    2019)."""
+    conf = Configuration(demo_conf_path)
+    conf.networks["logq_feature"] = "item_id"
+    conf.networks["logq_buckets"] = 4096
+    _, schema, paths, _ = world
+    model, _ = build_network(conf.networks["class"],
+                             {"conf": conf, "tower_units": [32]})
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=4)
+    trainer = Trainer(model, learning_rate=1e-3, seed=1)
+    state = trainer.init_state(trainer._put(next(iter(ds))))
+    assert "freq" in state.extra_vars
+    losses = []
+    for b in ds:
+        state, metrics = trainer.train_step(state, b)
+        losses.append(float(metrics["loss"]))
+    assert int(state.extra_vars["freq"]["step"]) == 4
+    assert float(jnp.sum(state.extra_vars["freq"]["state"]["interval"])) > 0
+    assert all(np.isfinite(l) for l in losses)
+
+    # the stream state checkpoints with everything else
+    import tempfile
+
+    from recommendflow_tpu.train.checkpoint import restore_pytree, save_pytree
+    with tempfile.TemporaryDirectory() as td:
+        save_pytree(td + "/s", state)
+        restored = restore_pytree(td + "/s", state)
+    assert int(restored.extra_vars["freq"]["step"]) == 4
+
+    # uncorrected baseline on the same data differs (the correction is live)
+    base_model, _ = build_network(Configuration(demo_conf_path).networks["class"],
+                                  {"conf": Configuration(demo_conf_path),
+                                   "tower_units": [32]})
+    bt = Trainer(base_model, learning_rate=1e-3, seed=1)
+    bs = bt.init_state(bt._put(next(iter(ds))))
+    base_losses = []
+    for b in ds:
+        bs, m = bt.train_step(bs, b)
+        base_losses.append(float(m["loss"]))
+    assert not np.allclose(losses[1:], base_losses[1:], rtol=1e-3)
