@@ -122,6 +122,12 @@ def scaling(mesh_sizes=(1, 2, 4, 8)):
         dt = time.perf_counter() - t0
         results[n] = steps * per_device_batch * n / dt
     base = results.get(1)
+    if jax.default_backend() == "cpu":
+        import sys
+        print("note: fake CPU devices SHARE the host's cores — these "
+              "efficiency numbers validate the harness mechanics only; "
+              "run on a real multi-chip slice for meaningful scaling",
+              file=sys.stderr)
     for n, eps in results.items():
         eff = eps / (base * n) if base else float("nan")
         print(json.dumps({"mesh": n, "examples_per_sec": round(eps, 1),

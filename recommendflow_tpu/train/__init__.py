@@ -8,3 +8,4 @@ from recommendflow_tpu.train.monitor import PromotionBlocked, model_online_monit
 from recommendflow_tpu.train.optimizers import (
     make_partitioned_optimizer, rowwise_adagrad,
 )
+from recommendflow_tpu.train.freq import freq_init, freq_update, log_q
