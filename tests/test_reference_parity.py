@@ -515,3 +515,68 @@ def test_new_fm_second_order_matches_reference(ref_network):
                       "embed_inputs": tf.constant(emb)}).numpy()[:, 0]
     got = np.asarray(fm_pairwise(emb))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_multi_perspective_matches_reference(ref_matching):
+    """BiMPM MultiPerspective (matching_layers.py:134-427), per strategy
+    with shared kernels. full / max-pooling / max-attentive match exactly.
+    DISCOVERED DEVIATION: the reference's attentive strategy weights by RAW
+    cosines normalized by their sum (matching_layers.py:254-275 — weights
+    can be negative and the sum can approach 0); we use the standard
+    softmax attention. Asserted as a deviation, with ours pinned to the
+    softmax closed form."""
+    from recommendflow_tpu.ops.matching import MultiPerspective
+    rng = np.random.RandomState(12)
+    B, L, D, P = 2, 5, 6, 3
+    a = rng.randn(B, L, D).astype(np.float32)
+    b = rng.randn(B, L, D).astype(np.float32)
+    w = rng.randn(4, P, D).astype(np.float32)
+
+    ours = np.asarray(MultiPerspective(num_perspectives=P).apply(
+        {"params": {"perspectives": jnp.asarray(w)}}, a, b))
+    m_full, m_max = ours[..., :P], ours[..., P:2 * P]
+    m_att, m_maxatt = ours[..., 2 * P:3 * P], ours[..., 3 * P:]
+
+    layer = ref_matching.MultiPerspective(mp_dim=P)
+    layer.build((B, L, 2 * D))
+    ta, tb = tf.constant(a), tf.constant(b)
+    ref_full = layer._full_matching(ta, tb, tf.constant(w[0])).numpy()
+    ref_max = layer._max_pooling_matching(ta, tb, tf.constant(w[1])).numpy()
+    cos = layer._cosine_matrix(ta, tb)
+    ref_maxatt = layer._max_attentive_matching(
+        ta, tb, cos, tf.constant(w[3])).numpy()
+    ref_att = layer._attentive_matching(ta, tb, cos, tf.constant(w[2])).numpy()
+
+    np.testing.assert_allclose(m_full, ref_full, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(m_max, ref_max, rtol=1e-4, atol=1e-5)
+    # DISCOVERED DEFECT: the reference's max-attentive gather flattens x2 to
+    # (B*L2, D) but indexes it with position-only argmax indices
+    # (matching_layers.py:277-302 — no batch offset), so EVERY batch element
+    # gathers from batch 0's sequence. Assert the defect, then compare the
+    # batch-correct form against ours.
+    b0_gather = b[0][np.argmax(np.asarray(cos), axis=-1)]
+    ref_mav = layer._max_attentive_vectors(tb, cos).numpy()
+    np.testing.assert_allclose(ref_mav, b0_gather, rtol=1e-5)
+    correct = np.take_along_axis(b, np.argmax(np.asarray(cos), -1)[..., None],
+                                 axis=1)
+    assert not np.allclose(ref_mav, correct)
+    wa3 = a[:, :, None, :] * w[3][None, None]
+    wb3 = correct[:, :, None, :] * w[3][None, None]
+    golden_maxatt = (wa3 * wb3).sum(-1) / (
+        np.maximum(np.linalg.norm(wa3, axis=-1), 1e-4) *
+        np.maximum(np.linalg.norm(wb3, axis=-1), 1e-4))
+    np.testing.assert_allclose(m_maxatt, golden_maxatt, rtol=1e-3, atol=1e-4)
+    del ref_maxatt
+    # attentive deviates (softmax vs raw-cosine normalization) ...
+    assert not np.allclose(m_att, ref_att, rtol=1e-2, atol=1e-2)
+    # ... and ours equals the softmax closed form
+    cos_np = np.asarray(cos)
+    att = np.exp(cos_np - cos_np.max(-1, keepdims=True))
+    att /= att.sum(-1, keepdims=True)
+    b_att = np.einsum("blm,bmd->bld", att, b)
+    wa = a[:, :, None, :] * w[2][None, None]
+    wb = b_att[:, :, None, :] * w[2][None, None]
+    num = (wa * wb).sum(-1)
+    den = np.maximum(np.linalg.norm(wa, axis=-1), 1e-4) * \
+        np.maximum(np.linalg.norm(wb, axis=-1), 1e-4)
+    np.testing.assert_allclose(m_att, num / den, rtol=1e-3, atol=1e-4)
