@@ -83,11 +83,31 @@ def generate_records(conf: Configuration,
             elif name == "item_cvr":
                 row[name] = [float(item_ctr[it] * 0.3)]
             elif f.deal == FeatureDeal.Hashing:
-                row[name] = [f"{name}_{rng.randint(1000)}"]
+                # honor the declared dtype: an int-typed hashing feature's
+                # column is stored as int64 — string tokens would crash the
+                # writer (caught by tests/test_config_fuzz.py)
+                k = max(1, min(f.max_len, 4))
+                if f.type == "int":
+                    row[name] = rng.randint(0, 100000, size=k).tolist()
+                else:
+                    row[name] = [f"{name}_{rng.randint(1000)}"
+                                 for _ in range(k)]
             elif f.deal == FeatureDeal.Lookup:
-                row[name] = [int(rng.randint(max(f.vocab_size, 1)))]
+                # draw from the actual vocab (matching its dtype) so lookup
+                # features aren't all-OOV for string vocabs
+                k = max(1, min(f.max_len, 4))
+                if isinstance(f.vocabs, (list, tuple)) and f.vocabs:
+                    row[name] = [f.vocabs[rng.randint(len(f.vocabs))]
+                                 for _ in range(k)]
+                else:
+                    row[name] = rng.randint(
+                        0, max(f.vocab_size, 1), size=k).tolist()
             elif f.deal == FeatureDeal.Discrete:
                 row[name] = [float(rng.rand())]
+            elif f.deal == FeatureDeal.Embedding:
+                # fixed-width pre-computed vector column
+                row[name] = rng.randn(max(f.max_len, 1)).astype(
+                    np.float32).tolist()
             elif f.deal == FeatureDeal.TokenId:
                 row[name] = rng.randint(1, 100, size=8).tolist()
             elif f.deal == FeatureDeal.BertEncode:

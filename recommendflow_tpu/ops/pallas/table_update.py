@@ -37,7 +37,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # Rows per grid block. Blocks are [BR, W]; at the packed 512-byte row layout
 # (W = 256 bf16 or 128 f32 elems) a block is 512 KB, and the live set

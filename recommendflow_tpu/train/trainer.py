@@ -31,7 +31,7 @@ from flax.training import train_state as flax_train_state
 
 from recommendflow_tpu.data.pipeline import Dataset, prefetch
 from recommendflow_tpu.parallel.mesh import (
-    apply_shardings, batch_sharding, replicated, table_sharding_rules,
+    apply_shardings, replicated, table_sharding_rules,
 )
 from recommendflow_tpu.train.callbacks import Callback, History
 from recommendflow_tpu.utils.logger import get_logger
