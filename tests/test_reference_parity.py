@@ -580,3 +580,148 @@ def test_multi_perspective_matches_reference(ref_matching):
     den = np.maximum(np.linalg.norm(wa, axis=-1), 1e-4) * \
         np.maximum(np.linalg.norm(wb, axis=-1), 1e-4)
     np.testing.assert_allclose(m_att, num / den, rtol=1e-3, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Preprocessing-layer semantics: EmbeddingBag combiners, lookup id mapping,
+# discretize bins. preprocess_layers.py imports two uninstallable private
+# deps (bert4keras, config_parser->case_class) — stub just those two
+# modules; the layers under test use neither.
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_preprocess():
+    import types
+
+    # the reference also imports preprocessing layers from the LEGACY
+    # tensorflow.python.keras.layers path, which no longer exports them in
+    # this TF — graft the modern tf.keras.layers implementations on so the
+    # module imports (the layer math under test is unchanged)
+    import tensorflow.python.keras.layers as legacy
+    grafted = []
+    for name in ("Hashing", "StringLookup", "IntegerLookup",
+                 "Discretization", "Embedding", "Lambda"):
+        if not hasattr(legacy, name):
+            setattr(legacy, name, getattr(tf.keras.layers, name))
+            grafted.append(name)
+    b4k = types.ModuleType("bert4keras")
+    b4k_tok = types.ModuleType("bert4keras.tokenizers")
+    b4k_tok.Tokenizer = object
+    b4k.tokenizers = b4k_tok
+    cp = types.ModuleType("config_parser")
+    cpf = types.ModuleType("config_parser.features")
+    cpf.TYPE_STR, cpf.TYPE_INT = "str", "int"
+    cp.features = cpf
+    saved = {}
+    mods = {"bert4keras": b4k, "bert4keras.tokenizers": b4k_tok,
+            "config_parser": cp, "config_parser.features": cpf}
+    for k, v in mods.items():
+        saved[k] = sys.modules.get(k)
+        sys.modules[k] = v
+    try:
+        yield _load_ref("backend/layers/preprocess_layers.py",
+                        "ref_preprocess_layers")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        for name in grafted:
+            delattr(legacy, name)
+
+
+@pytest.mark.parametrize("combiner", ["sum", "min", "max", "avg"])
+def test_embedding_bag_combiner_matches_reference(ref_preprocess, combiner):
+    """EmbeddingBag reduce combiners (preprocess_layers.py:43-64) with the
+    embedding matrix injected, on fully-valid sequences (no pads)."""
+    from recommendflow_tpu.config.proto import FeaturePooling
+    from recommendflow_tpu.ops.embedding import pool_sequence
+    rng = np.random.RandomState(13)
+    V, D, B, L = 20, 6, 3, 4
+    table = rng.randn(V, D).astype(np.float32)
+    ids = rng.randint(1, V, size=(B, L)).astype(np.int64)   # no id 0
+    bag = ref_preprocess.EmbeddingBag(V, D, mask_zero=True, combiner=combiner)
+    bag.embedding_layer.build((B, L))
+    bag.embedding_layer.set_weights([table])
+    ref = bag(tf.constant(ids)).numpy()
+    got = np.asarray(pool_sequence(jnp.asarray(table[ids]),
+                                   jnp.asarray(ids > 0),
+                                   FeaturePooling(combiner)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_embedding_bag_reference_defects(ref_preprocess):
+    """DISCOVERED DEFECTS (preprocess_layers.py:50-54, 43-64): (1) the
+    'first'/'last' combiners index the BATCH axis (t[0]/t[-1] on a
+    [B, L, D] tensor), returning another example's sequence instead of a
+    sequence position; (2) mask_zero only attaches Keras mask METADATA —
+    the reduce combiners ignore it, so pad positions contribute the
+    trainable row-0 embedding to sum/avg/min/max. We pool positionally
+    with explicit masks."""
+    from recommendflow_tpu.config.proto import FeaturePooling
+    from recommendflow_tpu.ops.embedding import pool_sequence
+    rng = np.random.RandomState(14)
+    V, D, B, L = 10, 4, 3, 4
+    table = rng.randn(V, D).astype(np.float32)
+    ids = rng.randint(1, V, size=(B, L)).astype(np.int64)
+    bag_first = ref_preprocess.EmbeddingBag(V, D, combiner="first")
+    bag_first.embedding_layer.build((B, L))
+    bag_first.embedding_layer.set_weights([table])
+    ref_first = bag_first(tf.constant(ids)).numpy()
+    # reference 'first' == batch element 0's sequence, NOT position 0
+    np.testing.assert_allclose(ref_first, table[ids][0], rtol=1e-6)
+    ours_first = np.asarray(pool_sequence(
+        jnp.asarray(table[ids]), jnp.asarray(ids > 0), FeaturePooling.First))
+    np.testing.assert_allclose(ours_first, table[ids][:, 0], rtol=1e-6)
+
+    # pad leak: last position id 0 -> reference avg still averages 4 rows
+    ids_pad = ids.copy()
+    ids_pad[:, -1] = 0
+    bag_avg = ref_preprocess.EmbeddingBag(V, D, mask_zero=True, combiner="avg")
+    bag_avg.embedding_layer.build((B, L))
+    bag_avg.embedding_layer.set_weights([table])
+    ref_avg = bag_avg(tf.constant(ids_pad)).numpy()
+    np.testing.assert_allclose(ref_avg, table[ids_pad].mean(axis=1),
+                               rtol=1e-5)                  # row 0 included
+    ours_avg = np.asarray(pool_sequence(
+        jnp.asarray(table[ids_pad]), jnp.asarray(ids_pad > 0),
+        FeaturePooling.Avg))
+    np.testing.assert_allclose(ours_avg, table[ids_pad[:, :3]].mean(axis=1),
+                               rtol=1e-5)                  # pad excluded
+
+
+def test_lookup_id_mapping_matches_reference(ref_preprocess):
+    """Our host-side encode_lookup must produce the SAME id space as the
+    reference's StringLookup/IntegerLookup + mask_zero stack: vocab words ->
+    1..V in vocab order, OOV -> 0 (= masked/pad)."""
+    from recommendflow_tpu.data.schema import encode_lookup
+    vocab = ["apple", "banana", "pear"]
+    layer = ref_preprocess.LookupEmbedding(4, "str", vocab, name="lk")
+    ref_ids = layer.lookup_id(tf.constant([["banana", "apple", "zzz",
+                                            "pear"]])).numpy()[0]
+    got = encode_lookup(np.array(["banana", "apple", "zzz", "pear"],
+                                 dtype=object), vocab)
+    np.testing.assert_array_equal(got, ref_ids)
+
+    ivocab = [10, 20, 30]
+    ilayer = ref_preprocess.LookupEmbedding(4, "int", ivocab, name="ilk")
+    ref_ids = ilayer.lookup_id(tf.constant([[20, 99, 10, 30]])).numpy()[0]
+    got = encode_lookup(np.array([20, 99, 10, 30]), ivocab)
+    np.testing.assert_array_equal(got, ref_ids)
+
+
+def test_discretize_bins_match_reference_plus_pad_shift(ref_preprocess):
+    """tf.keras Discretization assigns bin 0..len(bounds); ours shifts +1 so
+    bin 0 stays the maskable pad id (the reference's own docstring warns its
+    missing values 'can't be masked', preprocess_layers.py:172-174 — the
+    shift is the documented intent fix, SURVEY §2.10)."""
+    import tensorflow as _tf
+
+    from recommendflow_tpu.data.schema import encode_discrete
+    bounds = [0.001, 0.01, 0.1]
+    vals = np.array([0.0005, 0.001, 0.05, 0.5, 0.0099], np.float32)
+    ref_bins = _tf.keras.layers.Discretization(bin_boundaries=bounds)(
+        _tf.constant(vals)).numpy()
+    got = encode_discrete(vals, bounds)
+    np.testing.assert_array_equal(got, ref_bins + 1)
