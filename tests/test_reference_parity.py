@@ -725,3 +725,23 @@ def test_discretize_bins_match_reference_plus_pad_shift(ref_preprocess):
         _tf.constant(vals)).numpy()
     got = encode_discrete(vals, bounds)
     np.testing.assert_array_equal(got, ref_bins + 1)
+
+
+def test_ffn_matches_reference(ref_network):
+    """FFN (network_layers.py:301-318): kernel-size-1 Conv1D stack == our
+    Dense FeedForward with relu, weights injected."""
+    from recommendflow_tpu.ops.transformer import FeedForward
+    rng = np.random.RandomState(15)
+    B, L, D, H = 2, 5, 8, 16
+    x = rng.randn(B, L, D).astype(np.float32)
+    layer = ref_network.FFN(hidden_unit=H, d_model=D)
+    ref = layer(tf.constant(x)).numpy()
+    params = {
+        "Dense_0": {"kernel": jnp.asarray(layer.conv1.kernel.numpy()[0]),
+                    "bias": jnp.asarray(layer.conv1.bias.numpy())},
+        "Dense_1": {"kernel": jnp.asarray(layer.conv2.kernel.numpy()[0]),
+                    "bias": jnp.asarray(layer.conv2.bias.numpy())},
+    }
+    got = np.asarray(FeedForward(hidden=H, activation="relu").apply(
+        {"params": params}, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
