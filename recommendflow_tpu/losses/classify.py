@@ -119,7 +119,9 @@ def categorical_ghm_loss(bins: int = 30, momentum: float = 0.75):
         density = density * valid_mask[:, None] + (1 - valid_mask[:, None])
         ce = -y_true * jnp.log(p)
         loss = jnp.sum(ce / jnp.maximum(density, 1.0), axis=-1)
-        return loss, new_state
+        # invalid (padded) rows must contribute ZERO loss and gradient, not
+        # unweighted CE — valid_mask previously only shaped the densities
+        return loss * valid_mask, new_state
 
     ghm.init_state = init_state
     return ghm

@@ -25,10 +25,14 @@ def fm_pairwise(emb: jnp.ndarray) -> jnp.ndarray:
 class FM(nn.Module):
     """First + second order factorization machine over pre-looked-up field
     embeddings (parity intent: network_layers.py:8-56 / 174-207 New_FM;
-    the id-offset mapping is handled by the stacked-table engine)."""
+    the id-offset mapping is handled by the stacked-table engine).
+    Optional field_values [B, F] scale each field's embedding (weighted FM
+    for numeric-valued fields) before both terms."""
     @nn.compact
     def __call__(self, field_emb: jnp.ndarray,
                  field_values: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if field_values is not None:
+            field_emb = field_emb * field_values[..., None]
         b, f, d = field_emb.shape
         first = nn.Dense(1, name="linear")(field_emb.reshape(b, f * d))[:, 0]
         second = fm_pairwise(field_emb)
@@ -86,7 +90,10 @@ class CIN(nn.Module):
     (parity: network_layers.py:210-255, conv1d formulation -> einsum).
 
     Input [B, F, D]; each layer h^k = conv(outer(h^{k-1}, h^0)); output is
-    the concat of per-layer sum-pooled feature maps -> [B, sum(layer_sizes)].
+    the concat of per-layer sum-pooled feature maps. Width: with
+    split_half=True (default), sum(s // 2 for non-final layers) + the last
+    layer size (halves feed forward, halves pool out — the xDeepFM paper's
+    variant); with split_half=False, sum(layer_sizes).
 
     The reference applies NO nonlinearity between layers (its conv1d output
     feeds the next layer raw, network_layers.py:249-251) and never splits;

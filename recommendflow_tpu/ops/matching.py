@@ -97,10 +97,13 @@ class MultiPerspective(nn.Module):
         wb = weighted(b, w[1])[:, None, :, :, :]               # [B, 1, Lb, P, D]
         cos_pw = _cosine(wa, wb)                               # [B, La, Lb, P]
         cos_pw = jnp.where(mb[..., None], cos_pw, NEG_INF)
-        m_max = jnp.max(cos_pw, axis=2)
+        # an all-padded b row would leak the NEG_INF fill straight into the
+        # output (and NaN the loss downstream) — give it a finite 0 instead
+        has_b = mask_b.any(axis=1)[:, None, None]
+        m_max = jnp.where(has_b, jnp.max(cos_pw, axis=2), 0.0)
 
-        # 3. attentive: cosine-weighted mean of b
-        att = jax.nn.softmax(jnp.where(mb, cos, NEG_INF), axis=2)
+        # 3. attentive: cosine-weighted mean of b (cos is already masked)
+        att = jax.nn.softmax(cos, axis=2)
         b_att = jnp.einsum("blm,bmd->bld", att, b)             # [B, La, D]
         m_att = _cosine(weighted(a, w[2]), weighted(b_att, w[2]))
 

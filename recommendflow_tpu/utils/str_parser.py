@@ -119,9 +119,13 @@ def str2dayno(x: str, mode: str = "patten") -> Union[str, List[str]]:
     else:
         raise ValueError(f"unknown dayno expression '{x}'")
 
+    if not days:
+        raise ValueError(f"dayno expression '{x}' resolves to zero days")
     if mode == "list":
         return sorted(days)
     if mode == "patten":
+        if len(days) == 1:
+            return days[0]     # '20221128{}' is a literal to bash/hadoop
         prefix = os.path.commonprefix(days)
         return prefix + "{" + ",".join(d[len(prefix):] for d in sorted(days)) + "}"
     raise ValueError(f"unknown mode '{mode}'")
@@ -155,9 +159,15 @@ def str2fn(dotted: str, default_module: str = "recommendflow_tpu.losses.match"):
     else:
         module_name, fn_name = default_module, dotted
     module = importlib.import_module(module_name)
-    public = [n for n in dir(module) if not n.startswith("_")]
+    # only callables DEFINED in the module: dir() also lists imported
+    # modules/constants ('jnp', 'MASK', ...) that a config typo could
+    # silently resolve to
+    public = [n for n in dir(module) if not n.startswith("_")
+              and callable(getattr(module, n))
+              and getattr(getattr(module, n), "__module__", None)
+              == module.__name__]
     abbrevs = {abbreviate(n): n for n in public}
-    if hasattr(module, fn_name):
+    if callable(getattr(module, fn_name, None)):
         return getattr(module, fn_name)
     if fn_name in abbrevs:
         return getattr(module, abbrevs[fn_name])

@@ -262,3 +262,18 @@ Experiments:
     with _pytest.raises(ValueError, match="experiment row 0"):
         Configuration(_write_conf(
             tmp_path, "cat,str,user,hashing,100,8,sum,true", extra))
+
+
+def test_str2dayno_single_day_and_fn_resolution():
+    """Single-day patterns are literal (no '{}' suffix — bash/hadoop treat
+    it literally); str2fn refuses non-callable module attributes
+    (regression: review findings)."""
+    import pytest as _pytest
+
+    from recommendflow_tpu.utils.str_parser import str2dayno, str2fn
+    assert str2dayno("20221128") == "20221128"
+    assert "{" in str2dayno("20221128-2")
+    with _pytest.raises(AttributeError):
+        str2fn("jnp", default_module="recommendflow_tpu.losses.classify")
+    fn = str2fn("cosent_loss")
+    assert callable(fn)

@@ -293,3 +293,16 @@ def test_freq_estimator_tracks_item_rates():
     np.testing.assert_allclose(lq[1], -np.log(4.0), atol=0.1)
     np.testing.assert_allclose(lq[2], -np.log(8.0), atol=0.15)
     assert lq[3] < -10  # never-seen item: floor probability
+
+
+def test_ghm_invalid_rows_contribute_zero():
+    """valid_mask=0 rows must produce 0 loss (regression: review finding —
+    they previously got full unweighted CE from padding garbage)."""
+    ghm = C.categorical_ghm_loss(bins=10, momentum=0.5)
+    state = ghm.init_state()
+    y = np.eye(4, dtype=np.float32)
+    p = np.full((4, 4), 0.25, np.float32)
+    mask = np.array([1, 1, 0, 0], np.float32)
+    loss, _ = ghm(y, p, mask, state)
+    loss = np.asarray(loss)
+    assert (loss[:2] > 0).all() and (loss[2:] == 0).all()

@@ -223,3 +223,19 @@ Networks:
     out2 = trainer.eval_step(state, b2)
     assert not np.allclose(np.asarray(out1["score"]),
                            np.asarray(out2["score"]), atol=1e-5)
+
+
+def test_multi_perspective_empty_b_row_is_finite():
+    """An all-padded b sequence must not leak the -1e9 mask fill into the
+    max-pooling strategy's output (regression: review finding)."""
+    import jax
+
+    from recommendflow_tpu.ops.matching import MultiPerspective
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(2, 4, 8), jnp.float32)
+    b = jnp.asarray(rng.randn(2, 5, 8), jnp.float32)
+    mask_b = jnp.asarray([[True] * 5, [False] * 5])
+    m = MultiPerspective(num_perspectives=3)
+    out = m.apply(m.init(jax.random.PRNGKey(0), a, b), a, b, mask_b=mask_b)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out)).max() < 10.0
