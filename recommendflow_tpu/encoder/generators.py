@@ -90,21 +90,33 @@ def timeout(seconds: float, fallback=None):
     (parity: encoder_utils.py:15-24 timeout decorator used for the remote
     encode fallback, bert_encoder.py:79-117)."""
     import functools
-    from concurrent.futures import ThreadPoolExecutor
-    from concurrent.futures import TimeoutError as _FTimeout
+    import threading
 
     def deco(fn):
-        pool = ThreadPoolExecutor(max_workers=1)
+        # one fresh DAEMON thread per call: a single-worker pool would be
+        # permanently poisoned by the first hung call (futures cannot be
+        # cancelled once running, so every later call queues behind it and
+        # times out too, and the non-daemon worker blocks interpreter exit)
 
         @functools.wraps(fn)
         def wrapped(*args, **kwargs):
-            future = pool.submit(fn, *args, **kwargs)
-            try:
-                return future.result(timeout=seconds)
-            except _FTimeout:
+            box = {}
+
+            def run():
+                try:
+                    box["value"] = fn(*args, **kwargs)
+                except BaseException as e:  # surfaced below
+                    box["error"] = e
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            t.join(seconds)
+            if t.is_alive():            # timed out; abandon the thread
                 if fallback is None:
-                    raise TimeoutError(
-                        f"{fn.__name__} exceeded {seconds}s") from None
+                    raise TimeoutError(f"{fn.__name__} exceeded {seconds}s")
                 return fallback(*args, **kwargs) if callable(fallback) else fallback
+            if "error" in box:
+                raise box["error"]
+            return box["value"]
         return wrapped
     return deco

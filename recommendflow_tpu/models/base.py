@@ -141,7 +141,7 @@ class RecModel(nn.Module):
         """Longest token feature in the schema — sizes TextEncoder.max_len
         so the encoder's length guard matches what the pipeline emits."""
         lens = [s.max_len for s in self.schema.slots.values()
-                if s.kind == "token"]
+                if s.kind in ("token", "bert")]
         return max(lens) if lens else default
 
     def network_conf(self, key: str, default=None):

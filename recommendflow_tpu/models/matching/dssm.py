@@ -69,7 +69,8 @@ class Dssm(RecModel):
             loss_fn = self.resolve_loss()
             loss = loss_fn(y_true, u, a) if logq is None else \
                 loss_fn(y_true, u, a, logq=logq)
-            aux = {"pos_cos": jnp.mean(jnp.sum(u * a, axis=1) * y_true)}
+            aux = {"pos_cos": jnp.sum(jnp.sum(u * a, axis=1) * y_true)
+                   / jnp.maximum(jnp.sum(y_true), 1.0)}
             return loss, aux
         out: Dict[str, jnp.ndarray] = {"user": u, "ad": a, "label": y_true}
         # pass through any extra label-tower ids (ad_id/imei analogues,

@@ -94,7 +94,8 @@ class Que2Search(RecModel):
 
         if training:
             loss = self.resolve_loss()(y, u, a)
-            aux = {"pos_cos": jnp.mean(jnp.sum(u * a, axis=1) * y)}
+            aux = {"pos_cos": jnp.sum(jnp.sum(u * a, axis=1) * y)
+                   / jnp.maximum(jnp.sum(y), 1.0)}
             if aux_logit is not None:
                 y_aux = batch.get(schema.label_names[1])
                 if y_aux is not None:

@@ -27,7 +27,10 @@ from recommendflow_tpu.ops.transformer import TransformerEncoderBlock
 def _masked_pools(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     m = mask[..., None].astype(x.dtype)
     avg = jnp.sum(x * m, axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
-    mx = jnp.max(jnp.where(m > 0, x, -1e9), axis=1)
+    # an all-padding sequence must pool to 0, not the -1e9 mask fill
+    # (which would blow up the MLP and NaN the loss)
+    any_valid = mask.any(axis=1)[..., None]
+    mx = jnp.where(any_valid, jnp.max(jnp.where(m > 0, x, -1e9), axis=1), 0.0)
     return jnp.concatenate([avg, mx], axis=-1)
 
 

@@ -70,25 +70,31 @@ def roc_auc(y_true: np.ndarray, y_score: np.ndarray) -> float:
     n_pos, n_neg = int(pos.sum()), int((~pos).sum())
     if n_pos == 0 or n_neg == 0:
         return float("nan")
-    order = np.argsort(y_score, kind="mergesort")
-    ranks = np.empty_like(order, dtype=np.float64)
-    sorted_scores = y_score[order]
-    i = 0
-    r = 1.0
-    while i < len(sorted_scores):
-        j = i
-        while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
-            j += 1
-        avg = (r + r + (j - i)) / 2.0
-        ranks[order[i:j + 1]] = avg
-        r += j - i + 1
-        i = j + 1
+    ranks = _average_ranks(y_score)
     return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+
+
+def _average_ranks(x: np.ndarray) -> np.ndarray:
+    """1-based ranks with ties averaged — fully vectorized (a python
+    per-distinct-score loop here cost seconds per million rows on the
+    evaluate() path)."""
+    x = np.asarray(x).ravel()
+    order = np.argsort(x, kind="mergesort")
+    _, inv, counts = np.unique(x[order], return_inverse=True,
+                               return_counts=True)
+    ends = np.cumsum(counts).astype(np.float64)          # 1-based group ends
+    starts = ends - counts + 1.0
+    avg = (starts + ends) / 2.0                          # per distinct value
+    ranks = np.empty(len(x), np.float64)
+    ranks[order] = avg[inv]
+    return ranks
 
 
 def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
     """AUPR (average precision)."""
-    y_true = np.asarray(y_true).ravel()
+    # binarize like roc_auc: raw label VALUES in the cumsum would yield
+    # precision/AP > 1 for weighted or soft labels
+    y_true = (np.asarray(y_true).ravel() > 0.5).astype(np.float64)
     order = np.argsort(-np.asarray(y_score).ravel(), kind="mergesort")
     y = y_true[order]
     cum_pos = np.cumsum(y)
@@ -103,7 +109,7 @@ def recall_at_precision(y_true: np.ndarray, y_score: np.ndarray,
                         precision_floor: float = 0.6) -> Tuple[float, float]:
     """Max recall subject to precision >= floor, and the threshold achieving
     it (parity: eval_utils.py:270-293)."""
-    y_true = np.asarray(y_true).ravel()
+    y_true = (np.asarray(y_true).ravel() > 0.5).astype(np.float64)
     order = np.argsort(-np.asarray(y_score).ravel(), kind="mergesort")
     y = y_true[order]
     scores = np.asarray(y_score).ravel()[order]
@@ -113,6 +119,13 @@ def recall_at_precision(y_true: np.ndarray, y_score: np.ndarray,
     total_pos = max(y.sum(), 1e-12)
     recall = cum_pos / total_pos
     ok = precision >= precision_floor
+    # the returned threshold is DEPLOYED as `score >= t`: a cut inside a
+    # tied-score run admits the whole run, so only the last index of each
+    # run is an achievable operating point
+    achievable = np.empty(len(y), bool)
+    achievable[:-1] = scores[:-1] > scores[1:]
+    achievable[-1] = True
+    ok &= achievable
     if not ok.any():
         return 0.0, float("inf")
     best = np.argmax(np.where(ok, recall, -1.0))
@@ -121,12 +134,9 @@ def recall_at_precision(y_true: np.ndarray, y_score: np.ndarray,
 
 def spearman(a: np.ndarray, b: np.ndarray) -> float:
     """Spearman rank correlation (parity: eval_utils.py:79-82)."""
-    def rank(x):
-        order = np.argsort(x)
-        r = np.empty_like(order, dtype=np.float64)
-        r[order] = np.arange(len(x))
-        return r
-    ra, rb = rank(np.asarray(a).ravel()), rank(np.asarray(b).ravel())
+    # average ranks on ties (scipy.spearmanr semantics — ordinal ranks
+    # would be input-order-dependent for tied values)
+    ra, rb = _average_ranks(a), _average_ranks(b)
     ra -= ra.mean()
     rb -= rb.mean()
     denom = np.sqrt((ra ** 2).sum() * (rb ** 2).sum())

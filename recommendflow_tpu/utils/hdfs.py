@@ -41,7 +41,8 @@ def _run(args: List[str], retries: int = RETRIES) -> str:
             last = "timeout"
         log.warning("hdfs %s failed (attempt %d/%d): %s",
                     " ".join(args[:2]), attempt + 1, retries, last)
-        time.sleep(2 ** attempt)
+        if attempt + 1 < retries:        # no dead sleep after the LAST try
+            time.sleep(2 ** attempt)
     raise HdfsError(f"hadoop fs {' '.join(args)} failed after {retries} tries: {last}")
 
 
@@ -97,7 +98,12 @@ def stage_local(pattern: str, cache_dir: str = "/tmp/recflow_hdfs_cache") -> Lis
     day = time.strftime("%Y%m%d")
     out = []
     for f in files:
-        key = f.removeprefix("hdfs://").replace("/", "_")
+        # flattening '/' to '_' would collide a/b_c with a_b/c — key by a
+        # content-free digest of the full path plus the basename for
+        # readability
+        import hashlib
+        digest = hashlib.md5(f.encode("utf-8")).hexdigest()[:12]
+        key = f"{digest}_{os.path.basename(f)}"
         local = os.path.join(cache_dir, day, key)
         if not os.path.exists(local):
             get(f, local)

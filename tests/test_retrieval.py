@@ -303,3 +303,27 @@ def test_sharded_searcher_pickle_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(sc2), np.asarray(sc1),
                                rtol=1e-5, atol=1e-6)
     assert np.array_equal(np.asarray(i2), np.asarray(i1))
+
+
+# ---------------------------------------------------- metric edge regressions
+def test_metrics_binarize_and_handle_ties():
+    """average_precision/recall_at_precision binarize labels like roc_auc;
+    spearman averages tied ranks; the returned recall@precision threshold
+    is ACHIEVABLE under `score >= t` despite ties (regression: review
+    findings)."""
+    # weighted labels must not produce AP > 1
+    ap = average_precision(np.array([2.0, 0.0]), np.array([0.9, 0.1]))
+    assert ap == 1.0
+    # tied-rank spearman == scipy semantics
+    s = spearman(np.array([1.0, 1.0, 2.0]), np.array([1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(s, 0.8660254, rtol=1e-5)
+    # permutation invariance under ties
+    s2 = spearman(np.array([1.0, 1.0, 2.0]), np.array([2.0, 1.0, 3.0]))
+    np.testing.assert_allclose(s, s2, rtol=1e-6)
+    # tied scores: the threshold must not admit extra rows that break the floor
+    rec, thr = recall_at_precision(np.array([1.0, 0.0]),
+                                   np.array([0.9, 0.9]), 0.6)
+    sel = np.array([0.9, 0.9]) >= thr
+    y = np.array([1.0, 0.0])
+    if sel.any():
+        assert y[sel].mean() >= 0.6 or rec == 0.0
