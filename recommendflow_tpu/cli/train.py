@@ -26,6 +26,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_schedule", default=None,
+                   choices=["cosine", "linear", "warmup_constant"],
+                   help="per-step LR schedule (peak = --lr)")
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--decay_steps", type=int, default=100_000)
     p.add_argument("--valid_ratio", type=float, default=0.1)
     p.add_argument("--topk", default="5,10,50,100", help="eval K list")
     p.add_argument("--train_mode", default="normal", help="'test' = 10-batch debug run")
@@ -79,8 +84,12 @@ def main(argv=None):
     model, _ = build_network(conf.networks["class"],
                              {"conf": conf, "loss": loss_name})
     mesh = None if args.no_mesh else make_mesh()
-    trainer = Trainer(model, learning_rate=args.lr, mesh=mesh,
-                      shard_tables=args.shard_tables, seed=args.seed)
+    schedule = ({"type": args.lr_schedule, "warmup_steps": args.warmup_steps,
+                 "decay_steps": args.decay_steps}
+                if args.lr_schedule else None)
+    trainer = Trainer(model, learning_rate=args.lr, lr_schedule=schedule,
+                      mesh=mesh, shard_tables=args.shard_tables,
+                      seed=args.seed)
 
     topk = str2list(args.topk, trans_type=int)
     eval_source = valid_ds or train_ds

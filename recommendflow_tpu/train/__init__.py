@@ -6,6 +6,6 @@ from recommendflow_tpu.train.callbacks import (
 )
 from recommendflow_tpu.train.monitor import PromotionBlocked, model_online_monitor
 from recommendflow_tpu.train.optimizers import (
-    make_partitioned_optimizer, rowwise_adagrad,
+    make_lr_schedule, make_partitioned_optimizer, rowwise_adagrad,
 )
 from recommendflow_tpu.train.freq import freq_init, freq_update, log_q

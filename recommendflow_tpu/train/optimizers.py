@@ -96,6 +96,10 @@ def make_partitioned_optimizer(learning_rate: float = 1e-3,
     frozen_table_dims: dims whose tables the TRAINER updates itself (sparse
     touched-row path) — optax gives them a zero update (an add XLA elides)
     and keeps no state for them."""
+    if callable(learning_rate) and table_learning_rate is None:
+        raise ValueError("a schedule needs an explicit table_learning_rate "
+                         "(tables use a fixed Adagrad LR; pass "
+                         "default_table_lr(peak_lr) like the Trainer does)")
     table_lr = table_learning_rate if table_learning_rate is not None \
         else default_table_lr(learning_rate)  # adagrad wants a larger lr
     frozen = set(frozen_table_dims or ())
@@ -115,6 +119,29 @@ def make_partitioned_optimizer(learning_rate: float = 1e-3,
     if clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx
+
+
+def make_lr_schedule(peak_lr: float, type: str = "cosine",
+                     warmup_steps: int = 0, decay_steps: int = 100_000,
+                     min_ratio: float = 0.0):
+    """Warmup + decay LR schedule (optax schedule callable) for the dense
+    optimizer — 'cosine' | 'linear' | 'warmup_constant'. BEYOND the
+    reference (fixed Adam LR); pass via Trainer(lr_schedule={...})."""
+    end = peak_lr * min_ratio
+    if type == "cosine":
+        decay = optax.cosine_decay_schedule(peak_lr, decay_steps,
+                                            alpha=min_ratio)
+    elif type == "linear":
+        decay = optax.linear_schedule(peak_lr, end, decay_steps)
+    elif type == "warmup_constant":
+        decay = optax.constant_schedule(peak_lr)
+    else:
+        raise ValueError(f"lr schedule '{type}' "
+                         "(cosine|linear|warmup_constant)")
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, peak_lr, warmup_steps)
+        return optax.join_schedules([warmup, decay], [warmup_steps])
+    return decay
 
 
 def default_table_lr(learning_rate: float) -> float:

@@ -34,6 +34,7 @@ from recommendflow_tpu.parallel.mesh import (
     apply_shardings, replicated, table_sharding_rules,
 )
 from recommendflow_tpu.train.callbacks import Callback, History
+from recommendflow_tpu.train.optimizers import make_lr_schedule
 from recommendflow_tpu.utils.logger import get_logger
 from recommendflow_tpu.utils.tables import print_table
 
@@ -108,18 +109,33 @@ class Trainer:
                  model,
                  optimizer=None,
                  learning_rate: float = 1e-3,
+                 lr_schedule=None,
                  mesh=None,
                  shard_tables: bool = False,
                  table_update: str = "auto",
                  seed: int = 0):
         self.model = model
         self._default_tx = optimizer is None
+        # lr_schedule (BEYOND the reference, which trains at a fixed Adam
+        # LR): None, an optax schedule callable, or a dict like
+        # {"type": "cosine"|"linear"|"warmup_constant",
+        #  "warmup_steps": 1000, "decay_steps": 100_000, "min_ratio": 0.1}
+        # with learning_rate as the peak. A schedule re-derives the dense LR
+        # every step, so ReduceLROnPlateau/set_learning_rate have no effect
+        # while one is active (tables keep their fixed Adagrad LR).
+        self._lr_or_schedule = (
+            make_lr_schedule(learning_rate, **lr_schedule)
+            if isinstance(lr_schedule, dict)
+            else (lr_schedule or learning_rate))
         if optimizer is None:
             # default: Adam for dense params + row-wise Adagrad for embedding
             # tables — bounds optimizer HBM traffic by touched rows' dim-mean
             # instead of 3 full dense passes (train/optimizers.py)
-            from recommendflow_tpu.train.optimizers import make_partitioned_optimizer
-            optimizer = make_partitioned_optimizer(learning_rate)
+            from recommendflow_tpu.train.optimizers import (
+                default_table_lr, make_partitioned_optimizer)
+            optimizer = make_partitioned_optimizer(
+                self._lr_or_schedule,
+                table_learning_rate=default_table_lr(learning_rate))
         self.tx = optimizer
         self.base_lr = learning_rate
         self.mesh = mesh
@@ -244,7 +260,8 @@ class Trainer:
             default_table_lr, make_partitioned_optimizer)
         self._table_lr = default_table_lr(self.base_lr)
         self.tx = make_partitioned_optimizer(
-            self.base_lr, frozen_table_dims=set(self._sparse_dims))
+            self._lr_or_schedule, table_learning_rate=self._table_lr,
+            frozen_table_dims=set(self._sparse_dims))
         log.info("sparse table updates for dims %s (touched-row cost < "
                  "3 dense passes)", sorted(self._sparse_dims))
         return acc

@@ -498,3 +498,25 @@ def test_logq_correction_end_to_end(world, demo_conf_path):
         bs, m = bt.train_step(bs, b)
         base_losses.append(float(m["loss"]))
     assert not np.allclose(losses[1:], base_losses[1:], rtol=1e-3)
+
+
+def test_lr_schedule_warmup_cosine(world):
+    """Trainer(lr_schedule=...) drives the dense LR per step: warmup ramps
+    up from 0, cosine decays after (BEYOND the reference's fixed LR)."""
+    conf, schema, paths, model = world
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=6)
+    trainer = Trainer(model, learning_rate=1e-2,
+                      lr_schedule={"type": "cosine", "warmup_steps": 3,
+                                   "decay_steps": 10, "min_ratio": 0.1},
+                      seed=4)
+    state = trainer.init_state(trainer._put(next(iter(ds))))
+    lrs = []
+    for b in ds:
+        state, m = trainer.train_step(state, b)
+        lrs.append(current_learning_rate(state))
+        assert np.isfinite(float(m["loss"]))
+    # warmup: strictly increasing over the first steps
+    assert lrs[0] < lrs[1] < lrs[2]
+    assert max(lrs) <= 1e-2 + 1e-9
+    # decay engaged after warmup
+    assert lrs[-1] < max(lrs)
