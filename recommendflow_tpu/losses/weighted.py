@@ -3,20 +3,30 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-def weighted_mean_squared_error(y_true, query, doc, weights):
+def _default_weights(weights, y_true):
+    """weights=None -> uniform: the weighted family stays usable as a plain
+    Networks.loss (models call loss(y, q, d)); explicit per-sample weights
+    come from custom call sites / the generators' 'weight' column."""
+    return jnp.ones_like(y_true) if weights is None else weights
+
+
+def weighted_mean_squared_error(y_true, query, doc, weights=None):
+    weights = _default_weights(weights, y_true)
     pred = jnp.sum(query * doc, axis=1)
     w = weights / jnp.maximum(jnp.sum(weights), 1e-12)
     return jnp.sum(w * (y_true - pred) ** 2)
 
 
-def weighted_binary_cross_entropy(y_true, query, doc, weights):
+def weighted_binary_cross_entropy(y_true, query, doc, weights=None):
+    weights = _default_weights(weights, y_true)
     eps = 1e-7
     pred = jnp.clip(jnp.sum(query * doc, axis=1), eps, 1 - eps)
     w = weights / jnp.maximum(jnp.sum(weights), 1e-12)
     return jnp.sum(-w * (y_true * jnp.log(pred) + (1 - y_true) * jnp.log(1 - pred)))
 
 
-def weighted_cosent_loss(y_true, query, doc, weights, scale: float = 20.0):
+def weighted_cosent_loss(y_true, query, doc, weights=None,
+                         scale: float = 20.0):
     """CoSENT with per-PAIR weights w_i*w_j scaling each pair's exp term
     (exp(diff)*w_ij == exp(diff + log w_ij)). Weighting the raw scores would
     corrupt the ordering comparison CoSENT is built on; the reference's
@@ -24,6 +34,7 @@ def weighted_cosent_loss(y_true, query, doc, weights, scale: float = 20.0):
     so this implements the evident intent."""
     import jax
 
+    weights = _default_weights(weights, y_true)
     pred = jnp.sum(query * doc, axis=1)
     order = (y_true[:, None] < y_true[None, :])
     diff = (pred[:, None] - pred[None, :]) * scale

@@ -65,14 +65,26 @@ class FeatureEmbedder(nn.Module):
         self._image_encoders = image_encoders
         self._tables = tables
 
-    def __call__(self, batch: Batch, tower: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+    def __call__(self, batch: Batch, tower: Optional[str] = None,
+                 exclude=()) -> Dict[str, jnp.ndarray]:
         from recommendflow_tpu.ops.embedding import embed_batch
-        out = embed_batch(self._tables, self.schema, batch, tower=tower)
+        out = embed_batch(self._tables, self.schema, batch, tower=tower,
+                          exclude=exclude)
         for name, enc in self._image_encoders.items():
             slot = self.schema.slots[name]
             if tower is None or slot in self.schema.tower_slots(tower):
                 out[name] = enc(batch[name].astype(jnp.float32))
         return out
+
+    def unpooled(self, batch: Batch, name: str) -> jnp.ndarray:
+        """One sparse feature's raw per-position embeddings [B, H, L, D]
+        (for models that pool sequences themselves — pair with
+        __call__(..., exclude=[name]) so the rows aren't gathered twice)."""
+        from recommendflow_tpu.ops.embedding import _global_ids, gather_group
+        slot = self.schema.slots[name]
+        group = self.schema.groups[slot.dim]
+        return gather_group(self._tables[f"dim{slot.dim}"], group,
+                            _global_ids(self.schema, slot, batch[name]))
 
     def tower_vector(self, batch: Batch, tower: str) -> jnp.ndarray:
         from recommendflow_tpu.ops.embedding import concat_tower

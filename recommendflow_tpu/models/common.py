@@ -16,8 +16,14 @@ from recommendflow_tpu.data.schema import BatchSchema, FeatureSlot
 
 
 def input_slots(schema: BatchSchema) -> List[FeatureSlot]:
+    """Every slot that contributes a pooled vector to the model input —
+    including precomputed 'embedding' columns and 'image' features
+    (embed_batch emits them; dropping them here silently weakened every
+    ranking model that used those deals). Token/bert sequences feed text
+    encoders, not the flat concat."""
     return [schema.slots[n] for n in schema.order
-            if schema.slots[n].kind in ("sparse", "dense")]
+            if schema.slots[n].kind in ("sparse", "dense", "embedding",
+                                        "image")]
 
 
 def concat_all(features: Dict[str, jnp.ndarray], schema: BatchSchema) -> jnp.ndarray:
@@ -50,16 +56,32 @@ def field_stack(features: Dict[str, jnp.ndarray], schema: BatchSchema,
 
 
 def get_labels(batch: Dict[str, jnp.ndarray], schema: BatchSchema,
-               n: int = 1) -> List[jnp.ndarray]:
-    """First n label columns (zeros when absent, e.g. serving batches)."""
+               n: int = 1, training: bool = False) -> List[jnp.ndarray]:
+    """First n label columns. Missing columns zero-fill for SERVING batches;
+    during training they are a misconfiguration that would silently train a
+    task against all-zero targets — raise instead (pass training=True)."""
     out = []
     some = next(iter(batch.values()))
     for i in range(n):
         if i < len(schema.label_names) and schema.label_names[i] in batch:
             out.append(batch[schema.label_names[i]])
+        elif training:
+            want = schema.label_names[i] if i < len(schema.label_names) \
+                else f"<label #{i}>"
+            raise ValueError(
+                f"model needs {n} label columns but '{want}' is missing "
+                f"from the batch (labels configured: {schema.label_names})")
         else:
             out.append(jnp.zeros(some.shape[0], jnp.float32))
     return out
+
+
+def bce_probs(y_true: jnp.ndarray, p: jnp.ndarray,
+              eps: float = 1e-7) -> jnp.ndarray:
+    """Element-wise BCE on probabilities (clipped) — THE one copy the
+    multi-task rankers share (essm/escm2 had private re-implementations)."""
+    p = jnp.clip(p, eps, 1 - eps)
+    return -(y_true * jnp.log(p) + (1 - y_true) * jnp.log(1 - p))
 
 
 def bce_with_logits(y_true: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:

@@ -28,22 +28,22 @@ class Pdm(RecModel):
         units = list(self.tower_units) + [out_dim]
 
         # sequence features of the user tower get attention pooling on the
-        # raw (unpooled) embeddings; others keep their configured pooling
-        feats = embedder(batch, tower="user")
+        # raw (unpooled) embeddings; others keep their configured pooling.
+        # Excluding them from the pooled pass keeps ONE gather per sequence
+        # per step (gathers are the dominant per-row cost, CLAUDE.md).
+        seq_slots = [s for s in schema.tower_slots("user")
+                     if s.kind == "sparse" and s.max_len > 1]
+        feats = embedder(batch, tower="user",
+                         exclude=[s.name for s in seq_slots])
         seq_vecs = []
-        for slot in schema.tower_slots("user"):
-            if slot.kind == "sparse" and slot.max_len > 1:
-                from recommendflow_tpu.ops.embedding import _global_ids, gather_group
-                ids = batch[slot.name]                    # [B, H, L]
-                group = schema.groups[slot.dim]
-                table = embedder._tables[f"dim{slot.dim}"]
-                emb = gather_group(table, group, _global_ids(schema, slot, ids))
-                b, h, l, d = emb.shape
-                emb = emb.transpose(0, 2, 1, 3).reshape(b, l, h * d)
-                mask = (ids > 0).any(axis=1)              # [B, L]
-                pooled = SelfAttention(name=f"attn_{slot.name}")(emb, mask)
-                seq_vecs.append(pooled)
-                feats.pop(slot.name, None)
+        for slot in seq_slots:
+            ids = batch[slot.name]                        # [B, H, L]
+            emb = embedder.unpooled(batch, slot.name)     # [B, H, L, D]
+            b, h, l, d = emb.shape
+            emb = emb.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+            mask = (ids > 0).any(axis=1)                  # [B, L]
+            pooled = SelfAttention(name=f"attn_{slot.name}")(emb, mask)
+            seq_vecs.append(pooled)
         flat = [feats[s.name] for s in schema.tower_slots("user")
                 if s.name in feats]
         u_in = jnp.concatenate(flat + seq_vecs, axis=-1)
@@ -58,5 +58,6 @@ class Pdm(RecModel):
         (y,) = get_labels(batch, schema, 1)
         if training:
             return self.resolve_loss()(y, u, a), {
-                "pos_cos": jnp.mean(jnp.sum(u * a, axis=1) * y)}
+                "pos_cos": jnp.sum(jnp.sum(u * a, axis=1) * y)
+                / jnp.maximum(jnp.sum(y), 1.0)}
         return {"user": u, "ad": a, "label": y}

@@ -17,9 +17,9 @@ from recommendflow_tpu.models.common import concat_all, get_labels
 from recommendflow_tpu.ops.mlp import MLP
 
 
-def _bce_probs(y, p, eps=1e-7):
-    p = jnp.clip(p, eps, 1 - eps)
-    return jnp.mean(-(y * jnp.log(p) + (1 - y) * jnp.log(1 - p)))
+def _bce_probs(y, p):
+    from recommendflow_tpu.models.common import bce_probs
+    return jnp.mean(bce_probs(y, p))
 
 
 class Essm(RecModel):
@@ -38,7 +38,7 @@ class Essm(RecModel):
         p_ctr = nn.sigmoid(nn.Dense(1, name="ctr_head")(ctr_h)[:, 0])
         p_cvr = nn.sigmoid(nn.Dense(1, name="cvr_head")(cvr_h)[:, 0])
         p_ctcvr = p_ctr * p_cvr
-        y_click, y_conv = get_labels(batch, schema, 2)
+        y_click, y_conv = get_labels(batch, schema, 2, training=training)
         if training:
             loss_ctr = _bce_probs(y_click, p_ctr)
             loss_ctcvr = _bce_probs(y_conv, p_ctcvr)

@@ -35,7 +35,7 @@ class Mmoe(RecModel):
                 name=f"expert{i}")(x, training)
             for i in range(self.num_experts)], axis=1)     # [B, E, D]
 
-        logits, tasks = [], []
+        logits = []
         for t in range(self.num_tasks):
             gate = jax.nn.softmax(nn.Dense(self.num_experts,
                                            name=f"gate{t}")(x), axis=-1)
@@ -43,9 +43,9 @@ class Mmoe(RecModel):
             h = MLP(list(self.tower_units), self.dropout, "relu",
                     name=f"tower{t}")(mixed, training)
             logits.append(nn.Dense(1, name=f"head{t}")(h)[:, 0])
-            tasks.append(mixed)
 
-        ys = get_labels(batch, schema, self.num_tasks)
+        ys = get_labels(batch, schema, self.num_tasks,
+                        training=training)
         if training:
             losses = [bce_with_logits(y, l) for y, l in zip(ys, logits)]
             aux = {f"task{t}_loss": l for t, l in enumerate(losses)}

@@ -14,15 +14,9 @@ import jax
 import jax.numpy as jnp
 
 from recommendflow_tpu.models.base import Batch, FeatureEmbedder, RecModel
+from recommendflow_tpu.models.common import bce_probs as _bce_vec
 from recommendflow_tpu.models.common import concat_all, get_labels
 from recommendflow_tpu.ops.mlp import MLP
-
-EPS = 1e-7
-
-
-def _bce_vec(y, p):
-    p = jnp.clip(p, EPS, 1 - EPS)
-    return -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
 
 
 class Escm2(RecModel):
@@ -38,18 +32,21 @@ class Escm2(RecModel):
         feats = FeatureEmbedder(schema, name="embedder")(batch)
         x = concat_all(feats, schema)
 
-        def tower(name):
+        def tower(name, link=nn.sigmoid):
             h = MLP(list(self.tower_units), self.dropout, "relu",
                     name=f"{name}_tower")(x, training)
-            return nn.sigmoid(nn.Dense(1, name=f"{name}_head")(h)[:, 0])
+            return link(nn.Dense(1, name=f"{name}_head")(h)[:, 0])
 
         p_ctr = tower("ctr")
         p_cvr = tower("cvr")
         # imputation tower params must exist in every branch (flax init runs
-        # the predict path)
-        err_hat = tower("imp") if self.counterfactual == "dr" else None
+        # the predict path). It regresses BCE errors in [0, ~16] — a sigmoid
+        # link could never reach them (structurally biased low); softplus is
+        # the non-negative unbounded link
+        err_hat = tower("imp", link=nn.softplus) \
+            if self.counterfactual == "dr" else None
         p_ctcvr = p_ctr * p_cvr
-        y_click, y_conv = get_labels(batch, schema, 2)
+        y_click, y_conv = get_labels(batch, schema, 2, training=training)
 
         if not training:
             return {"score": p_ctcvr, "p_ctr": p_ctr, "p_cvr": p_cvr,
@@ -62,9 +59,13 @@ class Escm2(RecModel):
         prop = jnp.clip(jax.lax.stop_gradient(p_ctr), 0.05, 1.0)
         ips = y_click / prop * _bce_vec(y_conv, p_cvr)
         if self.counterfactual == "dr":
-            # imputation tower estimates the CVR error on all impressions
-            cvr_err = jax.lax.stop_gradient(_bce_vec(y_conv, p_cvr))
-            loss_imp = jnp.mean((err_hat - cvr_err) ** 2 * y_click / prop)
+            # doubly-robust risk: cvr_err stays DIFFERENTIABLE so the DR
+            # term actually trains the CVR tower (stop-gradding it made
+            # loss_cvr a constant w.r.t. p_cvr — ESCM2-DR degenerated to
+            # ESMM); only the imputation REGRESSION TARGET is stop-gradded
+            cvr_err = _bce_vec(y_conv, p_cvr)
+            err_target = jax.lax.stop_gradient(cvr_err)
+            loss_imp = jnp.mean((err_hat - err_target) ** 2 * y_click / prop)
             dr = err_hat + y_click / prop * (cvr_err - err_hat)
             loss_cvr = jnp.mean(dr) + loss_imp
         else:

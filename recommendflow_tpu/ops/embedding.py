@@ -29,7 +29,7 @@ Pallas DMA gather/scatter kernels exist for the dim>=128 regime
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -241,12 +241,15 @@ def lookup_feature(params: Params, schema: BatchSchema, slot: FeatureSlot,
 
 def embed_batch(params: Params, schema: BatchSchema,
                 batch: Dict[str, jnp.ndarray],
-                tower: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+                tower: Optional[str] = None,
+                exclude: Sequence[str] = ()) -> Dict[str, jnp.ndarray]:
     """All sparse features of a batch (optionally one tower) -> pooled dict.
 
     Features sharing a dim group are gathered in ONE fused take per group
     (ids concatenated along a flat axis, results split back), so the gather
     count per step is the number of dim groups, not features.
+    `exclude` skips slots a model embeds itself (e.g. Pdm's attention-pooled
+    sequences) so their rows aren't gathered twice per step.
     """
     slots = schema.tower_slots(tower) if tower else \
         [schema.slots[n] for n in schema.order]
@@ -254,6 +257,8 @@ def embed_batch(params: Params, schema: BatchSchema,
 
     by_dim: Dict[int, List[FeatureSlot]] = {}
     for slot in slots:
+        if slot.name in exclude:
+            continue
         if slot.kind == "sparse":
             by_dim.setdefault(slot.dim, []).append(slot)
         elif slot.kind in ("dense", "embedding"):

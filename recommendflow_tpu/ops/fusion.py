@@ -34,7 +34,11 @@ class AttentionFusion(nn.Module):
                               lambda: jnp.zeros((c,), jnp.float32))
         count = self.variable("stats", "infer_count",
                               lambda: jnp.zeros((), jnp.float32))
-        if not training and not self.is_initializing():
+        if (not training and not self.is_initializing()
+                and self.is_mutable_collection("stats")):
+            # accumulate only when the caller allows it: a plain immutable
+            # apply() (e.g. StableHLO export of que2search) must not crash
+            # on the introspection side-channel
             infer.value = infer.value + jnp.mean(weights, axis=0)
             count.value = count.value + 1.0
         return jnp.einsum("bc,bcd->bd", weights, stacked)

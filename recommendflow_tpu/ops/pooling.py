@@ -29,13 +29,16 @@ def dynamic_max_pooling(match: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarr
     # pad H, W up to multiples of the output grid
     ph = -(-h // out_h) * out_h
     pw = -(-w // out_w) * out_w
+    # EDGE padding: windows that spill past the real matrix re-pool the
+    # last row/column (the reference's dynamic pooling stretches windows to
+    # cover real data; -inf padding emitted constant 0s for those windows,
+    # which beat every real value on all-negative match matrices)
     padded = jnp.pad(match, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)),
-                     constant_values=-jnp.inf)
+                     mode="edge")
     kh, kw = ph // out_h, pw // out_w
     pooled = jax.lax.reduce_window(
         padded, -jnp.inf, jax.lax.max,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, kh, kw, 1),
         padding="VALID")
-    pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
     return pooled[..., 0] if squeeze else pooled

@@ -306,3 +306,20 @@ def test_ghm_invalid_rows_contribute_zero():
     loss, _ = ghm(y, p, mask, state)
     loss = np.asarray(loss)
     assert (loss[:2] > 0).all() and (loss[2:] == 0).all()
+
+
+def test_weighted_losses_usable_without_weights():
+    """The weighted family must work as a plain Networks.loss (models call
+    loss(y, q, d)); weights default to uniform (regression: review
+    finding)."""
+    from recommendflow_tpu.losses.weighted import (
+        weighted_binary_cross_entropy, weighted_cosent_loss,
+        weighted_mean_squared_error)
+    y, q, d = _rand_embeddings(b=6)
+    for fn in (weighted_mean_squared_error, weighted_binary_cross_entropy,
+               weighted_cosent_loss):
+        v = float(fn(y, q, d))
+        assert np.isfinite(v)
+    base = float(M.cosent_loss(y, q, d))
+    np.testing.assert_allclose(float(weighted_cosent_loss(y, q, d)), base,
+                               rtol=1e-4)
