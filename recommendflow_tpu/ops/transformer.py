@@ -39,15 +39,19 @@ class TransformerEncoderBlock(nn.Module):
     num_heads: int
     ffn_hidden: int
     dropout: float = 0.0
+    head_dim: Optional[int] = None       # default model_dim // num_heads
+    ffn_activation: str = "gelu"         # reference FFN uses relu (network_layers.py:310)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  training: bool = False, use_pallas: bool = False) -> jnp.ndarray:
-        att = MultiHeadAttention(self.num_heads, name="mha")(
+        att = MultiHeadAttention(self.num_heads, head_dim=self.head_dim,
+                                 name="mha")(
             x, x, x, mask, use_pallas=use_pallas)
         att = nn.Dropout(self.dropout, deterministic=not training)(att)
         x = nn.LayerNorm(name="ln1")(x + att)
-        ffn = FeedForward(self.ffn_hidden, dropout=self.dropout, name="ffn")(
+        ffn = FeedForward(self.ffn_hidden, dropout=self.dropout,
+                          activation=self.ffn_activation, name="ffn")(
             x, training)
         ffn = nn.Dropout(self.dropout, deterministic=not training)(ffn)
         return nn.LayerNorm(name="ln2")(x + ffn)

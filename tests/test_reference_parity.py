@@ -745,3 +745,156 @@ def test_ffn_matches_reference(ref_network):
     got = np.asarray(FeedForward(hidden=H, activation="relu").apply(
         {"params": params}, x))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_custom_mha_matches_reference(ref_attention):
+    """Custom MultiHeadAttention (attention_layers.py:137-168) with injected
+    q/k/v Dense weights. The reference has NO output projection (it reshapes
+    heads back and returns, :167) — inject an identity `out` kernel into
+    ours. Reference masking is neutralized with an all-ones mask (its SDPA
+    row-mask defect is pinned separately by
+    test_sdpa_mask_deviates_as_documented)."""
+    from recommendflow_tpu.ops.attention import MultiHeadAttention
+    rng = np.random.RandomState(21)
+    B, L, D, H = 3, 5, 8, 2
+    q = rng.randn(B, L, D).astype(np.float32)
+    k = rng.randn(B, L, D).astype(np.float32)
+    v = rng.randn(B, L, D).astype(np.float32)
+    layer = ref_attention.MultiHeadAttention(d_model=D, num_heads=H)
+    ones = tf.ones((B, L, 1), tf.float32)
+    ref = layer(tf.constant(q), tf.constant(k), tf.constant(v), ones).numpy()
+    params = {
+        "q": {"kernel": jnp.asarray(layer.wq.kernel.numpy()),
+              "bias": jnp.asarray(layer.wq.bias.numpy())},
+        "k": {"kernel": jnp.asarray(layer.wk.kernel.numpy()),
+              "bias": jnp.asarray(layer.wk.bias.numpy())},
+        "v": {"kernel": jnp.asarray(layer.wv.kernel.numpy()),
+              "bias": jnp.asarray(layer.wv.bias.numpy())},
+        "out": {"kernel": jnp.eye(D, dtype=jnp.float32),
+                "bias": jnp.zeros((D,), jnp.float32)},
+    }
+    got = np.asarray(MultiHeadAttention(num_heads=H).apply(
+        {"params": params}, q, k, v, None))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_transformer_encoder_matches_reference(ref_network):
+    """TransformerEncoder (network_layers.py:319-352) full-block weight
+    injection: Keras-MHA q/k/v/out projections + both LayerNorms + the
+    conv1d FFN, mask neutralized with ones.
+
+    DISCOVERED DEFECT (beyond SURVEY §2.10): the block builds the KERAS
+    MultiHeadAttention (imported at network_layers.py:2, shadowing the
+    custom one in attention_layers.py) as `MultiHeadAttention(d_model,
+    num_heads)` (network_layers.py:336) whose signature is `(num_heads,
+    key_dim)` — so `TransformerEncoder(d_model=8, num_heads=2)` actually
+    runs EIGHT heads of size TWO. The math is still well-formed attention,
+    so we reproduce it exactly by instantiating ours with the swapped
+    meaning (num_heads=d_model, head_dim=num_heads); our TextEncoder uses
+    the conventional meaning."""
+    from recommendflow_tpu.ops.transformer import TransformerEncoderBlock
+    rng = np.random.RandomState(22)
+    B, L, D, KD, FH = 2, 6, 8, 2, 16
+    x = rng.randn(B, L, D).astype(np.float32)
+    layer = ref_network.TransformerEncoder(
+        d_model=D, num_heads=KD, ffn_hidden_unit=FH, dropout=0.0)
+    ones = tf.ones((B, L, 1), tf.float32)
+    ref = layer((tf.constant(x), ones)).numpy()
+    mha = layer.mha
+    assert mha._num_heads == D and mha._key_dim == KD, \
+        "head/key_dim swap defect no longer present?"
+
+    def qkv(dense):   # keras [D, H, hd] -> flax [D, H*hd]
+        kk = dense.kernel.numpy()
+        return {"kernel": jnp.asarray(kk.reshape(kk.shape[0], -1)),
+                "bias": jnp.asarray(dense.bias.numpy().reshape(-1))}
+
+    ok = mha._output_dense.kernel.numpy()     # [H, hd, D]
+    params = {
+        "mha": {
+            "q": qkv(mha._query_dense),
+            "k": qkv(mha._key_dense),
+            "v": qkv(mha._value_dense),
+            "out": {"kernel": jnp.asarray(ok.reshape(-1, ok.shape[-1])),
+                    "bias": jnp.asarray(mha._output_dense.bias.numpy())},
+        },
+        "ln1": {"scale": jnp.asarray(layer.layernorm1.gamma.numpy()),
+                "bias": jnp.asarray(layer.layernorm1.beta.numpy())},
+        "ln2": {"scale": jnp.asarray(layer.layernorm2.gamma.numpy()),
+                "bias": jnp.asarray(layer.layernorm2.beta.numpy())},
+        "ffn": {
+            "Dense_0": {"kernel": jnp.asarray(layer.ffn.conv1.kernel.numpy()[0]),
+                        "bias": jnp.asarray(layer.ffn.conv1.bias.numpy())},
+            "Dense_1": {"kernel": jnp.asarray(layer.ffn.conv2.kernel.numpy()[0]),
+                        "bias": jnp.asarray(layer.ffn.conv2.bias.numpy())},
+        },
+    }
+    block = TransformerEncoderBlock(num_heads=D, head_dim=KD, ffn_hidden=FH,
+                                    ffn_activation="relu")
+    got = np.asarray(block.apply({"params": params}, x, None))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def _fm_inputs(rng, feature_columns, b):
+    """Sparse per-field id inputs + their offset-mapped concat."""
+    inputs, mapped, off = {}, [], 0
+    for fc in feature_columns:
+        ids = rng.randint(0, fc["feat_num"], (b,)).astype(np.int32)
+        inputs[fc["feat_name"]] = tf.constant(ids[:, None])
+        mapped.append(ids + off)
+        off += fc["feat_num"]
+    return inputs, np.stack(mapped, axis=1)   # [B, F] global ids
+
+
+def test_fm_second_order_matches_reference(ref_network):
+    """FM_Layer (network_layers.py:8-56): its second-order term equals our
+    fm_pairwise over the same looked-up latent vectors. (The first-order
+    term is a per-id weight table in the reference vs a dense linear over
+    field embeddings here — different parameterization of the same
+    capacity, so the oracle pins the interaction math.)"""
+    from recommendflow_tpu.ops.interactions import fm_pairwise
+    rng = np.random.RandomState(23)
+    B, K = 5, 4
+    fcs = [{"feat_name": n, "feat_num": v, "embed_dim": K}
+           for n, v in [("a", 7), ("b", 11), ("c", 3)]]
+    inputs, mapped = _fm_inputs(rng, fcs, B)
+    layer = ref_network.FM_Layer(fcs, k=K)
+    out = layer(inputs).numpy()[:, 0]          # [B]
+    w0 = layer.w0.numpy()[0]
+    w = layer.w.numpy()[:, 0]
+    first = w0 + w[mapped].sum(axis=1)
+    got = np.asarray(fm_pairwise(jnp.asarray(layer.V.numpy()[mapped])))
+    np.testing.assert_allclose(got, out - first, rtol=1e-4, atol=1e-5)
+
+
+def test_ffm_second_order_matches_reference(ref_network):
+    """FFM_Layer (network_layers.py:59-106): its O(F²) python double loop
+    over field pairs equals the closed-form square-of-sum identity
+    Σ_{i<j} v_i·v_j = fm_pairwise (our vectorized MXU-friendly form) applied
+    to its per-field latent sums."""
+    from recommendflow_tpu.ops.interactions import fm_pairwise
+    rng = np.random.RandomState(24)
+    B, K = 4, 3
+    fcs = [{"feat_name": n, "feat_num": v, "embed_dim": K}
+           for n, v in [("a", 5), ("b", 9), ("c", 4), ("d", 6)]]
+    inputs, mapped = _fm_inputs(rng, fcs, B)
+    layer = ref_network.FFM_Layer(fcs, k=K)
+    out = layer(inputs).numpy()[:, 0]
+    w0 = layer.w0.numpy()[0]
+    w = layer.w.numpy()[:, 0]
+    first = w0 + w[mapped].sum(axis=1)
+    latent = layer.v.numpy()[mapped].sum(axis=1)   # [B, F, K]
+    got = np.asarray(fm_pairwise(jnp.asarray(latent)))
+    np.testing.assert_allclose(got, out - first, rtol=1e-4, atol=1e-5)
+
+
+def test_positional_encoding_matches_reference(ref_attention):
+    """SelfAttention.positional_encoding (attention_layers.py:122-134) ==
+    our sinusoidal_position_encoding."""
+    from recommendflow_tpu.ops.attention import sinusoidal_position_encoding
+    L, D = 7, 10
+    layer = ref_attention.SelfAttention()
+    layer.dim = D
+    ref = layer.positional_encoding(tf.zeros((1, L, D))).numpy()[0]
+    got = np.asarray(sinusoidal_position_encoding(L, D))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
