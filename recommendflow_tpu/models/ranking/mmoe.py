@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from recommendflow_tpu.models.base import Batch, FeatureEmbedder, RecModel
 from recommendflow_tpu.models.common import bce_with_logits, concat_all, get_labels
-from recommendflow_tpu.ops.mlp import MLP
+from recommendflow_tpu.ops.mlp import MLP, ExpertsMLP
 
 
 class Mmoe(RecModel):
@@ -30,10 +30,11 @@ class Mmoe(RecModel):
         feats = FeatureEmbedder(schema, name="embedder")(batch)
         x = concat_all(feats, schema)
 
-        experts = jnp.stack([
-            MLP(list(self.expert_units), self.dropout, "relu",
-                name=f"expert{i}")(x, training)
-            for i in range(self.num_experts)], axis=1)     # [B, E, D]
+        # experts run as one batched computation with an [E, ...] param
+        # axis (MXU-friendly; shardable over a mesh 'ep' axis — expert
+        # parallelism via Trainer(shard_experts=True))
+        experts = ExpertsMLP(self.num_experts, list(self.expert_units),
+                             self.dropout, "relu")(x, training)  # [B, E, D]
 
         logits = []
         for t in range(self.num_tasks):

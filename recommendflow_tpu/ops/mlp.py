@@ -91,5 +91,34 @@ class MLP(nn.Module):
         return x.astype(jnp.float32) if dtype is not None else x
 
 
+class ExpertsMLP(nn.Module):
+    """E parallel expert MLPs evaluated as ONE batched computation.
+
+    TPU-native expert form: instead of a Python loop of per-expert modules
+    (E small matmuls), parameters carry a leading expert axis [E, ...]
+    (nn.vmap) and all experts run as single batched matmuls on the MXU.
+    Because the expert dimension is a real array axis, a mesh axis can
+    shard it — expert parallelism: with params placed P('ep', ...) (see
+    parallel/mesh.py:expert_sharding_rules), XLA partitions the batched
+    matmuls across chips and the only collective is the all-gather/psum at
+    the gates' mixture contraction. Output: [B, E, units[-1]].
+    """
+    num_experts: int
+    units: Sequence[int]
+    dropout: float = 0.0
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        vmapped = nn.vmap(
+            MLP,
+            in_axes=None, out_axes=1,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            axis_size=self.num_experts)
+        return vmapped(list(self.units), self.dropout, self.activation,
+                       name="experts")(x, training)
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)

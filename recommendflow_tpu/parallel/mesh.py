@@ -70,6 +70,38 @@ def table_sharding_rules(params, mesh: Mesh, axis: str = "dp",
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def expert_sharding_rules(params, mesh: Mesh, axis: str = "ep"):
+    """PartitionSpec tree sharding ExpertsMLP parameters over `axis`.
+
+    ExpertsMLP (ops/mlp.py) gives every expert parameter a leading [E, ...]
+    axis under a module named 'experts'; placing those leaves P(axis, ...)
+    makes XLA partition the batched expert matmuls across the mesh (expert
+    parallelism — each chip holds and runs E/|axis| experts; the gates'
+    mixture einsum contracts the expert axis, which XLA lowers to one
+    all-reduce over `axis`). Everything else replicated.
+    """
+    n = mesh.shape[axis]
+
+    def spec_for(path: Tuple, leaf):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "experts" in name.split("/") and hasattr(leaf, "shape") \
+                and leaf.ndim >= 1 and leaf.shape[0] % n == 0:
+            return P(axis, *([None] * (leaf.ndim - 1)))
+        return P()
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def merge_rules(*rule_trees):
+    """Combine PartitionSpec trees: the first non-replicated spec wins."""
+    def pick(*specs):
+        for s in specs:
+            if s != P():
+                return s
+        return P()
+    return jax.tree.map(pick, *rule_trees,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
 def apply_shardings(tree, mesh: Mesh, spec_tree):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, spec_tree)

@@ -31,7 +31,8 @@ from flax.training import train_state as flax_train_state
 
 from recommendflow_tpu.data.pipeline import Dataset, prefetch
 from recommendflow_tpu.parallel.mesh import (
-    apply_shardings, replicated, table_sharding_rules,
+    apply_shardings, expert_sharding_rules, merge_rules, replicated,
+    table_sharding_rules,
 )
 from recommendflow_tpu.train.callbacks import Callback, History
 from recommendflow_tpu.train.optimizers import make_lr_schedule
@@ -112,6 +113,7 @@ class Trainer:
                  lr_schedule=None,
                  mesh=None,
                  shard_tables: bool = False,
+                 shard_experts: bool = False,
                  table_update: str = "auto",
                  seed: int = 0):
         self.model = model
@@ -140,6 +142,9 @@ class Trainer:
         self.base_lr = learning_rate
         self.mesh = mesh
         self.shard_tables = shard_tables
+        # expert parallelism: place ExpertsMLP params P('ep', ...) so each
+        # chip holds+runs E/|ep| experts (mesh must have an 'ep' axis)
+        self.shard_experts = shard_experts
         # 'dense' | 'sparse' | 'auto': how embedding-table rows get their
         # row-wise Adagrad step. 'sparse' updates only the rows a batch
         # touches (train/optimizers.py:sparse_rowwise_adagrad_update);
@@ -174,26 +179,41 @@ class Trainer:
             batch_stats=batch_stats, extra_vars=flax_core.freeze(extra),
             rng=state_rng, table_acc=table_acc)
         if self.mesh is not None:
+            rules = None
             if self.shard_tables:
-                from jax.sharding import NamedSharding, PartitionSpec as P
                 rules = table_sharding_rules(state.params, self.mesh)
+            if self.shard_experts:
+                er = expert_sharding_rules(state.params, self.mesh)
+                rules = er if rules is None else merge_rules(rules, er)
+            if rules is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
                 params = apply_shardings(state.params, self.mesh, rules)
-                # optimizer accumulators mirroring a sharded table (same
-                # leading row count) must row-shard too, or the HBM saved by
-                # sharding the table is spent again on its optimizer state
-                sharded_rows = {leaf.shape[0]
-                                for leaf, spec in zip(jax.tree.leaves(state.params),
-                                                      jax.tree.leaves(rules))
-                                if spec != P()}
+                # optimizer accumulators mirroring a sharded param must
+                # shard the same way, or the HBM saved by sharding is spent
+                # again on its optimizer state. Match by full shape (Adam
+                # mu/nu, expert leaves) or — for big tables whose row-wise
+                # Adagrad accumulator drops the trailing dim — by leading
+                # row count.
+                shape_specs, row_specs = {}, {}
+                for leaf, spec in zip(jax.tree.leaves(state.params),
+                                      jax.tree.leaves(rules)):
+                    if spec != P():
+                        shape_specs[leaf.shape] = spec
+                        if leaf.ndim == 2 and leaf.shape[0] >= 4096:
+                            row_specs[leaf.shape[0]] = spec[0]
 
                 def place_opt(leaf):
-                    if hasattr(leaf, "shape") and leaf.ndim >= 1 \
-                            and leaf.shape[0] in sharded_rows:
+                    if not hasattr(leaf, "shape"):
+                        return leaf
+                    if leaf.shape in shape_specs:
                         return jax.device_put(
-                            leaf, NamedSharding(self.mesh, P("dp", *([None] * (leaf.ndim - 1)))))
-                    if hasattr(leaf, "shape"):
-                        return jax.device_put(leaf, replicated(self.mesh))
-                    return leaf
+                            leaf, NamedSharding(self.mesh, shape_specs[leaf.shape]))
+                    if leaf.ndim >= 1 and leaf.shape[0] in row_specs:
+                        return jax.device_put(
+                            leaf, NamedSharding(self.mesh, P(
+                                row_specs[leaf.shape[0]],
+                                *([None] * (leaf.ndim - 1)))))
+                    return jax.device_put(leaf, replicated(self.mesh))
                 opt_state = jax.tree.map(place_opt, state.opt_state)
                 state = state.replace(params=params, opt_state=opt_state)
             else:

@@ -286,3 +286,53 @@ def test_shard_tables_leaves_non_table_params_replicated():
     sharded = shard_tables(params, mesh)
     assert sharded["dim8"].sharding.spec == P("dp", None)
     assert sharded["img_pic"].sharding.spec in (P(), P(None, None))
+
+
+def test_expert_parallel_mmoe_matches_replicated():
+    """Expert parallelism: Mmoe under a 2-D (dp, ep) mesh with
+    Trainer(shard_experts=True) places the ExpertsMLP [E, ...] parameters
+    P('ep', ...) and trains IDENTICALLY to the unsharded model from the
+    same init — sharding is placement, not math. Also asserts the expert
+    kernels and their Adam accumulators actually landed ep-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from recommendflow_tpu.data.synthetic import synthetic_batch
+    from recommendflow_tpu.models.base import build_network
+    from recommendflow_tpu.train import Trainer
+
+    path = os.path.join(os.path.dirname(__file__), "..", "conf",
+                        "demo_ranking.yaml")
+    conf = Configuration(path)
+    model, _ = build_network("recommendflow_tpu.models.ranking.mmoe.Mmoe",
+                             {"conf": conf, "num_experts": 4, "num_tasks": 2,
+                              "expert_units": (16,), "tower_units": (8,),
+                              "dropout": 0.0})
+    schema = compile_schema(conf.features)
+    batch = {k: np.asarray(v)
+             for k, v in synthetic_batch(schema, 16, seed=3).items()}
+
+    ref_trainer = Trainer(model, learning_rate=1e-2, seed=0)
+    ref_state = ref_trainer.init_state(batch)
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("dp", "ep"),
+                     shape=(4, 2))
+    ep_trainer = Trainer(model, learning_rate=1e-2, mesh=mesh,
+                         shard_experts=True, seed=0)
+    ep_state = ep_trainer.init_state(ep_trainer._put(batch))
+
+    kern = ep_state.params["ExpertsMLP_0"]["experts"]["Dense_0"]["kernel"]
+    assert kern.shape[0] == 4
+    assert kern.sharding.spec == P("ep", None, None), kern.sharding
+    # Adam mu mirrors the sharding (full-shape match in init_state)
+    mus = [l for l in jax.tree.leaves(ep_state.opt_state)
+           if hasattr(l, "shape") and l.shape == kern.shape]
+    assert mus and all(m.sharding.spec == P("ep", None, None) for m in mus)
+
+    for _ in range(3):
+        ref_state, ref_m = ref_trainer.train_step(ref_state, batch)
+        ep_state, ep_m = ep_trainer.train_step(ep_state, batch)
+    assert float(ep_m["loss"]) == pytest.approx(float(ref_m["loss"]),
+                                                rel=1e-4)
+    got = np.asarray(ep_state.params["ExpertsMLP_0"]["experts"]["Dense_0"]["kernel"])
+    want = np.asarray(ref_state.params["ExpertsMLP_0"]["experts"]["Dense_0"]["kernel"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
