@@ -1,5 +1,5 @@
 from recommendflow_tpu.retrieval.searcher import (
-    IvfSearcher, TpuSearcher, index_factory, kmeans,
+    IvfSearcher, PqSearcher, TpuSearcher, index_factory, kmeans,
 )
 from recommendflow_tpu.retrieval.sharded import ShardedSearcher
 from recommendflow_tpu.retrieval.whitening import VecsWhitening

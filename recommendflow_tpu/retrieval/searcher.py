@@ -615,17 +615,229 @@ class IvfSearcher(TpuSearcher):
         return state
 
 
+class PqSearcher(TpuSearcher):
+    """Product-quantized top-k (parity surface: FAISS 'PQ{M}' indices).
+
+    Memory-tiered regime: the corpus is stored as uint8 codes [N, M] plus
+    per-subspace codebooks [M, 256, D/M] — 4·D/M x compression (32x at
+    D=128, M=16) — for corpora whose f32 vectors exceed one chip's HBM.
+    Scores are approximate (quantization distortion), like FAISS PQ.
+
+    TPU-native scan design: classic ADC walks a [M, 256] lookup table with
+    per-item per-subspace gathers — N·M scalar gathers are row-latency
+    bound on TPU (~30 ns/element, CLAUDE.md perf notes), hopeless at 1M
+    items. Instead each item block DECODES on the MXU — one-hot(codes) ·
+    codebooks is a [Bn·M, 256] x [256, D/M] bf16 matmul — and scores the
+    whole query block against the reconstruction with a second matmul. The
+    decoded block lives only in the block loop; the full decoded corpus
+    never materializes in HBM. Per-block top-k then a final cross-block
+    top-k merge keeps the score matrix [Q, block] instead of [Q, N].
+    """
+
+    def __init__(self, dim: int, metric: str = "cos", num_subspaces: int = 8,
+                 kmeans_iters: int = 10, train_sample: int = 131072,
+                 item_block: int = 4096, query_block: int = 1024,
+                 seed: int = 0):
+        super().__init__(dim, metric, query_block=query_block)
+        if dim % num_subspaces != 0:
+            raise ValueError(f"dim {dim} not divisible by num_subspaces "
+                             f"{num_subspaces}")
+        self.num_subspaces = num_subspaces
+        self.kmeans_iters = kmeans_iters
+        self.train_sample = train_sample
+        self.item_block = item_block
+        self.seed = seed
+        self._codebooks = None    # [M, 256, ds] f32
+        self._codes = None        # [N_pad, M] uint8 on device
+
+    # --------------------------------------------------------------- build
+    def train(self, vectors: np.ndarray, items: Optional[Sequence[Any]] = None):
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}] vectors, got {vectors.shape}")
+        if self.metric == "cos":
+            vectors = _l2_normalize(vectors)
+        n = len(vectors)
+        m, ds = self.num_subspaces, self.dim // self.num_subspaces
+        self.num_items = n
+        self.items = np.asarray(items) if items is not None else np.arange(n)
+
+        # 1. per-subspace codebooks from a sample: ONE vmapped k-means over
+        # the subspace axis (M concurrent [S, ds] x [ds, 256] problems)
+        rng = np.random.RandomState(self.seed)
+        if n > self.train_sample:
+            sample = vectors[rng.choice(n, self.train_sample, replace=False)]
+        else:
+            sample = vectors
+        sub = jnp.asarray(sample.reshape(len(sample), m, ds).transpose(1, 0, 2))
+        # always 256 centroids (8-bit codes); tiny corpora just repeat seeds
+        self._codebooks = jax.vmap(
+            lambda v, s: kmeans(v, 256, iters=self.kmeans_iters, seed=s))(
+            sub, jnp.arange(self.seed, self.seed + m))      # [M, 256, ds]
+
+        # 2. encode the corpus in blocks (device matmuls; the [B, M, 256]
+        # score temp bounds the block size)
+        blk = 65536
+        codes = np.empty((n, m), np.uint8)
+
+        @jax.jit
+        def encode(x, cb):                   # x [B, M, ds], cb [M, 256, ds]
+            s = jnp.einsum("bmd,mkd->bmk", x, cb)
+            s = 2.0 * s - jnp.sum(cb * cb, axis=-1)[None, :, :]
+            return jnp.argmax(s, axis=-1).astype(jnp.uint8)
+
+        cb = self._codebooks
+        for start in range(0, n, blk):
+            x = jnp.asarray(vectors[start:start + blk]
+                            .reshape(-1, m, ds).copy())
+            codes[start:start + blk] = np.asarray(encode(x, cb))
+
+        n_pad = -(-n // self.item_block) * self.item_block
+        padded = np.zeros((n_pad, m), np.uint8)
+        padded[:n] = codes
+        self._codes = jnp.asarray(padded)
+        self._vecs = None            # no raw vectors on device — that's the point
+        self._search_fn = None
+        return self
+
+    def add(self, vectors, items=None):
+        raise NotImplementedError(
+            "PqSearcher.add: PQ drops the raw vectors after encoding, so an "
+            "append cannot retrain the codebooks — rebuild with train() over "
+            "the full corpus (FAISS PQ also requires train before add)")
+
+    # -------------------------------------------------------------- search
+    def _build_search(self, k: int):
+        metric = self.metric
+        num_items = self.num_items
+        m, ds = self.num_subspaces, self.dim // self.num_subspaces
+        bn = self.item_block
+        n_pad = int(self._codes.shape[0])
+        n_blocks = n_pad // bn
+        k_eff = min(k, bn)           # per-block k (merged across blocks)
+
+        def search_block(queries, codes, codebooks):
+            cb16 = codebooks.astype(jnp.bfloat16)
+
+            def one(start):
+                blk = jax.lax.dynamic_slice(codes, (start, 0), (bn, m))
+                onehot = jax.nn.one_hot(blk.astype(jnp.int32), 256,
+                                        dtype=jnp.bfloat16)     # [Bn, M, 256]
+                dec = jnp.einsum("bmk,mkd->bmd", onehot, cb16)
+                dec = dec.reshape(bn, m * ds).astype(jnp.float32)
+                s = queries @ dec.T                              # [Q, Bn]
+                if metric == "l2":
+                    s = 2.0 * s - jnp.sum(dec * dec, axis=-1)[None, :]
+                gidx = start + jax.lax.broadcasted_iota(
+                    jnp.int32, (queries.shape[0], bn), 1)
+                s = jnp.where(gidx < num_items, s, NEG)
+                bs, bp = jax.lax.top_k(s, k_eff)
+                return bs, jnp.take_along_axis(gidx, bp, axis=1)
+
+            starts = jnp.arange(n_blocks) * bn
+            bs, bi = jax.lax.map(one, starts)    # [nb, Q, k_eff]
+            nq = queries.shape[0]
+            all_s = bs.transpose(1, 0, 2).reshape(nq, -1)
+            all_i = bi.transpose(1, 0, 2).reshape(nq, -1)
+            top_scores, pos = jax.lax.top_k(all_s, min(k, n_blocks * k_eff))
+            top_idx = jnp.take_along_axis(all_i, pos, axis=1)
+            if top_scores.shape[1] < k:
+                pad = ((0, 0), (0, k - top_scores.shape[1]))
+                top_scores = jnp.pad(top_scores, pad, constant_values=NEG)
+                top_idx = jnp.pad(top_idx, pad)
+            if metric == "l2":
+                q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
+                top_scores = jnp.sqrt(jnp.maximum(q_sq - top_scores, 0.0))
+            return top_scores, top_idx
+
+        jitted = jax.jit(search_block)
+        return lambda q, v, sq: jitted(q, self._codes, self._codebooks)
+
+    def search(self, queries, topk: Union[int, Sequence[int]] = 10,
+               return_items: bool = True):
+        if self._codes is None:
+            raise RuntimeError("searcher is empty — call train(vectors) first")
+        self._vecs = self._codes   # satisfy the base search()'s None check
+        try:
+            return super().search(queries, topk, return_items)
+        finally:
+            self._vecs = None
+
+    def reconstruct(self, indices: np.ndarray) -> np.ndarray:
+        """Decode items back to (approximate) vectors — FAISS
+        Index.reconstruct parity; also the exact decode the scan scores."""
+        m, ds = self.num_subspaces, self.dim // self.num_subspaces
+        codes = np.asarray(self._codes)[np.asarray(indices)]
+        cb = np.asarray(self._codebooks)
+        return cb[np.arange(m)[None, :], codes.astype(np.int64)] \
+            .reshape(len(codes), m * ds)
+
+    # ------------------------------------------------------------- persist
+    def save(self, path: str):
+        if self._codes is None:
+            raise RuntimeError("nothing to save")
+        np.savez_compressed(
+            path, codes=np.asarray(self._codes)[:self.num_items],
+            codebooks=np.asarray(self._codebooks), items=self.items,
+            dim=self.dim, metric=self.metric, pq=True,
+            num_subspaces=self.num_subspaces, item_block=self.item_block)
+
+    @classmethod
+    def load(cls, path: str) -> "PqSearcher":
+        data = np.load(path if path.endswith(".npz") else path + ".npz",
+                       allow_pickle=True)
+        s = cls(int(data["dim"]), str(data["metric"]),
+                num_subspaces=int(data["num_subspaces"]),
+                item_block=int(data["item_block"]))
+        s._codebooks = jnp.asarray(data["codebooks"])
+        codes = data["codes"]
+        s.num_items = len(codes)
+        s.items = data["items"]
+        n_pad = -(-s.num_items // s.item_block) * s.item_block
+        padded = np.zeros((n_pad, s.num_subspaces), np.uint8)
+        padded[:s.num_items] = codes
+        s._codes = jnp.asarray(padded)
+        return s
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_codes"] = np.asarray(self._codes)[:self.num_items] \
+            if self._codes is not None else None
+        state["_codebooks"] = np.asarray(self._codebooks) \
+            if self._codebooks is not None else None
+        for key in ("_vecs", "_sq_norms", "_search_fn", "_vecs_g", "_sqn_g"):
+            state[key] = None
+        return state
+
+    def __setstate__(self, state):
+        codes = state.pop("_codes")
+        cbs = state.pop("_codebooks")
+        self.__dict__.update(state)
+        self._search_fn = None
+        self._codes = self._codebooks = None
+        if codes is not None:
+            self._codebooks = jnp.asarray(cbs)
+            n_pad = -(-len(codes) // self.item_block) * self.item_block
+            padded = np.zeros((n_pad, self.num_subspaces), np.uint8)
+            padded[:len(codes)] = codes
+            self._codes = jnp.asarray(padded)
+
+
 def index_factory(dim: int, index_param: str = "Flat",
                   metric: str = "cos", **kwargs) -> TpuSearcher:
     """FAISS index_factory-style constructor (parity:
     faiss_searcher.py:80-97): 'Flat' -> exact TpuSearcher;
-    'IVF{n},Flat' / 'IVF{n}' -> IvfSearcher with n lists."""
+    'IVF{n},Flat' / 'IVF{n}' -> IvfSearcher with n lists;
+    'PQ{m}' / 'PQ{m}x8' -> PqSearcher with m subspaces (8-bit codes)."""
     import re as _re
     spec = (index_param or "Flat").strip()
     m = _re.match(r"^IVF(\d+)(,Flat)?$", spec, _re.IGNORECASE)
     if m:
         return IvfSearcher(dim, metric, nlist=int(m.group(1)), **kwargs)
+    m = _re.match(r"^PQ(\d+)(x8)?$", spec, _re.IGNORECASE)
+    if m:
+        return PqSearcher(dim, metric, num_subspaces=int(m.group(1)), **kwargs)
     if spec.lower() == "flat":
         return TpuSearcher(dim, metric, **kwargs)
     raise ValueError(f"unsupported index_param '{index_param}' "
-                     "(supported: Flat, IVF{n}[,Flat])")
+                     "(supported: Flat, IVF{n}[,Flat], PQ{m}[x8])")

@@ -133,3 +133,92 @@ def test_ivf_save_restores_quantizer_params(tmp_path):
     b, ib = loaded.search(v[:16], topk=9, return_items=False)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
     assert np.array_equal(ia, ib)
+
+
+# ---------------------------------------------------------------------- PQ
+@pytest.fixture(scope="module")
+def pq_world():
+    """Self-retrieval regime where PQ should shine: isotropic items whose
+    inter-item separations dwarf the quantization error."""
+    rng = np.random.RandomState(7)
+    corpus = rng.randn(5000, 32).astype(np.float32)
+    queries = corpus[:100] + rng.randn(100, 32).astype(np.float32) * 0.01
+    return corpus, queries
+
+
+def test_pq_factory_and_recall(pq_world):
+    from recommendflow_tpu.retrieval.searcher import PqSearcher
+    corpus, q = pq_world
+    pq = index_factory(32, "PQ8", "cos", item_block=1024)
+    assert isinstance(pq, PqSearcher)
+    assert isinstance(index_factory(32, "PQ16x8", "cos"), PqSearcher)
+    pq.train(corpus)
+    _, _, idx = pq.search(q, topk=10)
+    hit1 = np.mean(idx[:, 0] == np.arange(100))
+    assert hit1 >= 0.9, f"self-retrieval hit@1 {hit1}"
+
+
+def test_pq_matches_bruteforce_over_reconstruction(pq_world):
+    """The block decode-and-score scan returns the same ranking as brute
+    force over the decoded corpus (modulo bf16 decode rounding near ties),
+    and the reconstruction error is small."""
+    from recommendflow_tpu.retrieval.searcher import PqSearcher
+    corpus, q = pq_world
+    pq = PqSearcher(32, "cos", num_subspaces=8, item_block=1024).train(corpus)
+    _, _, idx = pq.search(q, topk=10)
+    recon = pq.reconstruct(np.arange(len(corpus))).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    bf = np.argsort(-(qn @ recon.T), axis=1)[:, :10]
+    agree = np.mean([len(set(bf[i]) & set(idx[i])) / 10 for i in range(len(q))])
+    assert agree >= 0.9, f"scan vs brute-force agreement {agree}"
+    vn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    rel = np.linalg.norm(recon - vn) / np.linalg.norm(vn)
+    # 8 subspaces x 8 bits on isotropic gaussian data = 2 bits/dim: ~0.28
+    # relative distortion is the information-theoretic ballpark
+    assert rel < 0.35, f"reconstruction rel err {rel}"
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_pq_metrics_run(pq_world, metric):
+    from recommendflow_tpu.retrieval.searcher import PqSearcher
+    corpus, q = pq_world
+    pq = PqSearcher(32, metric, num_subspaces=8, item_block=1024).train(corpus)
+    s, idx = pq.search(q[:20], topk=5, return_items=False)
+    assert s.shape == idx.shape == (20, 5)
+    if metric == "l2":
+        assert (s >= 0).all()
+        assert (np.diff(s, axis=1) >= -1e-5).all()   # ascending distance
+    hit1 = np.mean(idx[:, 0] == np.arange(20))
+    assert hit1 >= 0.9
+
+
+def test_pq_persistence_roundtrip(pq_world, tmp_path):
+    import pickle
+
+    from recommendflow_tpu.retrieval.searcher import PqSearcher
+    corpus, q = pq_world
+    pq = PqSearcher(32, "cos", num_subspaces=8, item_block=1024).train(
+        corpus, items=np.arange(5000) + 100)
+    it, s, idx = pq.search(q, topk=5)
+    pq.save(str(tmp_path / "pq.npz"))
+    pq2 = PqSearcher.load(str(tmp_path / "pq.npz"))
+    it2, s2, idx2 = pq2.search(q, topk=5)
+    np.testing.assert_array_equal(idx2, idx)
+    np.testing.assert_array_equal(it2, it)
+    pq3 = pickle.loads(pickle.dumps(pq))
+    _, _, idx3 = pq3.search(q, topk=5)
+    np.testing.assert_array_equal(idx3, idx)
+    with pytest.raises(NotImplementedError):
+        pq.add(corpus[:5])
+
+
+def test_pq_edge_cases():
+    from recommendflow_tpu.retrieval.searcher import PqSearcher
+    rng = np.random.RandomState(3)
+    # corpus smaller than one item block; k > num_items pads like FAISS
+    vecs = rng.randn(37, 16).astype(np.float32)
+    pq = PqSearcher(16, "cos", num_subspaces=4, item_block=64).train(vecs)
+    s, idx = pq.search(vecs[:5], topk=50, return_items=False)
+    assert s.shape == (5, 37)          # clamped to num_items by base search
+    with pytest.raises(ValueError):
+        PqSearcher(30, "cos", num_subspaces=8)   # dim not divisible
