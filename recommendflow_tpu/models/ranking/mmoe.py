@@ -59,4 +59,26 @@ class Mmoe(RecModel):
         return out
 
 
+def migrate_legacy_params(params):
+    """Convert a pre-ExpertsMLP Mmoe checkpoint param tree — one
+    `expert{i}` MLP subtree per expert, written before experts were batched
+    into a single [E, ...] computation — into the stacked layout
+    (`ExpertsMLP_0/experts` with a leading expert axis). No-op when the
+    tree is already stacked. Use when restoring an old checkpoint:
+
+        params = migrate_legacy_params(restore_pytree(path))
+    """
+    import re
+
+    d = dict(params)
+    expert_keys = sorted((k for k in d if re.fullmatch(r"expert\d+", k)),
+                         key=lambda k: int(k[len("expert"):]))
+    if not expert_keys or "ExpertsMLP_0" in d:
+        return params
+    subtrees = [d.pop(k) for k in expert_keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *subtrees)
+    d["ExpertsMLP_0"] = {"experts": stacked}
+    return d
+
+
 MMoE = Mmoe

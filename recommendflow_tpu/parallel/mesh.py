@@ -80,6 +80,11 @@ def expert_sharding_rules(params, mesh: Mesh, axis: str = "ep"):
     mixture einsum contracts the expert axis, which XLA lowers to one
     all-reduce over `axis`). Everything else replicated.
     """
+    if axis not in mesh.shape:
+        raise ValueError(
+            f"expert_sharding_rules needs a '{axis}' mesh axis but the mesh "
+            f"has {tuple(mesh.axis_names)} — build it with e.g. "
+            f"make_mesh(axis_names=('dp', '{axis}'))")
     n = mesh.shape[axis]
 
     def spec_for(path: Tuple, leaf):

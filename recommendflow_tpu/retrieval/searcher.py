@@ -156,6 +156,12 @@ class TpuSearcher:
                           items=all_items)
 
     # -------------------------------------------------------------- search
+    def _is_empty(self) -> bool:
+        """True when no corpus is loaded; subclasses that store the corpus
+        in another form (e.g. PQ codes) override this instead of faking
+        `_vecs` (keeps `search` reentrant under concurrent serving)."""
+        return self._vecs is None
+
     def _build_search(self, k: int):
         metric = self.metric
         num_items = self.num_items
@@ -276,7 +282,7 @@ class TpuSearcher:
         Returns (items, scores, indices) arrays [Q, k]; items omitted when
         return_items=False or no identifiers were given.
         """
-        if self._vecs is None:
+        if self._is_empty():
             raise RuntimeError("searcher is empty — call train(vectors) first")
         ks = sorted({int(k) for k in (topk if isinstance(topk, (list, tuple)) else [topk])})
         k_max = min(max(ks), self.num_items)
@@ -692,13 +698,19 @@ class PqSearcher(TpuSearcher):
                             .reshape(-1, m, ds).copy())
             codes[start:start + blk] = np.asarray(encode(x, cb))
 
-        n_pad = -(-n // self.item_block) * self.item_block
-        padded = np.zeros((n_pad, m), np.uint8)
-        padded[:n] = codes
+        self._set_codes(codes)
+        return self
+
+    def _set_codes(self, codes: np.ndarray):
+        """Install [N, M] uint8 codes: pad N up to an item_block multiple
+        (padded slots are masked in the scan) and upload. Single home for
+        the pad-and-upload logic shared by train / load / unpickle."""
+        n_pad = -(-len(codes) // self.item_block) * self.item_block
+        padded = np.zeros((n_pad, self.num_subspaces), np.uint8)
+        padded[:len(codes)] = codes
         self._codes = jnp.asarray(padded)
         self._vecs = None            # no raw vectors on device — that's the point
         self._search_fn = None
-        return self
 
     def add(self, vectors, items=None):
         raise NotImplementedError(
@@ -739,12 +751,10 @@ class PqSearcher(TpuSearcher):
             nq = queries.shape[0]
             all_s = bs.transpose(1, 0, 2).reshape(nq, -1)
             all_i = bi.transpose(1, 0, 2).reshape(nq, -1)
-            top_scores, pos = jax.lax.top_k(all_s, min(k, n_blocks * k_eff))
+            # base search clamps k <= num_items <= n_blocks * k_eff, so the
+            # merged candidate pool always covers k
+            top_scores, pos = jax.lax.top_k(all_s, k)
             top_idx = jnp.take_along_axis(all_i, pos, axis=1)
-            if top_scores.shape[1] < k:
-                pad = ((0, 0), (0, k - top_scores.shape[1]))
-                top_scores = jnp.pad(top_scores, pad, constant_values=NEG)
-                top_idx = jnp.pad(top_idx, pad)
             if metric == "l2":
                 q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
                 top_scores = jnp.sqrt(jnp.maximum(q_sq - top_scores, 0.0))
@@ -753,15 +763,8 @@ class PqSearcher(TpuSearcher):
         jitted = jax.jit(search_block)
         return lambda q, v, sq: jitted(q, self._codes, self._codebooks)
 
-    def search(self, queries, topk: Union[int, Sequence[int]] = 10,
-               return_items: bool = True):
-        if self._codes is None:
-            raise RuntimeError("searcher is empty — call train(vectors) first")
-        self._vecs = self._codes   # satisfy the base search()'s None check
-        try:
-            return super().search(queries, topk, return_items)
-        finally:
-            self._vecs = None
+    def _is_empty(self) -> bool:
+        return self._codes is None
 
     def reconstruct(self, indices: np.ndarray) -> np.ndarray:
         """Decode items back to (approximate) vectors — FAISS
@@ -780,7 +783,9 @@ class PqSearcher(TpuSearcher):
             path, codes=np.asarray(self._codes)[:self.num_items],
             codebooks=np.asarray(self._codebooks), items=self.items,
             dim=self.dim, metric=self.metric, pq=True,
-            num_subspaces=self.num_subspaces, item_block=self.item_block)
+            num_subspaces=self.num_subspaces, item_block=self.item_block,
+            query_block=self.query_block, seed=self.seed,
+            kmeans_iters=self.kmeans_iters, train_sample=self.train_sample)
 
     @classmethod
     def load(cls, path: str) -> "PqSearcher":
@@ -788,15 +793,17 @@ class PqSearcher(TpuSearcher):
                        allow_pickle=True)
         s = cls(int(data["dim"]), str(data["metric"]),
                 num_subspaces=int(data["num_subspaces"]),
-                item_block=int(data["item_block"]))
+                item_block=int(data["item_block"]),
+                # tuning knobs round-trip too (older files lack them)
+                query_block=int(data.get("query_block", 1024)),
+                seed=int(data.get("seed", 0)),
+                kmeans_iters=int(data.get("kmeans_iters", 10)),
+                train_sample=int(data.get("train_sample", 131072)))
         s._codebooks = jnp.asarray(data["codebooks"])
         codes = data["codes"]
         s.num_items = len(codes)
         s.items = data["items"]
-        n_pad = -(-s.num_items // s.item_block) * s.item_block
-        padded = np.zeros((n_pad, s.num_subspaces), np.uint8)
-        padded[:s.num_items] = codes
-        s._codes = jnp.asarray(padded)
+        s._set_codes(codes)
         return s
 
     def __getstate__(self):
@@ -817,10 +824,7 @@ class PqSearcher(TpuSearcher):
         self._codes = self._codebooks = None
         if codes is not None:
             self._codebooks = jnp.asarray(cbs)
-            n_pad = -(-len(codes) // self.item_block) * self.item_block
-            padded = np.zeros((n_pad, self.num_subspaces), np.uint8)
-            padded[:len(codes)] = codes
-            self._codes = jnp.asarray(padded)
+            self._set_codes(codes)
 
 
 def index_factory(dim: int, index_param: str = "Flat",

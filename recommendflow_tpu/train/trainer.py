@@ -190,31 +190,42 @@ class Trainer:
                 params = apply_shardings(state.params, self.mesh, rules)
                 # optimizer accumulators mirroring a sharded param must
                 # shard the same way, or the HBM saved by sharding is spent
-                # again on its optimizer state. Match by full shape (Adam
-                # mu/nu, expert leaves) or — for big tables whose row-wise
-                # Adagrad accumulator drops the trailing dim — by leading
-                # row count.
-                shape_specs, row_specs = {}, {}
-                for leaf, spec in zip(jax.tree.leaves(state.params),
-                                      jax.tree.leaves(rules)):
-                    if spec != P():
-                        shape_specs[leaf.shape] = spec
-                        if leaf.ndim == 2 and leaf.shape[0] >= 4096:
-                            row_specs[leaf.shape[0]] = spec[0]
+                # again on its optimizer state. Optimizer state trees mirror
+                # the param tree (optax mu/nu, row-wise Adagrad
+                # accumulators), so match each opt leaf to its param by
+                # KEY-PATH suffix — matching by bare shape can collide (a
+                # replicated tower kernel vs an ep-sharded expert bias of
+                # the same shape would mis-shard the tower's mu/nu).
+                p_paths, _ = jax.tree_util.tree_flatten_with_path(state.params)
+                path_specs = [
+                    (jax.tree_util.keystr(path), spec)
+                    for (path, _), spec in zip(p_paths, jax.tree.leaves(rules))
+                    if spec != P()]
+                # longest param path first: "['Dense_0']['kernel']" is also
+                # a suffix of "...['tower']['Dense_0']['kernel']"
+                path_specs.sort(key=lambda ps: -len(ps[0]))
 
-                def place_opt(leaf):
+                def place_opt(path, leaf):
                     if not hasattr(leaf, "shape"):
                         return leaf
-                    if leaf.shape in shape_specs:
-                        return jax.device_put(
-                            leaf, NamedSharding(self.mesh, shape_specs[leaf.shape]))
-                    if leaf.ndim >= 1 and leaf.shape[0] in row_specs:
-                        return jax.device_put(
-                            leaf, NamedSharding(self.mesh, P(
-                                row_specs[leaf.shape[0]],
-                                *([None] * (leaf.ndim - 1)))))
+                    ks = jax.tree_util.keystr(path)
+                    for pks, spec in path_specs:
+                        if not ks.endswith(pks):
+                            continue
+                        # accumulators may drop trailing dims (row-wise
+                        # Adagrad keeps [rows] for a [rows, d] table)
+                        axes = tuple(spec)[:leaf.ndim]
+                        ok = all(
+                            ax is None or (isinstance(ax, str) and
+                                           leaf.shape[i] % self.mesh.shape[ax] == 0)
+                            for i, ax in enumerate(axes))
+                        if ok:
+                            return jax.device_put(
+                                leaf, NamedSharding(self.mesh, P(*axes)))
+                        break
                     return jax.device_put(leaf, replicated(self.mesh))
-                opt_state = jax.tree.map(place_opt, state.opt_state)
+                opt_state = jax.tree_util.tree_map_with_path(
+                    place_opt, state.opt_state)
                 state = state.replace(params=params, opt_state=opt_state)
             else:
                 state = jax.device_put(state, replicated(self.mesh))

@@ -215,10 +215,29 @@ def test_pq_persistence_roundtrip(pq_world, tmp_path):
 def test_pq_edge_cases():
     from recommendflow_tpu.retrieval.searcher import PqSearcher
     rng = np.random.RandomState(3)
-    # corpus smaller than one item block; k > num_items pads like FAISS
+    # corpus smaller than one item block; k > num_items clamps to num_items
     vecs = rng.randn(37, 16).astype(np.float32)
     pq = PqSearcher(16, "cos", num_subspaces=4, item_block=64).train(vecs)
     s, idx = pq.search(vecs[:5], topk=50, return_items=False)
     assert s.shape == (5, 37)          # clamped to num_items by base search
     with pytest.raises(ValueError):
         PqSearcher(30, "cos", num_subspaces=8)   # dim not divisible
+
+
+def test_pq_load_roundtrips_tuning_knobs(tmp_path):
+    """npz save/load keeps query_block/seed/kmeans_iters/train_sample —
+    previously reset to defaults (review finding)."""
+    from recommendflow_tpu.retrieval.searcher import PqSearcher
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    pq = PqSearcher(16, "cos", num_subspaces=4, item_block=64,
+                    query_block=256, seed=7, kmeans_iters=4,
+                    train_sample=128).train(vecs)
+    p = str(tmp_path / "pq.npz")
+    pq.save(p)
+    s = PqSearcher.load(p)
+    assert (s.query_block, s.seed, s.kmeans_iters, s.train_sample) == \
+        (256, 7, 4, 128)
+    _, i1 = pq.search(vecs[:3], topk=5, return_items=False)
+    _, i2 = s.search(vecs[:3], topk=5, return_items=False)
+    np.testing.assert_array_equal(i1, i2)

@@ -336,3 +336,93 @@ def test_expert_parallel_mmoe_matches_replicated():
     got = np.asarray(ep_state.params["ExpertsMLP_0"]["experts"]["Dense_0"]["kernel"])
     want = np.asarray(ref_state.params["ExpertsMLP_0"]["experts"]["Dense_0"]["kernel"])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_opt_state_placement_matches_by_path_not_shape():
+    """A replicated tower kernel with the SAME shape as an ep-sharded
+    expert bias must keep replicated optimizer state — placement matches
+    opt leaves to params by key-path suffix, not by bare shape (regression
+    for a review finding)."""
+    from jax.sharding import PartitionSpec as P
+
+    from recommendflow_tpu.data.synthetic import synthetic_batch
+    from recommendflow_tpu.models.base import build_network
+    from recommendflow_tpu.train import Trainer
+
+    path = os.path.join(os.path.dirname(__file__), "..", "conf",
+                        "demo_ranking.yaml")
+    conf = Configuration(path)
+    # expert Dense_0 bias stacks to [16, 16]; tower0 Dense_0 kernel is
+    # also [16, 16] (expert output 16 -> tower width 16) but replicated
+    model, _ = build_network("recommendflow_tpu.models.ranking.mmoe.Mmoe",
+                             {"conf": conf, "num_experts": 16, "num_tasks": 1,
+                              "expert_units": (16,), "tower_units": (16,),
+                              "dropout": 0.0})
+    schema = compile_schema(conf.features)
+    batch = {k: np.asarray(v)
+             for k, v in synthetic_batch(schema, 16, seed=5).items()}
+    mesh = make_mesh(jax.devices()[:8], axis_names=("dp", "ep"), shape=(4, 2))
+    tr = Trainer(model, mesh=mesh, shard_experts=True, seed=0)
+    state = tr.init_state(tr._put(batch))
+
+    bias = state.params["ExpertsMLP_0"]["experts"]["Dense_0"]["bias"]
+    kern = state.params["tower0"]["Dense_0"]["kernel"]
+    assert bias.shape == kern.shape == (16, 16)
+    assert bias.sharding.spec == P("ep", None)
+    assert kern.sharding.spec in (P(), P(None, None))
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(state.opt_state)
+    tower_mus = [l for p, l in flat if "tower0" in jax.tree_util.keystr(p)
+                 and "kernel" in jax.tree_util.keystr(p)
+                 and hasattr(l, "sharding")]
+    expert_mus = [l for p, l in flat
+                  if "experts" in jax.tree_util.keystr(p)
+                  and "bias" in jax.tree_util.keystr(p)
+                  and hasattr(l, "shape") and l.shape == (16, 16)]
+    assert tower_mus and expert_mus
+    assert all(l.sharding.spec in (P(), P(None, None)) for l in tower_mus)
+    assert all(l.sharding.spec == P("ep", None) for l in expert_mus)
+    s2, m = tr.train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_expert_rules_require_ep_axis():
+    from recommendflow_tpu.parallel.mesh import expert_sharding_rules
+    mesh = make_mesh()  # dp only
+    with pytest.raises(ValueError, match="'ep' mesh axis"):
+        expert_sharding_rules({"x": jnp.zeros((4, 2))}, mesh)
+
+
+def test_mmoe_legacy_checkpoint_migration():
+    """Pre-ExpertsMLP Mmoe checkpoints (per-expert 'expert{i}' subtrees)
+    migrate into the stacked layout and restore exactly."""
+    from recommendflow_tpu.data.synthetic import synthetic_batch
+    from recommendflow_tpu.models.base import build_network
+    from recommendflow_tpu.models.ranking.mmoe import migrate_legacy_params
+
+    path = os.path.join(os.path.dirname(__file__), "..", "conf",
+                        "demo_ranking.yaml")
+    conf = Configuration(path)
+    model, _ = build_network("recommendflow_tpu.models.ranking.mmoe.Mmoe",
+                             {"conf": conf, "num_experts": 3, "num_tasks": 1,
+                              "expert_units": (8,), "tower_units": (8,)})
+    schema = compile_schema(conf.features)
+    batch = {k: np.asarray(v)
+             for k, v in synthetic_batch(schema, 8, seed=1).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, training=False)
+    params = jax.tree.map(lambda x: x, dict(variables["params"]))
+
+    # synthesize the legacy layout: unstack ExpertsMLP_0/experts
+    legacy = dict(params)
+    stacked = legacy.pop("ExpertsMLP_0")["experts"]
+    for i in range(3):
+        legacy[f"expert{i}"] = jax.tree.map(lambda x: x[i], stacked)
+
+    migrated = migrate_legacy_params(legacy)
+    ref_flat, ref_tree = jax.tree_util.tree_flatten(params)
+    got_flat, got_tree = jax.tree_util.tree_flatten(migrated)
+    assert ref_tree == got_tree
+    for a, b in zip(ref_flat, got_flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # already-stacked trees pass through untouched
+    assert migrate_legacy_params(migrated) is migrated
