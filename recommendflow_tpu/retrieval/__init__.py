@@ -1,5 +1,6 @@
 from recommendflow_tpu.retrieval.searcher import (
-    IvfSearcher, PqSearcher, TpuSearcher, index_factory, kmeans,
+    IvfPqSearcher, IvfSearcher, PqSearcher, TpuSearcher, index_factory,
+    kmeans,
 )
 from recommendflow_tpu.retrieval.sharded import ShardedSearcher
 from recommendflow_tpu.retrieval.whitening import VecsWhitening

@@ -396,6 +396,87 @@ def kmeans(vectors: jnp.ndarray, nlist: int, iters: int = 10,
     return centroids
 
 
+# ------------------------------------------------------- shared IVF/PQ tools
+def _assign_blocks(padded_vecs: jnp.ndarray, centroids: jnp.ndarray,
+                   n: int, block: int = 65536) -> np.ndarray:
+    """Nearest-centroid assignment for the first n rows of a padded device
+    corpus, row-blocked via lax.map to bound the [block, nlist] score temp."""
+    n_blk = -(-n // block)
+    pad_n = n_blk * block
+    if pad_n > padded_vecs.shape[0]:
+        padded_vecs = jnp.concatenate(
+            [padded_vecs, jnp.zeros((pad_n - padded_vecs.shape[0],
+                                     padded_vecs.shape[1]), jnp.float32)])
+
+    @jax.jit
+    def assign_all(v, c):
+        c_sq = jnp.sum(c * c, axis=1)
+
+        def one(start):
+            x = jax.lax.dynamic_slice(v, (start, 0), (block, v.shape[1]))
+            return jnp.argmax(2.0 * (x @ c.T) - c_sq[None, :], axis=1)
+
+        starts = jnp.arange(n_blk) * block
+        return jax.lax.map(one, starts).reshape(-1)
+
+    return np.asarray(assign_all(padded_vecs, centroids))[:n].astype(np.int64)
+
+
+def _build_capped_lists(assign: np.ndarray, nlist: int, cap_factor: float):
+    """Capped dense inverted lists + overflow (vectorized ~3 numpy passes).
+
+    Returns (lists [nlist, M] int32 with -1 pads, overflow item order)."""
+    n = len(assign)
+    m = max(1, int(np.ceil(cap_factor * n / nlist)))
+    order = np.argsort(assign, kind="stable")       # cluster-contiguous
+    sorted_assign = assign[order]
+    starts = np.searchsorted(sorted_assign, np.arange(nlist))
+    rank = np.arange(n) - starts[sorted_assign]     # position within cluster
+    keep = rank < m
+    lists = np.full((nlist, m), -1, np.int64)
+    lists[sorted_assign[keep], rank[keep]] = order[keep]
+    return lists.astype(np.int32), order[~keep]
+
+
+def _pq_train_codebooks(sample: np.ndarray, m: int, iters: int,
+                        seed: int) -> jnp.ndarray:
+    """Per-subspace 256-centroid codebooks [M, 256, D/M]: ONE vmapped
+    k-means over the subspace axis (M concurrent [S, ds] problems)."""
+    ds = sample.shape[1] // m
+    sub = jnp.asarray(sample.reshape(len(sample), m, ds).transpose(1, 0, 2))
+    return jax.vmap(
+        lambda v, s: kmeans(v, 256, iters=iters, seed=s))(
+        sub, jnp.arange(seed, seed + m))
+
+
+def _pq_encode(vectors: np.ndarray, codebooks: jnp.ndarray) -> np.ndarray:
+    """Encode [N, D] to uint8 codes [N, M] in device blocks (the [B, M, 256]
+    score temp bounds the block size)."""
+    m = int(codebooks.shape[0])
+    ds = int(codebooks.shape[2])
+    n = len(vectors)
+    blk = 65536
+    codes = np.empty((n, m), np.uint8)
+
+    @jax.jit
+    def encode(x, cb):                   # x [B, M, ds], cb [M, 256, ds]
+        s = jnp.einsum("bmd,mkd->bmk", x, cb)
+        s = 2.0 * s - jnp.sum(cb * cb, axis=-1)[None, :, :]
+        return jnp.argmax(s, axis=-1).astype(jnp.uint8)
+
+    for start in range(0, n, blk):
+        x = jnp.asarray(vectors[start:start + blk].reshape(-1, m, ds).copy())
+        codes[start:start + blk] = np.asarray(encode(x, cb=codebooks))
+    return codes
+
+
+def _pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Host-side decode of uint8 codes [B, M] -> [B, D] (reconstruction)."""
+    m = codebooks.shape[0]
+    return codebooks[np.arange(m)[None, :], codes.astype(np.int64)] \
+        .reshape(len(codes), -1)
+
+
 class IvfSearcher(TpuSearcher):
     """IVF approximate top-k: k-means coarse quantizer + capped inverted
     lists, probed per query (parity surface: FAISS 'IVF{n},Flat' indices,
@@ -471,39 +552,13 @@ class IvfSearcher(TpuSearcher):
             sample, self.nlist, iters=self.kmeans_iters,
             seed=self.seed, spherical=self.metric in ("cos", "ip"))
 
-        # 2. assign every item to its nearest centroid (one device pass,
-        # row-blocked via lax.map to bound the [block, nlist] score temp)
-        block = 65536
-        n_blk = -(-n // block)
-        pad_n = n_blk * block
-
-        @jax.jit
-        def assign_all(v, c):                      # v [n+1, D] padded corpus
-            c_sq = jnp.sum(c * c, axis=1)
-
-            def one(start):
-                x = jax.lax.dynamic_slice(v, (start, 0), (block, v.shape[1]))
-                return jnp.argmax(2.0 * (x @ c.T) - c_sq[None, :], axis=1)
-
-            starts = jnp.arange(n_blk) * block
-            return jax.lax.map(one, starts).reshape(-1)
-
-        pad_vecs = self._vecs if pad_n < n + 1 else jnp.concatenate(
-            [self._vecs, jnp.zeros((pad_n + 1 - (n + 1), self.dim), jnp.float32)])
-        assign = np.asarray(assign_all(pad_vecs, self._centroids))[:n].astype(np.int64)
+        # 2. assign every item to its nearest centroid (one device pass)
+        assign = _assign_blocks(self._vecs, self._centroids, n)
 
         # 3. capped dense lists + overflow pool (vectorized: a python loop
         # over 1M items costs minutes; this is ~3 numpy passes)
-        m = max(1, int(np.ceil(self.cap_factor * n / self.nlist)))
-        order = np.argsort(assign, kind="stable")   # cluster-contiguous
-        sorted_assign = assign[order]
-        starts = np.searchsorted(sorted_assign, np.arange(self.nlist))
-        rank = np.arange(n) - starts[sorted_assign]  # position within cluster
-        keep = rank < m
-        lists = np.full((self.nlist, m), -1, np.int64)
-        lists[sorted_assign[keep], rank[keep]] = order[keep]
-        self._lists = jnp.asarray(lists.astype(np.int32))
-        ov = order[~keep]
+        lists, ov = _build_capped_lists(assign, self.nlist, self.cap_factor)
+        self._lists = jnp.asarray(lists)
         self._overflow_idx = ov
         self._overflow = jnp.take(self._vecs, jnp.asarray(ov), axis=0) \
             if len(ov) else jnp.zeros((0, self.dim), jnp.float32)
@@ -668,37 +723,18 @@ class PqSearcher(TpuSearcher):
         self.num_items = n
         self.items = np.asarray(items) if items is not None else np.arange(n)
 
-        # 1. per-subspace codebooks from a sample: ONE vmapped k-means over
-        # the subspace axis (M concurrent [S, ds] x [ds, 256] problems)
+        # 1. per-subspace codebooks from a sample (256 centroids = 8-bit
+        # codes; tiny corpora just repeat seeds)
         rng = np.random.RandomState(self.seed)
         if n > self.train_sample:
             sample = vectors[rng.choice(n, self.train_sample, replace=False)]
         else:
             sample = vectors
-        sub = jnp.asarray(sample.reshape(len(sample), m, ds).transpose(1, 0, 2))
-        # always 256 centroids (8-bit codes); tiny corpora just repeat seeds
-        self._codebooks = jax.vmap(
-            lambda v, s: kmeans(v, 256, iters=self.kmeans_iters, seed=s))(
-            sub, jnp.arange(self.seed, self.seed + m))      # [M, 256, ds]
+        self._codebooks = _pq_train_codebooks(
+            sample, m, self.kmeans_iters, self.seed)        # [M, 256, ds]
 
-        # 2. encode the corpus in blocks (device matmuls; the [B, M, 256]
-        # score temp bounds the block size)
-        blk = 65536
-        codes = np.empty((n, m), np.uint8)
-
-        @jax.jit
-        def encode(x, cb):                   # x [B, M, ds], cb [M, 256, ds]
-            s = jnp.einsum("bmd,mkd->bmk", x, cb)
-            s = 2.0 * s - jnp.sum(cb * cb, axis=-1)[None, :, :]
-            return jnp.argmax(s, axis=-1).astype(jnp.uint8)
-
-        cb = self._codebooks
-        for start in range(0, n, blk):
-            x = jnp.asarray(vectors[start:start + blk]
-                            .reshape(-1, m, ds).copy())
-            codes[start:start + blk] = np.asarray(encode(x, cb))
-
-        self._set_codes(codes)
+        # 2. encode the corpus in device blocks
+        self._set_codes(_pq_encode(vectors, self._codebooks))
         return self
 
     def _set_codes(self, codes: np.ndarray):
@@ -769,11 +805,8 @@ class PqSearcher(TpuSearcher):
     def reconstruct(self, indices: np.ndarray) -> np.ndarray:
         """Decode items back to (approximate) vectors — FAISS
         Index.reconstruct parity; also the exact decode the scan scores."""
-        m, ds = self.num_subspaces, self.dim // self.num_subspaces
         codes = np.asarray(self._codes)[np.asarray(indices)]
-        cb = np.asarray(self._codebooks)
-        return cb[np.arange(m)[None, :], codes.astype(np.int64)] \
-            .reshape(len(codes), m * ds)
+        return _pq_decode_np(codes, np.asarray(self._codebooks))
 
     # ------------------------------------------------------------- persist
     def save(self, path: str):
@@ -827,14 +860,308 @@ class PqSearcher(TpuSearcher):
             self._set_codes(codes)
 
 
+class IvfPqSearcher(TpuSearcher):
+    """IVF coarse quantizer + residual product quantization — FAISS
+    'IVF{n},PQ{m}' parity (faiss_searcher.py:80-97 index_factory strings).
+
+    Memory-tiered like PqSearcher: after encoding, the device holds only
+    uint8 codes [N, M] of the RESIDUAL (x − centroid[assign]), the [nlist,
+    D] centroids, the capped inverted lists, and the (small) decoded
+    overflow pool — M + 4 bytes/item instead of 4·D. Residual coding makes
+    the PQ codebooks model the within-cluster distribution, so distortion
+    is far lower than plain PQ at equal code size (the classic IVFADC
+    design, Jégou et al. 2011).
+
+    TPU-native scoring: classic ADC walks a per-query [M, 256] lookup
+    table with one gather per candidate per subspace — ~30 ns/element
+    (CLAUDE.md perf notes) is hopeless. Here each probed list gathers
+    candidate CODE rows ([Q, M_cap] rows of M bytes — the same fixed
+    per-row gather cost as IVF-Flat's vector rows but 4·D/M x less HBM
+    held) and scores them on the MXU: per-query LUTs lut = q_sub ·
+    codebookᵀ (one [Q, M, 256] einsum per block) then a per-subspace
+    one-hot(codes) · lut batched contraction under lax.scan. The q·c
+    coarse term is reused from probing; for L2 the per-item ‖x̂‖² is
+    precomputed at build. Recall caveats compose IVF's (clustered corpora
+    probe well; isotropic ones don't) and PQ's (quantization distortion);
+    the exact TpuSearcher still wins throughput at reference scales — this
+    class exists for FAISS API parity and corpora beyond one chip's HBM.
+    """
+
+    def __init__(self, dim: int, metric: str = "cos", nlist: int = 1024,
+                 nprobe: int = 8, num_subspaces: int = 8,
+                 query_block: int = 256, cap_factor: float = 2.0,
+                 kmeans_iters: int = 10, train_sample: int = 262144,
+                 seed: int = 0):
+        super().__init__(dim, metric, query_block=query_block)
+        if dim % num_subspaces != 0:
+            raise ValueError(f"dim {dim} not divisible by num_subspaces "
+                             f"{num_subspaces}")
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.num_subspaces = num_subspaces
+        self.cap_factor = cap_factor
+        self.kmeans_iters = kmeans_iters
+        self.train_sample = train_sample
+        self.seed = seed
+        self._centroids = None     # [nlist, D] f32
+        self._codebooks = None     # [M, 256, D/M] f32 (residual space)
+        self._codes = None         # [N+1, M] uint8 on device (pad row N)
+        self._assign = None        # [N] int32 host (list membership)
+        self._lists = None         # [nlist, cap] int32, -1 pad
+        self._overflow_idx = None  # [O] item indices
+        self._overflow_dec = None  # [O, D] decoded overflow (scanned exactly)
+        self._xhat_sq = None       # [N+1] ||x_hat||^2 (l2 only)
+
+    # --------------------------------------------------------------- build
+    def train(self, vectors: np.ndarray, items: Optional[Sequence[Any]] = None):
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}] vectors, got {vectors.shape}")
+        if self.metric == "cos":
+            vectors = _l2_normalize(vectors)
+        n = len(vectors)
+        self.num_items = n
+        self.items = np.asarray(items) if items is not None else np.arange(n)
+        self.nlist = max(1, min(self.nlist, n))
+        m = self.num_subspaces
+
+        # 1. coarse quantizer on a sample (one transient corpus upload —
+        # raw vectors never persist on device)
+        rng = np.random.RandomState(self.seed)
+        padded = np.zeros((n + 1, self.dim), np.float32)
+        padded[:n] = vectors
+        dev = jnp.asarray(padded)
+        if n <= self.train_sample:
+            sample = dev[:n]
+        else:
+            sample = jnp.take(dev, jnp.asarray(
+                rng.choice(n, self.train_sample, replace=False)), axis=0)
+        self._centroids = kmeans(
+            sample, self.nlist, iters=self.kmeans_iters, seed=self.seed,
+            spherical=self.metric in ("cos", "ip"))
+        self._assign = _assign_blocks(dev, self._centroids, n).astype(np.int32)
+        del dev, sample
+
+        # 2. residual PQ codebooks + encode
+        resid = vectors - np.asarray(self._centroids)[self._assign]
+        if n > self.train_sample:
+            sample_r = resid[rng.choice(n, self.train_sample, replace=False)]
+        else:
+            sample_r = resid
+        self._codebooks = _pq_train_codebooks(
+            sample_r, m, self.kmeans_iters, self.seed)
+        self._install(_pq_encode(resid, self._codebooks))
+        return self
+
+    def _install(self, codes: np.ndarray):
+        """Build lists/overflow/derived stats from self._assign + codes and
+        upload. Shared by train / add / load / unpickle."""
+        n = self.num_items
+        lists, ov = _build_capped_lists(
+            self._assign.astype(np.int64), self.nlist, self.cap_factor)
+        self._lists = jnp.asarray(lists)
+        padded = np.zeros((n + 1, self.num_subspaces), np.uint8)
+        padded[:n] = codes
+        self._codes = jnp.asarray(padded)
+        # decoded reconstruction feeds the overflow pool and the l2 norms
+        dec = _pq_decode_np(codes, np.asarray(self._codebooks)) \
+            + np.asarray(self._centroids)[self._assign]
+        self._overflow_idx = ov
+        self._overflow_dec = jnp.asarray(dec[ov]) if len(ov) \
+            else jnp.zeros((0, self.dim), jnp.float32)
+        if self.metric == "l2":
+            xsq = np.zeros((n + 1,), np.float32)
+            xsq[:n] = (dec ** 2).sum(-1)
+            self._xhat_sq = jnp.asarray(xsq)
+        self._vecs = None
+        self._search_fn = None
+
+    def add(self, vectors, items=None):
+        """Append: encode with the EXISTING quantizers (FAISS IVFPQ add
+        semantics — train once, add many) and rebuild the static lists."""
+        if self._codes is None:
+            return self.train(vectors, items)
+        vectors = np.asarray(vectors, np.float32)
+        if self.metric == "cos":
+            vectors = _l2_normalize(vectors)
+        n_new = len(vectors)
+        pad = np.zeros((n_new + 1, self.dim), np.float32)
+        pad[:n_new] = vectors
+        assign_new = _assign_blocks(
+            jnp.asarray(pad), self._centroids, n_new).astype(np.int32)
+        resid = vectors - np.asarray(self._centroids)[assign_new]
+        codes_new = _pq_encode(resid, self._codebooks)
+        old_codes = np.asarray(self._codes)[:self.num_items]
+        new_items = np.asarray(items) if items is not None else \
+            np.arange(self.num_items, self.num_items + n_new)
+        self.items = np.concatenate([self.items, new_items])
+        self._assign = np.concatenate([self._assign, assign_new])
+        self.num_items += n_new
+        self._install(np.concatenate([old_codes, codes_new]))
+        return self
+
+    # -------------------------------------------------------------- search
+    def _is_empty(self) -> bool:
+        return self._codes is None
+
+    def _build_search(self, k: int):
+        metric = self.metric
+        nprobe = min(self.nprobe, self.nlist)
+        num_items = self.num_items
+        msub, ds = self.num_subspaces, self.dim // self.num_subspaces
+        n_over = int(self._overflow_dec.shape[0])
+        over_idx = jnp.asarray(self._overflow_idx.astype(np.int32)) \
+            if n_over else jnp.zeros((0,), jnp.int32)
+        cand_width = nprobe * int(self._lists.shape[1]) + n_over
+        k_eff = min(k, cand_width)
+        xhat_sq = self._xhat_sq if metric == "l2" \
+            else jnp.zeros((1,), jnp.float32)
+
+        def search_block(queries, centroids, lists, codes, codebooks,
+                         over_dec, xsq):
+            nq = queries.shape[0]
+            qc = queries @ centroids.T                       # [Q, nlist]
+            if metric == "l2":
+                probe_s = 2.0 * qc - jnp.sum(
+                    centroids * centroids, axis=1)[None, :]
+            else:
+                probe_s = qc
+            _, probe = jax.lax.top_k(probe_s, nprobe)        # [Q, P]
+            qct = jnp.take_along_axis(qc, probe, axis=1)     # [Q, P] q·c
+            # per-query residual LUTs: q_sub · codebookᵀ, one einsum
+            lut = jnp.einsum("qsd,skd->qsk",
+                             queries.reshape(nq, msub, ds),
+                             codebooks)                      # [Q, Msub, 256]
+            lut_t = lut.transpose(1, 0, 2).astype(jnp.bfloat16)
+            cand_pm = lists[probe]                           # [Q, P, M]
+
+            def score_probe(_, inp):                         # per probed list
+                ids, qc_p = inp                              # [Q, M], [Q]
+                safe = jnp.where(ids >= 0, ids, num_items)
+                cg = jnp.take(codes, safe, axis=0)           # [Q, M, Msub]
+
+                def sub(acc, xs):                            # one subspace
+                    c_s, l_s = xs                            # [Q, M], [Q, 256]
+                    oh = jax.nn.one_hot(c_s.astype(jnp.int32), 256,
+                                        dtype=jnp.bfloat16)
+                    return acc + jnp.einsum(
+                        "qmk,qk->qm", oh, l_s,
+                        preferred_element_type=jnp.float32), None
+
+                qr, _ = jax.lax.scan(
+                    sub, jnp.zeros((nq, ids.shape[1]), jnp.float32),
+                    (cg.transpose(2, 0, 1), lut_t))
+                sp = qr + qc_p[:, None]                      # q·(c + r_hat)
+                if metric == "l2":
+                    sp = 2.0 * sp - jnp.take(xsq, safe, axis=0)
+                return None, jnp.where(ids >= 0, sp, NEG)
+
+            _, s_pm = jax.lax.scan(score_probe, None,
+                                   (cand_pm.transpose(1, 0, 2), qct.T))
+            s = s_pm.transpose(1, 0, 2).reshape(nq, -1)
+            cand = cand_pm.reshape(nq, -1)
+            if n_over:
+                so = queries @ over_dec.T                    # exact pool
+                if metric == "l2":
+                    so = 2.0 * so - jnp.take(xsq, over_idx, axis=0)[None, :]
+                s = jnp.concatenate([s, so], axis=1)
+                cand = jnp.concatenate(
+                    [cand, jnp.broadcast_to(over_idx[None, :], (nq, n_over))],
+                    axis=1)
+            top_scores, pos = jax.lax.top_k(s, k_eff)
+            top_idx = jnp.maximum(jnp.take_along_axis(cand, pos, axis=1), 0)
+            if k_eff < k:                 # pool smaller than k: NEG-pad tail
+                padw = ((0, 0), (0, k - k_eff))
+                top_scores = jnp.pad(top_scores, padw, constant_values=NEG)
+                top_idx = jnp.pad(top_idx, padw)
+            if metric == "l2":
+                q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
+                top_scores = jnp.sqrt(jnp.maximum(q_sq - top_scores, 0.0))
+            return top_scores, top_idx
+
+        jitted = jax.jit(search_block)
+        return lambda q, v, sq: jitted(
+            q, self._centroids, self._lists, self._codes, self._codebooks,
+            self._overflow_dec, xhat_sq)
+
+    def reconstruct(self, indices: np.ndarray) -> np.ndarray:
+        """centroid[assign] + decode(residual codes) — FAISS parity."""
+        idx = np.asarray(indices)
+        codes = np.asarray(self._codes)[idx]
+        return _pq_decode_np(codes, np.asarray(self._codebooks)) \
+            + np.asarray(self._centroids)[self._assign[idx]]
+
+    # ------------------------------------------------------------- persist
+    def save(self, path: str):
+        if self._codes is None:
+            raise RuntimeError("nothing to save")
+        np.savez_compressed(
+            path, codes=np.asarray(self._codes)[:self.num_items],
+            codebooks=np.asarray(self._codebooks),
+            centroids=np.asarray(self._centroids), assign=self._assign,
+            items=self.items, dim=self.dim, metric=self.metric, ivfpq=True,
+            nlist=self.nlist, nprobe=self.nprobe,
+            num_subspaces=self.num_subspaces, cap_factor=self.cap_factor,
+            kmeans_iters=self.kmeans_iters, train_sample=self.train_sample,
+            seed=self.seed, query_block=self.query_block)
+
+    @classmethod
+    def load(cls, path: str) -> "IvfPqSearcher":
+        data = np.load(path if path.endswith(".npz") else path + ".npz",
+                       allow_pickle=True)
+        s = cls(int(data["dim"]), str(data["metric"]),
+                nlist=int(data["nlist"]), nprobe=int(data["nprobe"]),
+                num_subspaces=int(data["num_subspaces"]),
+                cap_factor=float(data["cap_factor"]),
+                kmeans_iters=int(data["kmeans_iters"]),
+                train_sample=int(data["train_sample"]),
+                seed=int(data["seed"]),
+                query_block=int(data["query_block"]))
+        s._centroids = jnp.asarray(data["centroids"])
+        s._codebooks = jnp.asarray(data["codebooks"])
+        s._assign = data["assign"].astype(np.int32)
+        s.items = data["items"]
+        s.num_items = len(s._assign)
+        s._install(data["codes"])
+        return s
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_codes"] = np.asarray(self._codes)[:self.num_items] \
+            if self._codes is not None else None
+        state["_centroids"] = np.asarray(self._centroids) \
+            if self._centroids is not None else None
+        state["_codebooks"] = np.asarray(self._codebooks) \
+            if self._codebooks is not None else None
+        for key in ("_vecs", "_sq_norms", "_search_fn", "_vecs_g", "_sqn_g",
+                    "_lists", "_overflow_idx", "_overflow_dec", "_xhat_sq"):
+            state[key] = None
+        return state
+
+    def __setstate__(self, state):
+        codes = state.pop("_codes")
+        self.__dict__.update(state)
+        self._search_fn = None
+        self._codes = None
+        if codes is not None:
+            self._centroids = jnp.asarray(state["_centroids"])
+            self._codebooks = jnp.asarray(state["_codebooks"])
+            self._install(codes)
+
+
 def index_factory(dim: int, index_param: str = "Flat",
                   metric: str = "cos", **kwargs) -> TpuSearcher:
     """FAISS index_factory-style constructor (parity:
     faiss_searcher.py:80-97): 'Flat' -> exact TpuSearcher;
     'IVF{n},Flat' / 'IVF{n}' -> IvfSearcher with n lists;
-    'PQ{m}' / 'PQ{m}x8' -> PqSearcher with m subspaces (8-bit codes)."""
+    'PQ{m}' / 'PQ{m}x8' -> PqSearcher with m subspaces (8-bit codes);
+    'IVF{n},PQ{m}[x8]' -> IvfPqSearcher (residual PQ in probed lists)."""
     import re as _re
     spec = (index_param or "Flat").strip()
+    m = _re.match(r"^IVF(\d+),PQ(\d+)(x8)?$", spec, _re.IGNORECASE)
+    if m:
+        return IvfPqSearcher(dim, metric, nlist=int(m.group(1)),
+                             num_subspaces=int(m.group(2)), **kwargs)
     m = _re.match(r"^IVF(\d+)(,Flat)?$", spec, _re.IGNORECASE)
     if m:
         return IvfSearcher(dim, metric, nlist=int(m.group(1)), **kwargs)
@@ -844,4 +1171,5 @@ def index_factory(dim: int, index_param: str = "Flat",
     if spec.lower() == "flat":
         return TpuSearcher(dim, metric, **kwargs)
     raise ValueError(f"unsupported index_param '{index_param}' "
-                     "(supported: Flat, IVF{n}[,Flat], PQ{m}[x8])")
+                     "(supported: Flat, IVF{n}[,Flat], PQ{m}[x8], "
+                     "IVF{n},PQ{m}[x8])")

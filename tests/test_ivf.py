@@ -241,3 +241,100 @@ def test_pq_load_roundtrips_tuning_knobs(tmp_path):
     _, i1 = pq.search(vecs[:3], topk=5, return_items=False)
     _, i2 = s.search(vecs[:3], topk=5, return_items=False)
     np.testing.assert_array_equal(i1, i2)
+
+
+# ------------------------------------------------------------------- IVFPQ
+@pytest.fixture(scope="module")
+def ivfpq_world():
+    """Clustered corpus (IVF's regime) with enough spread for PQ codes."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(24, 32).astype(np.float32) * 4
+    corpus = (centers[rng.randint(24, size=4000)] +
+              rng.randn(4000, 32).astype(np.float32))
+    queries = corpus[:64] + rng.randn(64, 32).astype(np.float32) * 0.01
+    return corpus, queries
+
+
+def test_ivfpq_factory_and_recall(ivfpq_world):
+    """16 subspaces x 8 bits = 16 bytes/vec (8x compression at D=32):
+    measured hit@1 0.984 / self-in-top10 1.0 on this clustered world;
+    8 subspaces halves that — quantization distortion, not a scan bug
+    (the full-probe agreement test pins scan correctness)."""
+    from recommendflow_tpu.retrieval.searcher import IvfPqSearcher
+    corpus, q = ivfpq_world
+    s = index_factory(32, "IVF32,PQ16", "cos", nprobe=8)
+    assert isinstance(s, IvfPqSearcher)
+    assert isinstance(index_factory(32, "IVF16,PQ16x8", "cos"), IvfPqSearcher)
+    s.train(corpus)
+    _, _, idx = s.search(q, topk=10)
+    hit1 = np.mean(idx[:, 0] == np.arange(64))
+    assert hit1 >= 0.9, f"self-retrieval hit@1 {hit1}"
+
+
+def test_ivfpq_full_probe_matches_bruteforce_over_reconstruction(ivfpq_world):
+    """nprobe == nlist scans every list: the scan's ranking must agree with
+    brute force over reconstruct() (modulo bf16 LUT rounding near ties)."""
+    from recommendflow_tpu.retrieval.searcher import IvfPqSearcher
+    corpus, q = ivfpq_world
+    s = IvfPqSearcher(32, "cos", nlist=16, nprobe=16, num_subspaces=8,
+                      cap_factor=1.5).train(corpus)
+    _, _, idx = s.search(q, topk=10)
+    recon = s.reconstruct(np.arange(len(corpus))).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    bf = np.argsort(-(qn @ recon.T), axis=1)[:, :10]
+    agree = np.mean([len(set(bf[i]) & set(idx[i])) / 10 for i in range(len(q))])
+    assert agree >= 0.85, f"scan vs brute-force agreement {agree}"
+    # residual coding reconstructs better than plain PQ at equal code size
+    from recommendflow_tpu.retrieval.searcher import PqSearcher
+    pq = PqSearcher(32, "cos", num_subspaces=8).train(corpus)
+    vn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    err_ivfpq = np.linalg.norm(recon - vn)
+    err_pq = np.linalg.norm(pq.reconstruct(np.arange(len(corpus))) - vn)
+    assert err_ivfpq < err_pq
+
+
+def test_ivfpq_l2_distances(ivfpq_world):
+    """L2 scores are real distances computed against the reconstruction."""
+    from recommendflow_tpu.retrieval.searcher import IvfPqSearcher
+    corpus, q = ivfpq_world
+    s = IvfPqSearcher(32, "l2", nlist=16, nprobe=16, num_subspaces=8).train(corpus)
+    d, idx = s.search(q[:8], topk=5, return_items=False)
+    recon = s.reconstruct(idx.reshape(-1)).reshape(8, 5, 32)
+    want = np.linalg.norm(q[:8, None, :] - recon, axis=-1)
+    np.testing.assert_allclose(d, want, rtol=5e-2, atol=5e-2)
+
+
+def test_ivfpq_add_extends_without_retrain(ivfpq_world):
+    from recommendflow_tpu.retrieval.searcher import IvfPqSearcher
+    corpus, _ = ivfpq_world
+    s = IvfPqSearcher(32, "cos", nlist=16, nprobe=16,
+                      num_subspaces=16).train(corpus[:3000])
+    cb_before = np.asarray(s._codebooks).copy()
+    s.add(corpus[3000:])
+    assert s.num_items == 4000
+    np.testing.assert_array_equal(np.asarray(s._codebooks), cb_before)
+    # an added item is retrievable by self-query (16-byte codes: measured
+    # self-in-top10 = 1.0 on this world)
+    probe = corpus[3500]
+    _, _, idx = s.search(probe, topk=10)
+    assert 3500 in idx[0]
+
+
+def test_ivfpq_save_load_pickle(tmp_path, ivfpq_world):
+    import pickle
+    from recommendflow_tpu.retrieval.searcher import IvfPqSearcher
+    corpus, q = ivfpq_world
+    s = IvfPqSearcher(32, "cos", nlist=16, nprobe=4, num_subspaces=8,
+                      query_block=128, seed=3).train(corpus)
+    _, _, before = s.search(q[:8], topk=5)
+    p = str(tmp_path / "ivfpq.npz")
+    s.save(p)
+    loaded = IvfPqSearcher.load(p)
+    assert (loaded.nprobe, loaded.query_block, loaded.seed) == (4, 128, 3)
+    _, _, after = loaded.search(q[:8], topk=5)
+    np.testing.assert_array_equal(before, after)
+    unpickled = pickle.loads(pickle.dumps(s))
+    _, _, after2 = unpickled.search(q[:8], topk=5)
+    np.testing.assert_array_equal(before, after2)
+    np.testing.assert_allclose(unpickled.reconstruct([5]), s.reconstruct([5]),
+                               rtol=1e-6)
