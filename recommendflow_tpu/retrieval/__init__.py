@@ -1,6 +1,6 @@
 from recommendflow_tpu.retrieval.searcher import (
-    IvfPqSearcher, IvfSearcher, PqSearcher, TpuSearcher, index_factory,
-    kmeans,
+    IvfPqSearcher, IvfSearcher, PqSearcher, SqSearcher, TpuSearcher,
+    index_factory, kmeans,
 )
 from recommendflow_tpu.retrieval.sharded import ShardedSearcher
 from recommendflow_tpu.retrieval.whitening import VecsWhitening

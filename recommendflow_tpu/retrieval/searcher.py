@@ -1149,15 +1149,241 @@ class IvfPqSearcher(TpuSearcher):
             self._install(codes)
 
 
+class SqSearcher(TpuSearcher):
+    """Scalar-quantized exact scan — FAISS 'SQ8' / 'SQfp16' parity
+    (faiss_searcher.py:80-97 index_factory strings).
+
+    qtype='sq8': per-dim affine uint8 codes (4x compression). The scan
+    never dequantizes the corpus: with x̂ = vmin + scale ⊙ code,
+    q·x̂ = q·vmin + (q ⊙ scale)·code — so each block costs ONE
+    [Q, D] x [D, Bn] bf16 matmul over the uint8 codes cast in-register
+    (bf16 represents integers <= 256 exactly, so the cast is lossless).
+
+    qtype='bf16': stores bf16 codes directly — the TPU-native stand-in for
+    FAISS SQfp16 (fp16 has no TPU hardware path; bf16 does, and TPU f32
+    matmuls compute at bf16 input precision anyway — CLAUDE.md perf notes),
+    2x compression at effectively exact recall.
+
+    Unlike PQ there is no codebook training; like the exact searcher,
+    recall is data-independent (SQ8's only loss is 8-bit rounding).
+    """
+
+    def __init__(self, dim: int, metric: str = "cos", qtype: str = "sq8",
+                 item_block: int = 65536, query_block: int = 1024):
+        super().__init__(dim, metric, query_block=query_block)
+        if qtype not in ("sq8", "bf16"):
+            raise ValueError(f"qtype must be sq8|bf16, got '{qtype}'")
+        self.qtype = qtype
+        self.item_block = item_block
+        self._codes = None        # [N_pad, D] uint8 | bf16 on device
+        self._vmin = None         # [D] f32 (sq8)
+        self._scale = None        # [D] f32 (sq8)
+        self._xhat_sq = None      # [N_pad] f32 (l2)
+
+    # --------------------------------------------------------------- build
+    def train(self, vectors: np.ndarray, items: Optional[Sequence[Any]] = None):
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}] vectors, got {vectors.shape}")
+        if self.metric == "cos":
+            vectors = _l2_normalize(vectors)
+        n = len(vectors)
+        self.num_items = n
+        self.items = np.asarray(items) if items is not None else np.arange(n)
+        n_pad = -(-n // self.item_block) * self.item_block
+        if self.qtype == "sq8":
+            vmin = vectors.min(axis=0)
+            vdiff = vectors.max(axis=0) - vmin
+            scale = np.where(vdiff > 0, vdiff / 255.0, 1.0).astype(np.float32)
+            codes = np.clip(np.rint((vectors - vmin) / scale), 0, 255)
+            padded = np.zeros((n_pad, self.dim), np.uint8)
+            padded[:n] = codes.astype(np.uint8)
+            self._vmin = jnp.asarray(vmin.astype(np.float32))
+            self._scale = jnp.asarray(scale)
+            dec = vmin + scale * padded[:n].astype(np.float32)
+        else:
+            padded = np.zeros((n_pad, self.dim), np.float32)
+            padded[:n] = vectors
+            padded = padded.astype(jnp.bfloat16)
+            dec = np.asarray(padded[:n], np.float32)
+        self._codes = jnp.asarray(padded)
+        if self.metric == "l2":
+            xsq = np.zeros((n_pad,), np.float32)
+            xsq[:n] = (dec ** 2).sum(-1)
+            self._xhat_sq = jnp.asarray(xsq)
+        self._vecs = None            # codes only — that's the point
+        self._search_fn = None
+        return self
+
+    def add(self, vectors, items=None):
+        """Append: re-encode the full corpus (sq8 per-dim ranges must cover
+        the new rows; recomputing them keeps encode exactness instead of
+        silently clipping out-of-range values like a frozen quantizer)."""
+        if self._codes is None:
+            return self.train(vectors, items)
+        existing = self.reconstruct(np.arange(self.num_items))
+        vectors = np.asarray(vectors, np.float32)
+        new_items = np.asarray(items) if items is not None else \
+            np.arange(self.num_items, self.num_items + len(vectors))
+        return self.train(np.concatenate([existing, vectors]),
+                          items=np.concatenate([self.items, new_items]))
+
+    # -------------------------------------------------------------- search
+    def _is_empty(self) -> bool:
+        return self._codes is None
+
+    def _build_search(self, k: int):
+        metric = self.metric
+        qtype = self.qtype
+        num_items = self.num_items
+        dim = self.dim
+        bn = self.item_block
+        n_blocks = int(self._codes.shape[0]) // bn
+        k_eff = min(k, bn)
+        xhat_sq = self._xhat_sq if metric == "l2" \
+            else jnp.zeros((1,), jnp.float32)
+        vmin = self._vmin if qtype == "sq8" else jnp.zeros((1,), jnp.float32)
+        scale = self._scale if qtype == "sq8" else jnp.zeros((1,), jnp.float32)
+
+        def search_block(queries, codes, vmin, scale, xsq):
+            nq = queries.shape[0]
+            if qtype == "sq8":
+                qs = (queries * scale[None, :]).astype(jnp.bfloat16)
+                base = queries @ vmin                        # [Q]
+            else:
+                qs = queries.astype(jnp.bfloat16)
+                base = jnp.zeros((nq,), jnp.float32)
+
+            def one(start):
+                blk = jax.lax.dynamic_slice(codes, (start, 0), (bn, dim))
+                s = jnp.einsum("qd,nd->qn", qs, blk.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+                s = s + base[:, None]
+                if metric == "l2":
+                    s = 2.0 * s - jax.lax.dynamic_slice(
+                        xsq, (start,), (bn,))[None, :]
+                gidx = start + jax.lax.broadcasted_iota(
+                    jnp.int32, (nq, bn), 1)
+                s = jnp.where(gidx < num_items, s, NEG)
+                bs, bp = jax.lax.top_k(s, k_eff)
+                return bs, jnp.take_along_axis(gidx, bp, axis=1)
+
+            starts = jnp.arange(n_blocks) * bn
+            bs, bi = jax.lax.map(one, starts)                # [nb, Q, k_eff]
+            all_s = bs.transpose(1, 0, 2).reshape(nq, -1)
+            all_i = bi.transpose(1, 0, 2).reshape(nq, -1)
+            # base search clamps k <= num_items <= n_blocks * k_eff
+            top_scores, pos = jax.lax.top_k(all_s, k)
+            top_idx = jnp.take_along_axis(all_i, pos, axis=1)
+            if metric == "l2":
+                q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
+                top_scores = jnp.sqrt(jnp.maximum(q_sq - top_scores, 0.0))
+            return top_scores, top_idx
+
+        jitted = jax.jit(search_block)
+        return lambda q, v, sq: jitted(q, self._codes, vmin, scale, xhat_sq)
+
+    def reconstruct(self, indices: np.ndarray) -> np.ndarray:
+        """Dequantize items — FAISS Index.reconstruct parity."""
+        codes = np.asarray(self._codes[np.asarray(indices)])
+        if self.qtype == "sq8":
+            return np.asarray(self._vmin) + \
+                np.asarray(self._scale) * codes.astype(np.float32)
+        return codes.astype(np.float32)
+
+    # ------------------------------------------------------------- persist
+    def save(self, path: str):
+        if self._codes is None:
+            raise RuntimeError("nothing to save")
+        extra = {}
+        if self.qtype == "sq8":
+            extra = {"vmin": np.asarray(self._vmin),
+                     "scale": np.asarray(self._scale)}
+        np.savez_compressed(
+            path, codes=np.asarray(self._codes)[:self.num_items].astype(
+                np.uint8 if self.qtype == "sq8" else np.float32),
+            items=self.items, dim=self.dim, metric=self.metric, sq=True,
+            qtype=self.qtype, item_block=self.item_block,
+            query_block=self.query_block, **extra)
+
+    @classmethod
+    def load(cls, path: str) -> "SqSearcher":
+        data = np.load(path if path.endswith(".npz") else path + ".npz",
+                       allow_pickle=True)
+        s = cls(int(data["dim"]), str(data["metric"]),
+                qtype=str(data["qtype"]), item_block=int(data["item_block"]),
+                query_block=int(data["query_block"]))
+        s.items = data["items"]
+        s.num_items = len(data["codes"])
+        if s.qtype == "sq8":
+            s._vmin = jnp.asarray(data["vmin"])
+            s._scale = jnp.asarray(data["scale"])
+            s._restore_codes(data["codes"])
+        else:
+            s._restore_codes(data["codes"].astype(np.float32))
+        return s
+
+    def _restore_codes(self, codes: np.ndarray):
+        n = len(codes)
+        n_pad = -(-n // self.item_block) * self.item_block
+        if self.qtype == "sq8":
+            padded = np.zeros((n_pad, self.dim), np.uint8)
+            padded[:n] = codes
+            self._codes = jnp.asarray(padded)
+            dec = np.asarray(self._vmin) + \
+                np.asarray(self._scale) * codes.astype(np.float32)
+        else:
+            padded = np.zeros((n_pad, self.dim), np.float32)
+            padded[:n] = codes
+            self._codes = jnp.asarray(padded.astype(jnp.bfloat16))
+            dec = codes.astype(np.float32)
+        if self.metric == "l2":
+            xsq = np.zeros((n_pad,), np.float32)
+            xsq[:n] = (dec ** 2).sum(-1)
+            self._xhat_sq = jnp.asarray(xsq)
+        self._vecs = None
+        self._search_fn = None
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_codes"] = np.asarray(self._codes)[:self.num_items] \
+            if self._codes is not None else None
+        state["_vmin"] = np.asarray(self._vmin) \
+            if self._vmin is not None else None
+        state["_scale"] = np.asarray(self._scale) \
+            if self._scale is not None else None
+        for key in ("_vecs", "_sq_norms", "_search_fn", "_vecs_g", "_sqn_g",
+                    "_xhat_sq"):
+            state[key] = None
+        return state
+
+    def __setstate__(self, state):
+        codes = state.pop("_codes")
+        self.__dict__.update(state)
+        self._search_fn = None
+        self._codes = None
+        if codes is not None:
+            if self._vmin is not None:
+                self._vmin = jnp.asarray(self._vmin)
+                self._scale = jnp.asarray(self._scale)
+            self._restore_codes(np.asarray(codes))
+
+
 def index_factory(dim: int, index_param: str = "Flat",
                   metric: str = "cos", **kwargs) -> TpuSearcher:
     """FAISS index_factory-style constructor (parity:
     faiss_searcher.py:80-97): 'Flat' -> exact TpuSearcher;
     'IVF{n},Flat' / 'IVF{n}' -> IvfSearcher with n lists;
     'PQ{m}' / 'PQ{m}x8' -> PqSearcher with m subspaces (8-bit codes);
-    'IVF{n},PQ{m}[x8]' -> IvfPqSearcher (residual PQ in probed lists)."""
+    'IVF{n},PQ{m}[x8]' -> IvfPqSearcher (residual PQ in probed lists);
+    'SQ8' / 'SQfp16' / 'SQbf16' -> SqSearcher (scalar quantization; fp16
+    maps to bf16 — the TPU-native half precision)."""
     import re as _re
     spec = (index_param or "Flat").strip()
+    m = _re.match(r"^SQ(8|fp16|bf16)$", spec, _re.IGNORECASE)
+    if m:
+        qtype = "sq8" if m.group(1) == "8" else "bf16"
+        return SqSearcher(dim, metric, qtype=qtype, **kwargs)
     m = _re.match(r"^IVF(\d+),PQ(\d+)(x8)?$", spec, _re.IGNORECASE)
     if m:
         return IvfPqSearcher(dim, metric, nlist=int(m.group(1)),
@@ -1172,4 +1398,4 @@ def index_factory(dim: int, index_param: str = "Flat",
         return TpuSearcher(dim, metric, **kwargs)
     raise ValueError(f"unsupported index_param '{index_param}' "
                      "(supported: Flat, IVF{n}[,Flat], PQ{m}[x8], "
-                     "IVF{n},PQ{m}[x8])")
+                     "IVF{n},PQ{m}[x8], SQ8, SQfp16/SQbf16)")

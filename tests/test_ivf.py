@@ -338,3 +338,75 @@ def test_ivfpq_save_load_pickle(tmp_path, ivfpq_world):
     np.testing.assert_array_equal(before, after2)
     np.testing.assert_allclose(unpickled.reconstruct([5]), s.reconstruct([5]),
                                rtol=1e-6)
+
+
+# ---------------------------------------------------------------------- SQ
+def test_sq8_near_exact_recall():
+    from recommendflow_tpu.retrieval.searcher import SqSearcher
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(3000, 24).astype(np.float32)
+    q = rng.randn(32, 24).astype(np.float32)
+    exact = TpuSearcher(24, "cos").train(vecs)
+    sq = index_factory(24, "SQ8", "cos", item_block=512)
+    assert isinstance(sq, SqSearcher) and sq.qtype == "sq8"
+    sq.train(vecs)
+    _, _, eidx = exact.search(q, topk=10)
+    _, _, sidx = sq.search(q, topk=10)
+    rec = np.mean([len(set(a) & set(b)) / 10.0 for a, b in zip(eidx, sidx)])
+    assert rec >= 0.9, f"SQ8 recall@10 vs exact {rec}"
+    # reconstruction error bounded by half a quantization step per dim
+    recon = sq.reconstruct(np.arange(100))
+    vn = vecs[:100] / np.linalg.norm(vecs[:100], axis=1, keepdims=True)
+    step = np.asarray(sq._scale)
+    assert np.all(np.abs(recon - vn) <= 0.51 * step[None, :] + 1e-6)
+
+
+def test_sq_bf16_and_l2(tmp_path):
+    import pickle
+    from recommendflow_tpu.retrieval.searcher import SqSearcher
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(1500, 16).astype(np.float32)
+    q = rng.randn(16, 16).astype(np.float32)
+    bf = index_factory(16, "SQfp16", "l2", item_block=512)
+    assert isinstance(bf, SqSearcher) and bf.qtype == "bf16"
+    bf.train(vecs)
+    d, idx = bf.search(q, topk=5, return_items=False)
+    # distances are real L2 against the bf16-rounded corpus
+    want = np.linalg.norm(q[:, None, :] - bf.reconstruct(idx.reshape(-1))
+                          .reshape(16, 5, 16), axis=-1)
+    np.testing.assert_allclose(d, want, rtol=1e-2, atol=1e-2)
+    exact = TpuSearcher(16, "l2").train(vecs)
+    _, _, eidx = exact.search(q, topk=5)
+    rec = np.mean([len(set(a) & set(b)) / 5.0 for a, b in zip(eidx, idx)])
+    assert rec >= 0.9
+
+    # persistence round-trips
+    p = str(tmp_path / "sq.npz")
+    bf.save(p)
+    loaded = SqSearcher.load(p)
+    d2, idx2 = loaded.search(q, topk=5, return_items=False)
+    np.testing.assert_array_equal(idx2, idx)
+    unpickled = pickle.loads(pickle.dumps(bf))
+    _, idx3 = unpickled.search(q, topk=5, return_items=False)
+    np.testing.assert_array_equal(idx3, idx)
+
+
+def test_sq8_add_reencodes(tmp_path):
+    import pickle
+    from recommendflow_tpu.retrieval.searcher import SqSearcher
+    rng = np.random.RandomState(6)
+    a = rng.randn(800, 8).astype(np.float32)
+    b = rng.randn(200, 8).astype(np.float32) * 5.0   # outside a's ranges
+    # l2: self-retrieval is norm-safe (ip can prefer larger-norm neighbors)
+    sq = SqSearcher(8, "l2", qtype="sq8", item_block=256).train(a)
+    sq.add(b)
+    assert sq.num_items == 1000
+    # the re-fit ranges cover b: its reconstruction error stays bounded
+    recon = sq.reconstruct(np.arange(800, 1000))
+    step = np.asarray(sq._scale)
+    assert np.all(np.abs(recon - b) <= 0.51 * step[None, :] + 1e-6)
+    _, _, idx = sq.search(b[:4], topk=1)
+    np.testing.assert_array_equal(idx[:, 0], np.arange(800, 804))
+    # sq8 pickle round-trip keeps the quantizer
+    up = pickle.loads(pickle.dumps(sq))
+    np.testing.assert_allclose(up.reconstruct([0]), sq.reconstruct([0]))
