@@ -472,6 +472,7 @@ def _pq_encode(vectors: np.ndarray, codebooks: jnp.ndarray) -> np.ndarray:
 
 def _pq_decode_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Host-side decode of uint8 codes [B, M] -> [B, D] (reconstruction)."""
+    codes = np.atleast_2d(np.asarray(codes))   # scalar-key reconstruct: [1, M]
     m = codebooks.shape[0]
     return codebooks[np.arange(m)[None, :], codes.astype(np.int64)] \
         .reshape(len(codes), -1)
@@ -963,15 +964,20 @@ class IvfPqSearcher(TpuSearcher):
         padded = np.zeros((n + 1, self.num_subspaces), np.uint8)
         padded[:n] = codes
         self._codes = jnp.asarray(padded)
-        # decoded reconstruction feeds the overflow pool and the l2 norms
-        dec = _pq_decode_np(codes, np.asarray(self._codebooks)) \
-            + np.asarray(self._centroids)[self._assign]
+        cb = np.asarray(self._codebooks)
+        centroids = np.asarray(self._centroids)
+        # decode ONLY what consumers need — a full-corpus host decode would
+        # cost ~N·D·4 bytes (the very HBM this class exists to avoid)
         self._overflow_idx = ov
-        self._overflow_dec = jnp.asarray(dec[ov]) if len(ov) \
-            else jnp.zeros((0, self.dim), jnp.float32)
+        self._overflow_dec = jnp.asarray(
+            _pq_decode_np(codes[ov], cb) + centroids[self._assign[ov]]) \
+            if len(ov) else jnp.zeros((0, self.dim), jnp.float32)
         if self.metric == "l2":
             xsq = np.zeros((n + 1,), np.float32)
-            xsq[:n] = (dec ** 2).sum(-1)
+            for s in range(0, n, 65536):       # blockwise: only sums persist
+                dec = _pq_decode_np(codes[s:s + 65536], cb) \
+                    + centroids[self._assign[s:s + 65536]]
+                xsq[s:s + len(dec)] = (dec ** 2).sum(-1)
             self._xhat_sq = jnp.asarray(xsq)
         self._vecs = None
         self._search_fn = None
@@ -982,6 +988,8 @@ class IvfPqSearcher(TpuSearcher):
         if self._codes is None:
             return self.train(vectors, items)
         vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}] vectors, got {vectors.shape}")
         if self.metric == "cos":
             vectors = _l2_normalize(vectors)
         n_new = len(vectors)
@@ -1086,7 +1094,7 @@ class IvfPqSearcher(TpuSearcher):
 
     def reconstruct(self, indices: np.ndarray) -> np.ndarray:
         """centroid[assign] + decode(residual codes) — FAISS parity."""
-        idx = np.asarray(indices)
+        idx = np.atleast_1d(np.asarray(indices))
         codes = np.asarray(self._codes)[idx]
         return _pq_decode_np(codes, np.asarray(self._codebooks)) \
             + np.asarray(self._centroids)[self._assign[idx]]
@@ -1190,43 +1198,48 @@ class SqSearcher(TpuSearcher):
         n = len(vectors)
         self.num_items = n
         self.items = np.asarray(items) if items is not None else np.arange(n)
-        n_pad = -(-n // self.item_block) * self.item_block
         if self.qtype == "sq8":
             vmin = vectors.min(axis=0)
             vdiff = vectors.max(axis=0) - vmin
             scale = np.where(vdiff > 0, vdiff / 255.0, 1.0).astype(np.float32)
-            codes = np.clip(np.rint((vectors - vmin) / scale), 0, 255)
-            padded = np.zeros((n_pad, self.dim), np.uint8)
-            padded[:n] = codes.astype(np.uint8)
             self._vmin = jnp.asarray(vmin.astype(np.float32))
             self._scale = jnp.asarray(scale)
-            dec = vmin + scale * padded[:n].astype(np.float32)
+            self._restore_codes(self._encode(vectors))
         else:
-            padded = np.zeros((n_pad, self.dim), np.float32)
-            padded[:n] = vectors
-            padded = padded.astype(jnp.bfloat16)
-            dec = np.asarray(padded[:n], np.float32)
-        self._codes = jnp.asarray(padded)
-        if self.metric == "l2":
-            xsq = np.zeros((n_pad,), np.float32)
-            xsq[:n] = (dec ** 2).sum(-1)
-            self._xhat_sq = jnp.asarray(xsq)
-        self._vecs = None            # codes only — that's the point
-        self._search_fn = None
+            self._restore_codes(vectors)
         return self
 
+    def _encode(self, vectors: np.ndarray) -> np.ndarray:
+        """Quantize with the CURRENT per-dim ranges (out-of-range clips —
+        FAISS SQ semantics: the quantizer is fit at train and frozen)."""
+        vmin, scale = np.asarray(self._vmin), np.asarray(self._scale)
+        return np.clip(np.rint((vectors - vmin) / scale), 0, 255) \
+            .astype(np.uint8)
+
     def add(self, vectors, items=None):
-        """Append: re-encode the full corpus (sq8 per-dim ranges must cover
-        the new rows; recomputing them keeps encode exactness instead of
-        silently clipping out-of-range values like a frozen quantizer)."""
+        """Append, encoding with the EXISTING quantizer (FAISS SQ add
+        semantics: ranges are fit at train() and frozen — re-encoding old
+        codes onto a refit grid would compound rounding error across adds).
+        Values outside the trained ranges clip; rebuild with train() when
+        the distribution drifts."""
         if self._codes is None:
             return self.train(vectors, items)
-        existing = self.reconstruct(np.arange(self.num_items))
         vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}] vectors, got {vectors.shape}")
+        if self.metric == "cos":
+            vectors = _l2_normalize(vectors)
+        old = np.asarray(self._codes)[:self.num_items]   # contiguous slice
         new_items = np.asarray(items) if items is not None else \
             np.arange(self.num_items, self.num_items + len(vectors))
-        return self.train(np.concatenate([existing, vectors]),
-                          items=np.concatenate([self.items, new_items]))
+        self.items = np.concatenate([self.items, new_items])
+        self.num_items += len(vectors)
+        if self.qtype == "sq8":
+            self._restore_codes(np.concatenate([old, self._encode(vectors)]))
+        else:
+            self._restore_codes(np.concatenate(
+                [old.astype(np.float32), vectors]))
+        return self
 
     # -------------------------------------------------------------- search
     def _is_empty(self) -> bool:
@@ -1285,7 +1298,8 @@ class SqSearcher(TpuSearcher):
 
     def reconstruct(self, indices: np.ndarray) -> np.ndarray:
         """Dequantize items — FAISS Index.reconstruct parity."""
-        codes = np.asarray(self._codes[np.asarray(indices)])
+        idx = np.atleast_1d(np.asarray(indices))
+        codes = np.asarray(self._codes)[idx]
         if self.qtype == "sq8":
             return np.asarray(self._vmin) + \
                 np.asarray(self._scale) * codes.astype(np.float32)
@@ -1324,22 +1338,28 @@ class SqSearcher(TpuSearcher):
         return s
 
     def _restore_codes(self, codes: np.ndarray):
+        """Pad to an item_block multiple and upload; l2 additionally needs
+        per-item ‖x̂‖² (computed blockwise — the f32 decode never fully
+        materializes). Single home shared by train / add / load / unpickle."""
         n = len(codes)
         n_pad = -(-n // self.item_block) * self.item_block
         if self.qtype == "sq8":
             padded = np.zeros((n_pad, self.dim), np.uint8)
             padded[:n] = codes
             self._codes = jnp.asarray(padded)
-            dec = np.asarray(self._vmin) + \
-                np.asarray(self._scale) * codes.astype(np.float32)
         else:
             padded = np.zeros((n_pad, self.dim), np.float32)
             padded[:n] = codes
             self._codes = jnp.asarray(padded.astype(jnp.bfloat16))
-            dec = codes.astype(np.float32)
         if self.metric == "l2":
             xsq = np.zeros((n_pad,), np.float32)
-            xsq[:n] = (dec ** 2).sum(-1)
+            for s in range(0, n, 65536):
+                blk = codes[s:s + 65536]
+                dec = (np.asarray(self._vmin) +
+                       np.asarray(self._scale) * blk.astype(np.float32)) \
+                    if self.qtype == "sq8" else \
+                    blk.astype(jnp.bfloat16).astype(np.float32)
+                xsq[s:s + len(blk)] = (dec ** 2).sum(-1)
             self._xhat_sq = jnp.asarray(xsq)
         self._vecs = None
         self._search_fn = None

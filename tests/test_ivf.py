@@ -391,22 +391,61 @@ def test_sq_bf16_and_l2(tmp_path):
     np.testing.assert_array_equal(idx3, idx)
 
 
-def test_sq8_add_reencodes(tmp_path):
+def test_sq8_add_frozen_quantizer(tmp_path):
+    """FAISS SQ add semantics: the quantizer is fit at train() and FROZEN —
+    adds never re-encode existing codes (re-fitting the grid each add would
+    compound rounding error over repeated adds), and out-of-range values
+    clip to the trained range."""
     import pickle
     from recommendflow_tpu.retrieval.searcher import SqSearcher
     rng = np.random.RandomState(6)
     a = rng.randn(800, 8).astype(np.float32)
-    b = rng.randn(200, 8).astype(np.float32) * 5.0   # outside a's ranges
     # l2: self-retrieval is norm-safe (ip can prefer larger-norm neighbors)
     sq = SqSearcher(8, "l2", qtype="sq8", item_block=256).train(a)
+    codes_before = np.asarray(sq._codes)[:800].copy()
+    vmin_before = np.asarray(sq._vmin).copy()
+
+    b = rng.randn(200, 8).astype(np.float32)         # in-range rows
     sq.add(b)
     assert sq.num_items == 1000
-    # the re-fit ranges cover b: its reconstruction error stays bounded
-    recon = sq.reconstruct(np.arange(800, 1000))
+    # existing codes and the quantizer are untouched (no drift across adds)
+    np.testing.assert_array_equal(np.asarray(sq._codes)[:800], codes_before)
+    np.testing.assert_array_equal(np.asarray(sq._vmin), vmin_before)
     step = np.asarray(sq._scale)
-    assert np.all(np.abs(recon - b) <= 0.51 * step[None, :] + 1e-6)
+    recon = sq.reconstruct(np.arange(800, 1000))
+    # values beyond the trained range clip; in-range error <= half a step
+    target = np.clip(b, vmin_before, vmin_before + 255.0 * step)
+    assert np.all(np.abs(recon - target) <= 0.51 * step[None, :] + 1e-6)
     _, _, idx = sq.search(b[:4], topk=1)
     np.testing.assert_array_equal(idx[:, 0], np.arange(800, 804))
-    # sq8 pickle round-trip keeps the quantizer
+
+    # out-of-range rows clip to the trained range
+    big = np.full((1, 8), 100.0, np.float32)
+    sq.add(big)
+    clipped = sq.reconstruct([1000])
+    vmax = vmin_before + 255.0 * step
+    np.testing.assert_allclose(clipped[0], vmax, rtol=1e-5)
+
+    # 1-D input raises (not silently broadcast), matching train()
+    with pytest.raises(ValueError):
+        sq.add(a[0])
+    # sq8 pickle round-trip keeps the quantizer; scalar reconstruct works
     up = pickle.loads(pickle.dumps(sq))
-    np.testing.assert_allclose(up.reconstruct([0]), sq.reconstruct([0]))
+    np.testing.assert_allclose(up.reconstruct(0), sq.reconstruct([0]))
+
+
+def test_ivfpq_add_rejects_1d_and_scalar_reconstruct(ivfpq_world):
+    """add() validates shape like train() (a 1-D vector would silently
+    broadcast into dim duplicate items); reconstruct accepts a scalar key
+    (FAISS parity) instead of returning a mis-shaped array."""
+    from recommendflow_tpu.retrieval.searcher import IvfPqSearcher, PqSearcher
+    corpus, _ = ivfpq_world
+    s = IvfPqSearcher(32, "cos", nlist=16, nprobe=4,
+                      num_subspaces=8).train(corpus[:1000])
+    with pytest.raises(ValueError):
+        s.add(corpus[0])
+    one = s.reconstruct(5)
+    np.testing.assert_array_equal(one, s.reconstruct([5]))
+    assert one.shape == (1, 32)
+    pq = PqSearcher(32, "cos", num_subspaces=8).train(corpus[:1000])
+    np.testing.assert_array_equal(pq.reconstruct(5), pq.reconstruct([5]))
