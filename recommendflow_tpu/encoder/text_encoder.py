@@ -53,6 +53,60 @@ class TextEncoderService:
         self._encode_fn = jax.jit(
             lambda v, tok, seg: self.model.apply(v, tok, seg))
 
+    # --------------------------------------------------------- pretrained
+    @classmethod
+    def from_pretrained(cls, config_path: str, checkpoint_path: str,
+                        dict_path: str, model_name: str = "base",
+                        model_weights_path: Optional[str] = None,
+                        max_len: int = 64,
+                        pool_pos=None, out_layer: Optional[int] = None,
+                        **kwargs) -> "TextEncoderService":
+        """Build a service around a pretrained BERT checkpoint.
+
+        Parity with the reference's load_encoder modes (backend/encoder/
+        bert_encoder.py:223-283): `model_name='base'` loads the raw
+        checkpoint (optionally overlaid with finetuned weights);
+        'cosent'/'sbert' REQUIRE `model_weights_path` — a directory written
+        by TextEncoderService.save after finetuning (the sbert classifier
+        head lives outside the encoder, so restoring the encoder subtree is
+        the whole load). `pool_pos` accepts an int position or 'avg'/'max'
+        (load_encoder's surface, bert_encoder.py:225-230); `out_layer`
+        selects the nth block's output.
+        """
+        from recommendflow_tpu.encoder.pretrained import (
+            bert_encoder_kwargs, load_pretrained_text_encoder)
+        enc_kwargs: dict = {}
+        if pool_pos is not None:
+            if isinstance(pool_pos, str):
+                if pool_pos not in ("avg", "max", "cls", "sum"):
+                    raise ValueError(f"pool_pos not support: {pool_pos}")
+                enc_kwargs["pooling"] = pool_pos
+            else:
+                n_pos = bert_encoder_kwargs(config_path)["max_len"]
+                if not 0 <= int(pool_pos) < n_pos:
+                    raise ValueError(
+                        f"pool_pos scalar must in [0, {n_pos}), get {pool_pos}")
+                enc_kwargs.update(pooling="pos", pool_pos=int(pool_pos))
+        if out_layer is not None:
+            n_layers = bert_encoder_kwargs(config_path)["num_layers"]
+            if not -n_layers < int(out_layer) < n_layers:
+                raise ValueError(
+                    f"out_layer must be a int less than {n_layers}")
+            enc_kwargs["out_layer"] = int(out_layer)
+        if model_name.lower() not in ("base", "cosent", "sbert"):
+            raise ValueError(f"unsupported model_name='{model_name}'")
+        if model_name.lower() != "base" and not model_weights_path:
+            raise ValueError(
+                f"model_name='{model_name}' requires model_weights_path "
+                "(a directory written by TextEncoderService.save)")
+        model, variables = load_pretrained_text_encoder(
+            config_path, checkpoint_path, max_len=max_len, **enc_kwargs)
+        service = cls(Tokenizer(dict_path), model=model, variables=variables,
+                      max_len=model.max_len, **kwargs)
+        if model_weights_path:
+            service.load_weights(model_weights_path)
+        return service
+
     # ------------------------------------------------------------- encode
     def _encode_raw(self, texts: Sequence[str]) -> np.ndarray:
         # dispatch every chunk before fetching any: host tokenization of

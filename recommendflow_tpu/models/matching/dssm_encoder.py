@@ -21,6 +21,17 @@ class DssmEncoder(RecModel):
 
     def _encoder(self, key: str, name: str) -> TextEncoder:
         cfg = self.network_conf(key) or {}
+        pre = (self.network_conf("pretrained") or {}).get(name)
+        if pre:
+            # size from the pretrained bert_config.json so the trainer's
+            # init graft matches shapes (reference user_bert_conf/ad_bert_conf
+            # surface, dssm_bert.py:30-38)
+            from recommendflow_tpu.encoder.pretrained import bert_encoder_kwargs
+            kw = bert_encoder_kwargs(
+                pre["config_path"],
+                max_len=pre.get("max_len") or self.token_max_len(),
+                pooling=str(cfg.get("pooling", "cls")))
+            return TextEncoder(**kw, name=name)
         return TextEncoder(
             vocab_size=int(cfg.get("vocab_size", 30000)),
             num_layers=int(cfg.get("num_layers", 4)),

@@ -37,13 +37,25 @@ class SiameseEncoder(RecModel):
         schema = self.schema
         out_dim = int(self.network_conf("embedding_dim") or 128)
         merge = str(self.network_conf("embedding_pooling") or "dense")
-        encoder = TextEncoder(
-            vocab_size=int(self.network_conf("text_vocab_size") or 30000),
-            num_layers=int(self.network_conf("text_layers") or 4),
-            model_dim=int(self.network_conf("text_dim") or 256),
-            pooling=str(self.network_conf("text_pooling") or "cls"),
-            max_len=self.token_max_len(),
-            name="encoder")  # SHARED weights across towers & inputs
+        pre = (self.network_conf("pretrained") or {}).get("encoder")
+        if pre:
+            # size the encoder from the pretrained bert_config.json so the
+            # trainer's init graft (encoder/pretrained.py:apply_pretrained)
+            # matches shapes (reference bert_conf surface, siamese_bert.py)
+            from recommendflow_tpu.encoder.pretrained import bert_encoder_kwargs
+            kw = bert_encoder_kwargs(
+                pre["config_path"],
+                max_len=pre.get("max_len") or self.token_max_len(),
+                pooling=str(self.network_conf("text_pooling") or "cls"))
+            encoder = TextEncoder(**kw, name="encoder")
+        else:
+            encoder = TextEncoder(
+                vocab_size=int(self.network_conf("text_vocab_size") or 30000),
+                num_layers=int(self.network_conf("text_layers") or 4),
+                model_dim=int(self.network_conf("text_dim") or 256),
+                pooling=str(self.network_conf("text_pooling") or "cls"),
+                max_len=self.token_max_len(),
+                name="encoder")  # SHARED weights across towers & inputs
 
         def tower(tower_name: str):
             names = self._tower_tokens(schema, tower_name)

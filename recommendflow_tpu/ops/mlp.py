@@ -40,6 +40,9 @@ class Dice(nn.Module):
 
 _ACTIVATIONS = {
     "relu": nn.relu, "selu": nn.selu, "gelu": nn.gelu, "elu": nn.elu,
+    # erf gelu — what Google-BERT checkpoints were trained with (the plain
+    # "gelu" above is flax's tanh approximation, == HF "gelu_new")
+    "gelu_exact": lambda x: nn.gelu(x, approximate=False),
     "tanh": jnp.tanh, "sigmoid": nn.sigmoid, "silu": nn.silu,
     "leaky_relu": nn.leaky_relu, "dice": dice, "linear": lambda x: x,
     "none": lambda x: x,

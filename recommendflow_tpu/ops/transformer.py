@@ -41,6 +41,7 @@ class TransformerEncoderBlock(nn.Module):
     dropout: float = 0.0
     head_dim: Optional[int] = None       # default model_dim // num_heads
     ffn_activation: str = "gelu"         # reference FFN uses relu (network_layers.py:310)
+    ln_epsilon: float = 1e-6             # BERT checkpoints use 1e-12
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -49,12 +50,12 @@ class TransformerEncoderBlock(nn.Module):
                                  name="mha")(
             x, x, x, mask, use_pallas=use_pallas)
         att = nn.Dropout(self.dropout, deterministic=not training)(att)
-        x = nn.LayerNorm(name="ln1")(x + att)
+        x = nn.LayerNorm(name="ln1", epsilon=self.ln_epsilon)(x + att)
         ffn = FeedForward(self.ffn_hidden, dropout=self.dropout,
                           activation=self.ffn_activation, name="ffn")(
             x, training)
         ffn = nn.Dropout(self.dropout, deterministic=not training)(ffn)
-        return nn.LayerNorm(name="ln2")(x + ffn)
+        return nn.LayerNorm(name="ln2", epsilon=self.ln_epsilon)(x + ffn)
 
 
 class TextEncoder(nn.Module):
@@ -72,6 +73,10 @@ class TextEncoder(nn.Module):
     pooling: str = "cls"          # cls | avg | max | sum | pos
     out_layer: int = -1           # which block's output to pool
     pool_pos: int = 0             # for pooling == 'pos'
+    pos_type: str = "sinusoidal"  # 'learned' == BERT-checkpoint layout
+    type_vocab_size: int = 2      # segment/token-type vocabulary
+    ln_epsilon: float = 1e-6      # BERT checkpoints use 1e-12
+    ffn_activation: str = "gelu"  # BERT checkpoints use erf 'gelu_exact'
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray,
@@ -85,17 +90,29 @@ class TextEncoder(nn.Module):
                 "at tokenization (Tokenizer.encode_batch maxlen)")
         mask = token_ids > 0
         x = nn.Embed(self.vocab_size, self.model_dim, name="tok_emb")(token_ids)
-        if segment_ids is not None:
-            x = x + nn.Embed(2, self.model_dim, name="seg_emb")(segment_ids)
-        x = x + sinusoidal_position_encoding(
-            token_ids.shape[1], self.model_dim, x.dtype)[None]
-        x = nn.LayerNorm(name="emb_ln")(x)
+        # segment embedding is created unconditionally (zeros when absent) so
+        # the param tree — and therefore checkpoints — does not depend on
+        # whether a particular call site passes segment ids
+        seg = (segment_ids if segment_ids is not None
+               else jnp.zeros_like(token_ids))
+        x = x + nn.Embed(self.type_vocab_size, self.model_dim,
+                         name="seg_emb")(seg)
+        if self.pos_type == "learned":
+            pos = self.param("pos_emb", nn.initializers.normal(0.02),
+                             (self.max_len, self.model_dim))
+            x = x + pos[None, :token_ids.shape[1]].astype(x.dtype)
+        else:
+            x = x + sinusoidal_position_encoding(
+                token_ids.shape[1], self.model_dim, x.dtype)[None]
+        x = nn.LayerNorm(name="emb_ln", epsilon=self.ln_epsilon)(x)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
 
         layer_outputs = []
         for i in range(self.num_layers):
             x = TransformerEncoderBlock(
                 self.num_heads, self.ffn_hidden, self.dropout,
+                ffn_activation=self.ffn_activation,
+                ln_epsilon=self.ln_epsilon,
                 name=f"block{i}")(x, mask, training, use_pallas)
             layer_outputs.append(x)
         out = layer_outputs[self.out_layer]

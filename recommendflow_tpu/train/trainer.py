@@ -170,6 +170,11 @@ class Trainer:
         init_rng, state_rng = jax.random.split(rng)
         variables = self.model.init(init_rng, sample_batch, training=False)
         params = variables["params"]
+        # Networks.pretrained grafts (BERT-checkpoint import): replace the
+        # named encoder subtrees with converted pretrained weights before
+        # any device placement (encoder/pretrained.py)
+        from recommendflow_tpu.encoder.pretrained import apply_pretrained
+        params = apply_pretrained(self.model, params)
         batch_stats = variables.get("batch_stats", flax_core.freeze({}))
         extra = {k: v for k, v in variables.items()
                  if k not in ("params", "batch_stats")}
@@ -262,8 +267,12 @@ class Trainer:
         self._sparse_dims = {}
         schema = getattr(self.model, "schema", None)
         if (self.table_update == "dense" or not self._default_tx
-                or self.shard_tables or schema is None):
+                or schema is None):
             return None
+        # shard_tables composes: the touched-row gather/scatter runs on the
+        # row-sharded table under GSPMD (each partition masks the updates
+        # that fall in its row range — the sorted-scatter hint survives
+        # partitioning); the accumulator is sharded alongside in init_state
         n_ids: Dict[int, int] = {}
         for name in schema.order:
             slot = schema.slots[name]
