@@ -42,6 +42,57 @@ from recommendflow_tpu.utils.tables import print_table
 log = get_logger("recflow.trainer")
 
 
+class _PreemptSync:
+    """Cross-process agreement on the preemption stop step.
+
+    A SIGTERM lands on each host at a slightly different time; if one
+    process stops dispatching steps while another dispatches one more, the
+    straggler deadlocks in that step's collectives. Every step each process
+    contributes its local preempt flag to a tiny [num_devices] max-reduce
+    (dispatched async — no sync), and fetches the agreement from `window`
+    steps ago (long since materialized, so the fetch doesn't stall the
+    pipeline). All processes therefore observe the same agreed flag at the
+    same loop index and stop after dispatching the SAME number of steps.
+    The reference has no multi-host training at all (SURVEY §2.7 —
+    MirroredStrategy is single-host); this is TPU-pod-grade preemption.
+    """
+
+    def __init__(self, window: int = 4):
+        from collections import deque
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        self.window = window
+        self.pending: "deque" = deque()
+        mesh = Mesh(np.asarray(jax.devices()), ("all",))
+        self._sharding = NamedSharding(mesh, P("all"))
+        self._any = jax.jit(jnp.max)
+
+    def _agree(self, flag: bool):
+        local = np.full((jax.local_device_count(),), 1 if flag else 0,
+                        np.int32)
+        garr = jax.make_array_from_process_local_data(self._sharding, local)
+        return self._any(garr)
+
+    def push(self, flag: bool) -> None:
+        """Contribute this step's local flag (call once per dispatched step
+        on EVERY process — the reduce is a collective)."""
+        self.pending.append(self._agree(flag))
+
+    def should_stop(self) -> bool:
+        """Check agreements older than the window (non-collective)."""
+        stop = False
+        while len(self.pending) > self.window:
+            stop |= int(self.pending.popleft()) > 0
+        return stop
+
+    def drain(self, flag: bool) -> bool:
+        """Epoch boundary: settle all pending agreements plus one fresh one
+        (collective — every process must call)."""
+        stop = any(int(x) > 0 for x in self.pending)
+        self.pending.clear()
+        return stop or int(self._agree(flag)) > 0
+
+
 class TrainState(flax_train_state.TrainState):
     batch_stats: Any = None
     extra_vars: Any = None   # non-param collections beyond batch_stats (e.g. 'stats')
@@ -232,6 +283,14 @@ class Trainer:
                 opt_state = jax.tree_util.tree_map_with_path(
                     place_opt, state.opt_state)
                 state = state.replace(params=params, opt_state=opt_state)
+                if state.table_acc:
+                    # sparse-update accumulators ([R, 1] per table) mirror
+                    # their table's row sharding — the touched-row scatter
+                    # then stays partition-local under GSPMD
+                    placed = self._table_leaves(params)
+                    acc = {k: jax.device_put(v, placed[int(k[3:])][1].sharding)
+                           for k, v in state.table_acc.items()}
+                    state = state.replace(table_acc=acc)
             else:
                 state = jax.device_put(state, replicated(self.mesh))
         n = sum(x.size for x in jax.tree.leaves(state.params))
@@ -538,6 +597,9 @@ class Trainer:
         lr_scale_applied = 1.0
         trace_active = False
         logs: Dict[str, float] = {}
+        # multi-process runs must agree on the preemption stop step (see
+        # _PreemptSync) — single-process keeps the zero-overhead local check
+        psync = _PreemptSync() if jax.process_count() > 1 else None
         for epoch in range(start_epoch, epochs):
             if self.control["stop"]:
                 break
@@ -570,9 +632,15 @@ class Trainer:
                         jax.profiler.stop_trace()
                         trace_active = False
                         log.info("profiler trace written to %s", profile_dir)
-                if self.control.get("preempt"):
+                if psync is not None:
+                    if psync.should_stop():
+                        self.control["preempt"] = True
+                        break
+                elif self.control.get("preempt"):
                     break
                 state, metrics = self.train_step(state, batch)
+                if psync is not None:
+                    psync.push(bool(self.control.get("preempt")))
                 n_batches += 1
                 n_examples += len(next(iter(batch.values())))
                 if n_batches % log_every == 0:
@@ -594,6 +662,12 @@ class Trainer:
             dt = time.time() - t0
             logs = {k: float(v) / max(n_batches, 1) for k, v in running.items()}
             logs["examples_per_sec"] = n_examples / max(dt, 1e-9)
+            if psync is not None and psync.drain(
+                    bool(self.control.get("preempt"))):
+                # a straggler flag (signal landed inside the window or in the
+                # epoch tail) — every process agrees here, so the collective
+                # preempt save below runs on all of them
+                self.control["preempt"] = True
             if self.control.get("preempt"):
                 # checkpoint FIRST: a spot-VM grace window is seconds, not a
                 # validation pass — skip eval + epoch callbacks and fall

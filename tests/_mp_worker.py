@@ -9,7 +9,14 @@ parent test compares against a single-process 8-device run on the SAME
 global batches — the two runs partition identically, so the numerics must
 agree.
 
-Usage: python _mp_worker.py <process_id> <port> <out_dir>
+A second mode exercises cluster-wide graceful preemption (mode=preempt:
+ONLY process 0 receives SIGTERM mid-epoch; the trainer's _PreemptSync must
+stop BOTH processes at the same step and both must participate in the
+collective checkpoint save) and resume (mode=resume: restore that
+checkpoint and finish the epoch; the final state must match an
+uninterrupted single-process run).
+
+Usage: python _mp_worker.py <process_id> <port> <out_dir> [mode]
 """
 import json
 import os
@@ -18,6 +25,7 @@ import sys
 
 def main():
     idx, port, out_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "train"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
@@ -47,9 +55,14 @@ def main():
 
     B = 64
     half = B // 2
-    batches = [synthetic_batch(schema, B, seed=s) for s in range(3)]
+    n_batches = 16 if mode in ("preempt", "resume") else 3
+    batches = [synthetic_batch(schema, B, seed=s) for s in range(n_batches)]
     local = [{k: v[idx * half:(idx + 1) * half] for k, v in b.items()}
              for b in batches]
+
+    if mode in ("preempt", "resume"):
+        _preempt_resume(mode, idx, out_dir, trainer, local)
+        return
 
     state = trainer.init_state(trainer._put(local[0]))
     losses = []
@@ -89,6 +102,68 @@ def main():
         with open(os.path.join(out_dir, "digest.json"), "w") as f:
             json.dump({"losses": losses, "param_total": total,
                        "search_ok": True}, f)
+
+
+class _ListDataset:
+    """Deterministic in-memory batch stream with step-level resume."""
+
+    def __init__(self, batches, kill_at=None):
+        self.batches, self.kill_at = batches, kill_at
+
+    def __len__(self):
+        return len(self.batches)
+
+    def _gen(self, skip):
+        import signal
+        for i, b in enumerate(self.batches[skip:]):
+            if self.kill_at is not None and skip + i == self.kill_at:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    def __iter__(self):
+        return self._gen(0)
+
+    def iter_from(self, skip, epoch=0):
+        return self._gen(skip)
+
+
+def _preempt_resume(mode, idx, out_dir, trainer, local):
+    import jax
+    import jax.numpy as jnp
+
+    from recommendflow_tpu.train.checkpoint import (
+        latest_step, restore_checkpoint)
+    from recommendflow_tpu.train.trainer import install_preemption_handler
+
+    pdir = os.path.join(out_dir, "preempt_ckpt")
+    if mode == "preempt":
+        install_preemption_handler(trainer)
+        # ASYMMETRIC preemption: only process 0 is signalled (at batch 3);
+        # _PreemptSync must stop process 1 at the same step regardless
+        ds = _ListDataset(local, kill_at=3 if idx == 0 else None)
+        result = trainer.fit(ds, epochs=1, preempt_dir=pdir)
+        saved = latest_step(pdir)
+        assert saved is not None and 1 <= saved <= 14, (
+            saved, 'agreement must stop the cluster mid-epoch, not at the drain')
+        assert int(result["state"].step) == saved
+        if idx == 0:
+            with open(os.path.join(out_dir, "preempt.json"), "w") as f:
+                json.dump({"saved_step": saved}, f)
+        return
+
+    # mode == "resume": restore the cluster checkpoint, finish the epoch
+    ds = _ListDataset(local)
+    state = restore_checkpoint(pdir, trainer.init_state(trainer._put(local[0])))
+    result = trainer.fit(ds, epochs=1, state=state)
+    final = result["state"]
+    assert int(final.step) == len(local), int(final.step)
+    total_fn = jax.jit(
+        lambda params: sum(jnp.sum(leaf) for leaf in jax.tree.leaves(params)),
+        out_shardings=None)
+    total = float(jax.device_get(total_fn(final.params)))
+    if idx == 0:
+        with open(os.path.join(out_dir, "resume.json"), "w") as f:
+            json.dump({"final_step": int(final.step), "param_total": total}, f)
 
 
 if __name__ == "__main__":

@@ -297,6 +297,74 @@ def test_sparse_table_update_under_mesh(world):
     np.testing.assert_allclose(sparse_mesh, dense, rtol=1e-4)
 
 
+BIG_TABLE_CONF = """
+Features:
+  feature_group: {}
+  feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+  features:
+    u_hist,str,user,hashing,131072,32,sum,true
+    a_id,str,ad,hashing,131072,32,sum,true
+    label,float,label,numeric,null,-1,null,true
+
+Variables:
+  seeds: [2022, 2023]
+  max_len_map:
+    u_hist: 8
+
+Networks:
+  class: recommendflow_tpu.models.matching.dssm.Dssm
+  loss: recommendflow_tpu.losses.match.batch_neg_sample_scaled_multi_class_ce_loss
+  embedding_dim: 32
+  tower_units: [32]
+
+Task:
+  task: big_table_test
+  dayno: 20260818
+"""
+
+
+def test_sparse_update_composes_with_sharded_tables(tmp_path):
+    """table_update='sparse' + shard_tables=True (VERDICT r1 item 2): the
+    touched-row Adagrad must run on row-sharded tables under the mesh,
+    matching the dense unsharded trajectory exactly."""
+    from jax.sharding import PartitionSpec as P
+    conf_path = tmp_path / "big.yaml"
+    conf_path.write_text(BIG_TABLE_CONF)
+    conf = Configuration(str(conf_path))
+    paths = generate_records(conf, str(tmp_path / "rec"), num_rows=512,
+                             num_files=1, seed=3)
+    schema = compile_schema(conf.features)
+    model, _ = build_network(conf.networks["class"], {"conf": conf})
+    batches = list(Dataset(schema, paths, batch_size=128, shuffle=False,
+                           take_batches=3))
+
+    def run(mode, mesh, shard):
+        t = Trainer(model, learning_rate=1e-3, table_update=mode,
+                    mesh=mesh, shard_tables=shard, seed=3)
+        state = t.init_state(batches[0])
+        if mode == "sparse":
+            assert t._sparse_dims, "sparse path must engage under sharding"
+        if shard:
+            table = state.params["embedder"]["table_dim32"]
+            assert table.sharding.spec == P("dp", None), (
+                "big table must be row-sharded")
+            for acc in state.table_acc.values():
+                assert acc.sharding.spec == P("dp", None), (
+                    "sparse accumulator must shard with its table")
+        losses = []
+        for b in batches:
+            state, m = t.train_step(state, b)
+            losses.append(float(m["loss"]))
+        return losses, jax.device_get(state.params)
+
+    dense_losses, dense_params = run("dense", None, False)
+    sharded_losses, sharded_params = run("sparse", make_mesh(), True)
+    np.testing.assert_allclose(sharded_losses, dense_losses, rtol=1e-4)
+    table_d = dense_params["embedder"]["table_dim32"]
+    table_s = sharded_params["embedder"]["table_dim32"]
+    np.testing.assert_allclose(table_s, table_d, rtol=2e-4, atol=2e-5)
+
+
 def test_sparse_mode_checkpoint_roundtrip(world, tmp_path):
     """table_acc (the sparse-path Adagrad accumulators on TrainState) must
     survive a checkpoint save/restore and keep training identically."""
