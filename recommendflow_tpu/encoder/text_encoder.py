@@ -166,6 +166,23 @@ class TextEncoderService:
         return out
 
     # ------------------------------------------------------------ persist
+    def __getstate__(self):
+        """Pickle support (the reference pickles whole searchers including
+        their encoder, faiss_searcher.py:217-225): drop the jitted closure,
+        host-copy the variables."""
+        import jax.numpy as jnp
+        state = self.__dict__.copy()
+        state["_encode_fn"] = None
+        state["variables"] = jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jnp.ndarray) else x,
+            self.variables)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._encode_fn = jax.jit(
+            lambda v, tok, seg: self.model.apply(v, tok, seg))
+
     def save(self, directory: str):
         from recommendflow_tpu.train.checkpoint import save_pytree
         os.makedirs(directory, exist_ok=True)

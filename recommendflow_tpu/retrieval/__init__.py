@@ -1,7 +1,8 @@
 from recommendflow_tpu.retrieval.searcher import (
     IvfPqSearcher, IvfSearcher, PqSearcher, SqSearcher, TpuSearcher,
-    index_factory, kmeans,
+    index_factory, kmeans, resolve_metric,
 )
+from recommendflow_tpu.retrieval.encoder_search import EncoderSearcher
 from recommendflow_tpu.retrieval.sharded import ShardedSearcher
 from recommendflow_tpu.retrieval.whitening import VecsWhitening
 from recommendflow_tpu.retrieval.eval import (

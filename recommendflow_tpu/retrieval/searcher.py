@@ -37,6 +37,58 @@ def _l2_normalize(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
+# distance metrics beyond the matmul family (smaller = better; search()
+# returns them ascending, FAISS-style). Parity: the reference's 9-metric map
+# faiss_searcher.py:81-97.
+_DISTANCE_METRICS = ("l1", "l_inf", "l_p", "brayCurtis", "canberra",
+                     "jensen_shannon")
+# FAISS MetricType enum values -> names (the reference passes raw ints
+# through to faiss, faiss_searcher.py:95-96)
+_FAISS_METRIC_INTS = {0: "ip", 1: "l2", 2: "l1", 3: "l_inf", 4: "l_p",
+                      20: "canberra", 21: "brayCurtis", 22: "jensen_shannon"}
+
+
+def resolve_metric(measurement: Union[str, int]) -> str:
+    """Accept a metric name or a raw FAISS MetricType int (reference
+    int pass-through parity, faiss_searcher.py:95-96)."""
+    if isinstance(measurement, (int, np.integer)):
+        if int(measurement) not in _FAISS_METRIC_INTS:
+            raise ValueError(
+                f"unknown FAISS MetricType int {measurement}; known: "
+                f"{_FAISS_METRIC_INTS}")
+        return _FAISS_METRIC_INTS[int(measurement)]
+    return str(measurement)
+
+
+def _make_pairwise_distance(metric: str, p: float):
+    """[Q, D] x [Nb, D] -> [Q, Nb] distance block (FAISS formula parity:
+    Lp is sum|x-y|^p WITHOUT the 1/p root; Canberra skips zero-denominator
+    terms; JensenShannon assumes non-negative inputs and guards zeros)."""
+    def dist(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        diff = jnp.abs(q[:, None, :] - v[None, :, :])
+        if metric == "l1":
+            return jnp.sum(diff, -1)
+        if metric == "l_inf":
+            return jnp.max(diff, -1)
+        if metric == "l_p":
+            return jnp.sum(diff ** p, -1)
+        if metric == "brayCurtis":
+            den = jnp.sum(jnp.abs(q[:, None, :] + v[None, :, :]), -1)
+            return jnp.sum(diff, -1) / jnp.maximum(den, 1e-20)
+        if metric == "canberra":
+            den = jnp.abs(q)[:, None, :] + jnp.abs(v)[None, :, :]
+            return jnp.sum(jnp.where(den > 0,
+                                     diff / jnp.maximum(den, 1e-20), 0.0), -1)
+        if metric == "jensen_shannon":
+            x, y = q[:, None, :], v[None, :, :]
+            m = jnp.maximum(0.5 * (x + y), 1e-20)
+            t1 = jnp.where(x > 0, x * jnp.log(jnp.maximum(x, 1e-20) / m), 0.0)
+            t2 = jnp.where(y > 0, y * jnp.log(jnp.maximum(y, 1e-20) / m), 0.0)
+            return 0.5 * jnp.sum(t1 + t2, -1)
+        raise ValueError(f"not a distance metric: {metric}")
+    return dist
+
+
 def _tournament_select(queries, m1, vecs_g, sqn_g, k, select_k, valid,
                        metric):
     """Two-level tournament select + exact vector rescore.
@@ -89,19 +141,29 @@ class TpuSearcher:
 
     Parameters
     ----------
-    metric : 'ip' | 'cos' | 'l2'  (faiss_searcher.py:80-97 metric surface)
+    metric : 'ip' | 'cos' | 'l2' for the MXU matmul path, plus the
+             reference's full distance surface 'l1' | 'l_inf' | 'l_p' |
+             'brayCurtis' | 'canberra' | 'jensen_shannon' (blocked pairwise
+             kernels), or a raw FAISS MetricType int
+             (faiss_searcher.py:80-97). Distance metrics return ascending
+             distances from search() like FAISS.
+    metric_arg : p for 'l_p' (FAISS metric_arg; distance is sum|x-y|^p,
+             no 1/p root — FAISS formula)
     items  : optional identifier array aligned with vectors (ids returned
              from search like the reference's joined DataFrame output)
     """
 
-    SUPPORTED_METRICS = ("ip", "cos", "l2")
+    SUPPORTED_METRICS = ("ip", "cos", "l2") + _DISTANCE_METRICS
 
-    def __init__(self, dim: int, metric: str = "cos",
-                 query_block: int = 4096, pad_multiple: int = 512):
+    def __init__(self, dim: int, metric: Union[str, int] = "cos",
+                 query_block: int = 4096, pad_multiple: int = 512,
+                 metric_arg: float = 3.0):
+        metric = resolve_metric(metric)
         if metric not in self.SUPPORTED_METRICS:
             raise ValueError(f"metric '{metric}' not in {self.SUPPORTED_METRICS}")
         self.dim = dim
         self.metric = metric
+        self.metric_arg = float(metric_arg)
         self.query_block = query_block
         self.pad_multiple = pad_multiple
         self.items: Optional[np.ndarray] = None          # identifiers
@@ -167,6 +229,30 @@ class TpuSearcher:
         num_items = self.num_items
         n_pad = int(self._vecs.shape[0])
         dim = self.dim
+
+        if metric in _DISTANCE_METRICS:
+            # blocked pairwise-distance scan: no matmul decomposition
+            # exists for these, but XLA fuses the broadcast-sub-reduce so
+            # the [Q, nb, D] intermediate never materializes; [Q, N]
+            # distances -> top_k of the negation, returned ascending
+            dist = _make_pairwise_distance(metric, self.metric_arg)
+            nb = 512
+
+            def search_block(queries, vecs, sq_norms):
+                nq = queries.shape[0]
+                blocks = vecs.reshape(n_pad // nb, nb, dim)
+
+                def body(_, vb):
+                    return None, dist(queries, vb)
+
+                _, parts = jax.lax.scan(body, None, blocks)  # [NB, Q, nb]
+                d = jnp.transpose(parts, (1, 0, 2)).reshape(nq, n_pad)
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+                neg = jnp.where(col < num_items, -d, NEG)
+                top, idx = jax.lax.top_k(neg, k)
+                return -top, idx
+
+            return jax.jit(search_block)
 
         def raw_scores(queries, vecs, sq_norms):
             if metric == "l2":
@@ -505,6 +591,9 @@ class IvfSearcher(TpuSearcher):
         (candidates + overflow).
     """
 
+    # quantized decode-and-score math assumes the matmul family
+    SUPPORTED_METRICS = ("ip", "cos", "l2")
+
     def __init__(self, dim: int, metric: str = "cos", nlist: int = 1024,
                  nprobe: int = 8, query_block: int = 256,
                  cap_factor: float = 2.0, kmeans_iters: int = 10,
@@ -695,6 +784,9 @@ class PqSearcher(TpuSearcher):
     never materializes in HBM. Per-block top-k then a final cross-block
     top-k merge keeps the score matrix [Q, block] instead of [Q, N].
     """
+
+    # quantized decode-and-score math assumes the matmul family
+    SUPPORTED_METRICS = ("ip", "cos", "l2")
 
     def __init__(self, dim: int, metric: str = "cos", num_subspaces: int = 8,
                  kmeans_iters: int = 10, train_sample: int = 131072,
@@ -887,6 +979,9 @@ class IvfPqSearcher(TpuSearcher):
     the exact TpuSearcher still wins throughput at reference scales — this
     class exists for FAISS API parity and corpora beyond one chip's HBM.
     """
+
+    # quantized decode-and-score math assumes the matmul family
+    SUPPORTED_METRICS = ("ip", "cos", "l2")
 
     def __init__(self, dim: int, metric: str = "cos", nlist: int = 1024,
                  nprobe: int = 8, num_subspaces: int = 8,
@@ -1175,6 +1270,9 @@ class SqSearcher(TpuSearcher):
     Unlike PQ there is no codebook training; like the exact searcher,
     recall is data-independent (SQ8's only loss is 8-bit rounding).
     """
+
+    # quantized decode-and-score math assumes the matmul family
+    SUPPORTED_METRICS = ("ip", "cos", "l2")
 
     def __init__(self, dim: int, metric: str = "cos", qtype: str = "sq8",
                  item_block: int = 65536, query_block: int = 1024):

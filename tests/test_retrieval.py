@@ -327,3 +327,155 @@ def test_metrics_binarize_and_handle_ties():
     y = np.array([1.0, 0.0])
     if sel.any():
         assert y[sel].mean() >= 0.6 or rec == 0.0
+
+
+# ---------------------------------------------------------------- metrics
+class TestDistanceMetrics:
+    """The reference's full 9-metric surface (faiss_searcher.py:81-97),
+    oracle-checked against scipy cdist / the FAISS formulas."""
+
+    @pytest.mark.parametrize("metric,cdist_name", [
+        ("l1", "cityblock"), ("l_inf", "chebyshev"),
+        ("brayCurtis", "braycurtis"), ("canberra", "canberra"),
+    ])
+    def test_matches_scipy(self, metric, cdist_name):
+        from scipy.spatial.distance import cdist
+        from recommendflow_tpu.retrieval import TpuSearcher
+        rng = np.random.RandomState(0)
+        corpus = rng.rand(700, 24).astype(np.float32) + 0.1
+        queries = rng.rand(9, 24).astype(np.float32) + 0.1
+        s = TpuSearcher(24, metric).train(corpus)
+        _, dists, idx = s.search(queries, topk=5)
+        ref = cdist(queries, corpus, cdist_name)
+        ref_idx = np.argsort(ref, axis=1, kind="stable")[:, :5]
+        ref_d = np.take_along_axis(ref, ref_idx, axis=1)
+        np.testing.assert_allclose(np.asarray(dists), ref_d,
+                                   rtol=1e-4, atol=1e-5)
+        # ordering (ties possible only at float noise — compare via dist)
+        got_d = np.take_along_axis(ref, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(got_d, ref_d, rtol=1e-4, atol=1e-5)
+
+    def test_lp_is_unrooted_faiss_formula(self):
+        from recommendflow_tpu.retrieval import TpuSearcher
+        rng = np.random.RandomState(1)
+        corpus = rng.randn(300, 8).astype(np.float32)
+        q = rng.randn(4, 8).astype(np.float32)
+        s = TpuSearcher(8, "l_p", metric_arg=3.0).train(corpus)
+        _, dists, idx = s.search(q, topk=3)
+        ref = (np.abs(q[:, None, :] - corpus[None]) ** 3.0).sum(-1)
+        ref_d = np.sort(ref, axis=1)[:, :3]
+        np.testing.assert_allclose(np.asarray(dists), ref_d, rtol=1e-4)
+
+    def test_jensen_shannon_divergence(self):
+        from recommendflow_tpu.retrieval import TpuSearcher
+        rng = np.random.RandomState(2)
+        corpus = rng.rand(200, 16).astype(np.float32) + 1e-3
+        q = rng.rand(3, 16).astype(np.float32) + 1e-3
+        s = TpuSearcher(16, "jensen_shannon").train(corpus)
+        _, dists, _ = s.search(q, topk=4)
+        x, y = q[:, None, :], corpus[None]
+        m = 0.5 * (x + y)
+        ref = 0.5 * (x * np.log(x / m) + y * np.log(y / m)).sum(-1)
+        ref_d = np.sort(ref, axis=1)[:, :4]
+        np.testing.assert_allclose(np.asarray(dists), ref_d,
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_int_metric_passthrough(self):
+        """FAISS MetricType ints resolve (reference int pass-through,
+        faiss_searcher.py:95-96); unknown ints raise."""
+        from recommendflow_tpu.retrieval import TpuSearcher, resolve_metric
+        assert resolve_metric(0) == "ip" and resolve_metric(1) == "l2"
+        assert TpuSearcher(8, metric=2).metric == "l1"
+        assert TpuSearcher(8, metric=3).metric == "l_inf"
+        with pytest.raises(ValueError, match="unknown FAISS MetricType"):
+            TpuSearcher(8, metric=99)
+
+    def test_quantized_reject_distance_metrics(self):
+        from recommendflow_tpu.retrieval import IvfSearcher, index_factory
+        with pytest.raises(ValueError, match="not in"):
+            IvfSearcher(8, "l1", nlist=4)
+        with pytest.raises(ValueError, match="not in"):
+            index_factory(8, "PQ2", "canberra")
+        # Flat accepts the full surface through the factory
+        assert index_factory(8, "Flat", "l_inf").metric == "l_inf"
+
+
+# ---------------------------------------------------- encoder-attached mode
+class _ToyEncoder:
+    """Deterministic text -> vector: a seeded hash projection."""
+
+    def encode(self, texts, verbose=0):
+        out = np.zeros((len(texts), 12), np.float32)
+        for i, t in enumerate(texts):
+            rng = np.random.RandomState(abs(hash(t)) % (2 ** 31))
+            out[i] = rng.randn(12)
+        return out
+
+
+class TestEncoderSearcher:
+    def _items(self):
+        import pandas as pd
+        names = [f"item_{i}" for i in range(50)]
+        return pd.DataFrame({"title": names,
+                             "cat": [i % 5 for i in range(50)],
+                             "price": np.arange(50.0)})
+
+    def test_joined_dataframe_with_rank(self):
+        from recommendflow_tpu.retrieval import EncoderSearcher
+        s = EncoderSearcher(encoder=_ToyEncoder(), items=self._items(),
+                            index_param="Flat", measurement="cos").train()
+        df = s.search(["item_3", "item_7"], topK=4, keep_rank_no=True)
+        assert list(df.columns[:4]) == ["source_item", "sim_item",
+                                        "sim_val", "rank_no"]
+        assert {"cat", "price"} <= set(df.columns)  # extra item cols joined
+        assert len(df) == 8
+        # self-match at rank 0 (deterministic encoder, cos metric)
+        top = df[df.rank_no == 0]
+        assert list(top.source_item) == list(top.sim_item)
+        # without rank_no the column disappears
+        df2 = s.search(["item_3"], topK=2)
+        assert "rank_no" not in df2.columns
+
+    def test_topk_list_returns_per_k_dict(self):
+        from recommendflow_tpu.retrieval import EncoderSearcher
+        s = EncoderSearcher(encoder=_ToyEncoder(), items=self._items(),
+                            index_param="Flat", measurement="cos").train()
+        res = s.search(["item_1"], topK=[2, 5], keep_rank_no=True)
+        assert set(res) == {2, 5}
+        assert len(res[2]) == 2 and len(res[5]) == 5
+        assert (res[2].rank_no < 2).all()
+
+    def test_vector_mode_tuples(self):
+        from recommendflow_tpu.retrieval import EncoderSearcher
+        rng = np.random.RandomState(0)
+        vecs = rng.randn(40, 8).astype(np.float32)
+        labels = [f"id{i}" for i in range(40)]
+        s = EncoderSearcher(items=vecs, item_list=labels,
+                            index_param="Flat", measurement="cos").train()
+        ids, sims, idx = s.search(vecs[:3], topK=2, keep_rank_no=True)
+        assert ids.shape == (3, 2) and idx[0, 0] == 0
+        assert ids[1, 0] == "id1"
+        res = s.search(vecs[:3], topK=[1, 2])
+        assert res[1][0].shape == (3, 1)
+
+    def test_cal_sim_and_pickle(self, tmp_path):
+        from recommendflow_tpu.retrieval import EncoderSearcher
+        s = EncoderSearcher(encoder=_ToyEncoder(), items=self._items(),
+                            index_param="Flat", measurement="cos").train()
+        sim = s.cal_sim("item_0", ["item_1", "item_0", "item_2"])
+        assert sim.iloc[0]["item"] == "item_0"  # self most similar
+        p = str(tmp_path / "searcher.pkl")
+        s.save_searcher(p)
+        s2 = EncoderSearcher.load_searcher(p)
+        df = s2.search(["item_3"], topK=3, keep_rank_no=True)
+        assert df.iloc[0]["sim_item"] == "item_3"
+
+    def test_untrained_and_bad_encoder_errors(self):
+        from recommendflow_tpu.retrieval import EncoderSearcher
+        with pytest.raises(AttributeError, match="encode"):
+            EncoderSearcher(encoder=object(), items=self._items())
+        with pytest.raises(TypeError, match="ndarray"):
+            EncoderSearcher(items=self._items())
+        s = EncoderSearcher(encoder=_ToyEncoder(), items=self._items())
+        with pytest.raises(RuntimeError, match="not trained"):
+            s.search(["x"], topK=1)
