@@ -13,9 +13,18 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Export checkpoint to .rfx")
     p.add_argument("conf")
     p.add_argument("--checkpoint", default=None, help="checkpoint root")
-    p.add_argument("--out", required=True, help="output .rfx path")
+    p.add_argument("--out", required=True, help="output .rfx path "
+                   "(or SavedModel dir with --format savedmodel)")
     p.add_argument("--batch_size", type=int, default=256,
                    help="fixed serving batch size")
+    p.add_argument("--format", default="rfx",
+                   choices=["rfx", "savedmodel", "both"],
+                   help="rfx = StableHLO (JAX serving); savedmodel = "
+                   "jax2tf TF SavedModel (pure-TF serving, onnx_utils "
+                   "parity)")
+    p.add_argument("--frozen_pb", default=None,
+                   help="also write a constant-folded GraphDef .pb "
+                   "(with --format savedmodel/both)")
     args = p.parse_args(argv)
     print_args(args)
 
@@ -36,12 +45,25 @@ def main(argv=None):
     if args.checkpoint:
         state = restore_checkpoint(args.checkpoint, state)
     variables = trainer._variables(state)
-    path = export_model(model, variables, sample, args.out)
-    print(f"exported to {path}")
-    # smoke: reload and run once
-    serving = ServingModel.load(path)
-    out = serving.predict(sample)
-    print("reload check:", {k: np.asarray(v).shape for k, v in out.items()})
+    if args.format in ("rfx", "both"):
+        path = export_model(model, variables, sample, args.out)
+        print(f"exported to {path}")
+        # smoke: reload and run once
+        serving = ServingModel.load(path)
+        out = serving.predict(sample)
+        print("reload check:",
+              {k: np.asarray(v).shape for k, v in out.items()})
+    if args.format in ("savedmodel", "both"):
+        from recommendflow_tpu.export import export_savedmodel, load_savedmodel
+        sm_path = (args.out + ".savedmodel" if args.format == "both"
+                   else args.out)
+        export_savedmodel(model, variables, sample, sm_path,
+                          frozen_pb=args.frozen_pb)
+        print(f"exported SavedModel to {sm_path}"
+              + (f" + frozen pb {args.frozen_pb}" if args.frozen_pb else ""))
+        out = load_savedmodel(sm_path)(sample)
+        print("TF reload check:",
+              {k: np.asarray(v).shape for k, v in out.items()})
 
 
 if __name__ == "__main__":

@@ -1,1 +1,4 @@
-from recommendflow_tpu.export.exporter import ServingModel, export_model
+from recommendflow_tpu.export.exporter import (
+    ServingModel, export_model, export_savedmodel, load_frozen_pb,
+    load_savedmodel,
+)

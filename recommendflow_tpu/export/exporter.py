@@ -60,6 +60,112 @@ def export_model(model, variables, sample_batch: Dict[str, np.ndarray],
     return path
 
 
+def export_savedmodel(model, variables, sample_batch: Dict[str, np.ndarray],
+                      path: str, training: bool = False,
+                      frozen_pb: str = None) -> str:
+    """jax2tf -> TF SavedModel: a standard-interchange artifact that
+    predicts under PURE TensorFlow with no JAX import at serve time
+    (parity: the reference's frozen-GraphDef/ONNX export,
+    backend/utils/onnx_utils.py:8-60,102-137).
+
+    Weights are folded in as constants (native serialization wraps the
+    StableHLO module in an XlaCallModule op — TF executes it with its own
+    bundled compiler). `frozen_pb` additionally writes a constant-folded
+    GraphDef .pb (freeze_keras_model2pb parity) re-importable via
+    `load_frozen_pb`.
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    batch_keys = sorted(sample_batch.keys())
+    variables = jax.tree.map(np.asarray, variables)
+
+    def predict(*arrays):
+        batch = dict(zip(batch_keys, arrays))
+        return model.apply(variables, batch, training=training)
+
+    tf_fn = jax2tf.convert(predict, with_gradient=False)
+    specs = [tf.TensorSpec(np.shape(sample_batch[k]),
+                           np.asarray(sample_batch[k]).dtype, name=k)
+             for k in batch_keys]
+    module = tf.Module()
+    module.predict = tf.function(tf_fn, autograph=False,
+                                 input_signature=specs)
+    tf.saved_model.save(
+        module, path,
+        signatures={"serving_default":
+                    module.predict.get_concrete_function(*specs)})
+    # record the input order: SavedModel signatures are keyword-based, but
+    # the frozen-pb path and batch-array callers need the positional order
+    with open(os.path.join(path, "rfx_inputs.txt"), "w") as f:
+        f.write("\n".join(batch_keys))
+    if frozen_pb:
+        from tensorflow.python.framework.convert_to_constants import (
+            convert_variables_to_constants_v2)
+        concrete = module.predict.get_concrete_function(*specs)
+        frozen = convert_variables_to_constants_v2(concrete)
+        gd = frozen.graph.as_graph_def()
+        os.makedirs(os.path.dirname(os.path.abspath(frozen_pb)) or ".",
+                    exist_ok=True)
+        with open(frozen_pb, "wb") as f:
+            f.write(gd.SerializeToString())
+    return path
+
+
+def load_savedmodel(path: str):
+    """Pure-TF reload of export_savedmodel output: returns
+    predict(batch_dict) -> {name: np.ndarray} (no JAX involved)."""
+    import tensorflow as tf
+    loaded = tf.saved_model.load(path)
+    with open(os.path.join(path, "rfx_inputs.txt")) as f:
+        batch_keys = f.read().splitlines()
+
+    def predict(batch: Dict[str, np.ndarray]):
+        arrays = [tf.convert_to_tensor(np.asarray(batch[k]))
+                  for k in batch_keys]
+        out = loaded.predict(*arrays)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    return predict
+
+
+def load_frozen_pb(pb_path: str, input_names, output_names=None):
+    """Re-import a frozen GraphDef written by export_savedmodel(frozen_pb=)
+    (wrap_frozen_graph parity, onnx_utils.py:63-99). Returns
+    predict(batch_dict) -> list/dict of np.ndarray."""
+    import tensorflow as tf
+    with open(pb_path, "rb") as f:
+        gd = tf.compat.v1.GraphDef()
+        gd.ParseFromString(f.read())
+
+    def _imports():
+        tf.graph_util.import_graph_def(gd, name="")
+
+    wrapped = tf.compat.v1.wrap_function(_imports, [])
+    graph = wrapped.graph
+    ins = [graph.get_tensor_by_name(n if ":" in n else n + ":0")
+           for n in input_names]
+    if output_names is None:
+        # every tensor fed into the graph's fetch-less terminal ops —
+        # default to Identity outputs named like the signature
+        out_ops = [op for op in graph.get_operations()
+                   if op.type == "Identity" and not any(
+                       c for c in op.outputs[0].consumers())]
+        outs = [op.outputs[0] for op in out_ops]
+    else:
+        outs = [graph.get_tensor_by_name(n if ":" in n else n + ":0")
+                for n in output_names]
+    fn = wrapped.prune(ins, outs)
+
+    def predict(batch_arrays):
+        import tensorflow as _tf
+        tensors = [_tf.convert_to_tensor(np.asarray(a))
+                   for a in batch_arrays]
+        return [np.asarray(t) for t in fn(*tensors)]
+
+    return predict
+
+
 class ServingModel:
     """Re-loaded exported model (wrap_frozen_graph parity,
     onnx_utils.py:63-99): call .predict with a batch dict of the exported

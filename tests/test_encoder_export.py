@@ -98,6 +98,75 @@ def test_export_roundtrip(demo_conf_path, tmp_path):
         serving.predict(bad2)
 
 
+def test_savedmodel_export_serves_under_pure_tf(demo_conf_path, tmp_path):
+    """jax2tf SavedModel export (VERDICT r1 item 5): the artifact must
+    predict in a subprocess that imports ONLY TensorFlow — no JAX — and its
+    outputs must equal the .rfx (StableHLO) export's."""
+    import json
+    import subprocess
+    import sys
+
+    pytest.importorskip("tensorflow")
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.schema import compile_schema
+    from recommendflow_tpu.export import (
+        ServingModel, export_model, export_savedmodel, load_frozen_pb)
+    from recommendflow_tpu.models.base import build_network
+    from __graft_entry__ import _synthetic_batch
+
+    conf = Configuration(demo_conf_path)
+    model, _ = build_network(conf.networks["class"],
+                             {"conf": conf, "tower_units": [16]})
+    schema = compile_schema(conf.features)
+    batch = _synthetic_batch(schema, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           {k: jnp.asarray(v) for k, v in batch.items()},
+                           training=False)
+    sm_dir = str(tmp_path / "savedmodel")
+    pb_path = str(tmp_path / "frozen.pb")
+    export_savedmodel(model, variables, batch, sm_dir, frozen_pb=pb_path)
+    rfx = export_model(model, variables, batch, str(tmp_path / "model"))
+    rfx_out = {k: np.asarray(v)
+               for k, v in ServingModel.load(rfx).predict(batch).items()}
+
+    # pure-TF serving: subprocess with jax forbidden
+    np.savez(tmp_path / "batch.npz", **{k: np.asarray(v)
+                                        for k, v in batch.items()})
+    script = f"""
+import sys
+sys.modules["jax"] = None  # any jax import -> immediate crash
+import json
+import numpy as np
+import tensorflow as tf
+loaded = tf.saved_model.load({sm_dir!r})
+keys = open({sm_dir!r} + "/rfx_inputs.txt").read().splitlines()
+data = np.load({str(tmp_path / 'batch.npz')!r})
+out = loaded.predict(*[tf.convert_to_tensor(data[k]) for k in keys])
+np.savez({str(tmp_path / 'tf_out.npz')!r}, **{{k: np.asarray(v) for k, v in out.items()}})
+print("PURE_TF_OK")
+"""
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0 and "PURE_TF_OK" in res.stdout, (
+        res.stdout + res.stderr)[-3000:]
+    tf_out = np.load(tmp_path / "tf_out.npz")
+    assert set(tf_out.files) == set(rfx_out)
+    for k in rfx_out:
+        np.testing.assert_allclose(tf_out[k], rfx_out[k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+    # frozen GraphDef re-import (freeze_keras_model2pb parity)
+    keys = sorted(batch.keys())
+    predict = load_frozen_pb(pb_path, [k + ":0" for k in keys])
+    pb_out = predict([batch[k] for k in keys])
+    flat_ref = [rfx_out[k] for k in sorted(rfx_out)]
+    got_sorted = sorted(pb_out, key=lambda a: (a.shape, a.tobytes()[:64]))
+    want_sorted = sorted(flat_ref, key=lambda a: (a.shape, a.tobytes()[:64]))
+    for g, w in zip(got_sorted, want_sorted):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
 def test_flash_attention_matches_reference():
     from recommendflow_tpu.ops.attention import scaled_dot_product_attention
     from recommendflow_tpu.ops.pallas.flash_attention import flash_attention
