@@ -1,0 +1,145 @@
+"""Quantized-searcher regime benchmark on the real chip (VERDICT r1 item 3).
+
+Measures the whole index_factory family — Flat (exact), SQ8/SQbf16,
+IVF{nlist} at several nprobe, PQ{m}, IVF{nlist},PQ{m} — at a beyond-exact
+corpus scale, reporting build time, end-to-end search qps (host-timed; the
+returned numpy arrays force full sync), and recall@100 vs the exact Flat
+ground truth. One process, per-searcher sequential timing (device memory at
+10M x 128 cannot hold all indices at once; tunnel drift caveat per
+CLAUDE.md — compare ratios, not absolute qps across runs).
+
+Corpus: a 1024-cluster gaussian mixture by default (realistic for learned
+embeddings; isotropic gaussians are IVF's worst case — use --isotropic to
+measure that regime too).
+
+Usage: python benchmarks/bench_quantized_search.py [--n 10000000] [--q 2048]
+"""
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def make_corpus(n: int, dim: int, clustered: bool, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    if not clustered:
+        out = np.empty((n, dim), np.float32)
+        for s in range(0, n, 1 << 20):
+            e = min(n, s + (1 << 20))
+            out[s:e] = rng.standard_normal((e - s, dim), np.float32)
+        return out
+    centers = rng.standard_normal((1024, dim), np.float32)
+    out = np.empty((n, dim), np.float32)
+    for s in range(0, n, 1 << 20):
+        e = min(n, s + (1 << 20))
+        cid = rng.integers(0, len(centers), e - s)
+        out[s:e] = centers[cid] + 0.35 * rng.standard_normal(
+            (e - s, dim), np.float32)
+    return out
+
+
+def recall_at_k(got: np.ndarray, gt: np.ndarray) -> float:
+    k = gt.shape[1]
+    hits = sum(len(set(got[i, :k]) & set(gt[i])) for i in range(len(gt)))
+    return hits / (len(gt) * k)
+
+
+def bench_one(name, make_searcher, corpus, queries, k, reps, gt=None):
+    t0 = time.perf_counter()
+    s = make_searcher()
+    s.train(corpus)
+    build_s = time.perf_counter() - t0
+    # warm (compile)
+    _, idx = s.search(queries[:64], topk=k, return_items=False)
+    times = []
+    idx = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, idx = s.search(queries, topk=k, return_items=False)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    rec = recall_at_k(np.asarray(idx), gt) if gt is not None else 1.0
+    row = {"searcher": name, "build_s": round(build_s, 2),
+           "qps": round(len(queries) / med, 1),
+           "search_ms": round(med * 1e3, 2), "recall@100": round(rec, 4)}
+    print(json.dumps(row))
+    del s
+    gc.collect()
+    return row, np.asarray(idx)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--q", type=int, default=2048)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--isotropic", action="store_true")
+    ap.add_argument("--metric", default="ip")
+    args = ap.parse_args()
+
+    from recommendflow_tpu.retrieval import (
+        IvfPqSearcher, IvfSearcher, PqSearcher, SqSearcher, TpuSearcher)
+
+    print(f"# corpus {args.n} x {args.dim} "
+          f"({'isotropic' if args.isotropic else 'clustered'}), "
+          f"Q={args.q}, k={args.k}", file=sys.stderr)
+    corpus = make_corpus(args.n, args.dim, clustered=not args.isotropic)
+    rng = np.random.default_rng(7)
+    qidx = rng.integers(0, args.n, args.q)
+    queries = corpus[qidx] + 0.15 * rng.standard_normal(
+        (args.q, args.dim), np.float32)
+
+    qb = 512 if args.n >= 4_000_000 else 4096
+    rows = []
+
+    # exact ground truth first (also the Flat baseline timing)
+    row, gt = bench_one(
+        "Flat", lambda: TpuSearcher(args.dim, args.metric, query_block=qb),
+        corpus, queries, args.k, args.reps)
+    rows.append(row)
+
+    configs = [
+        ("SQ8", lambda: SqSearcher(args.dim, args.metric, qtype="sq8",
+                                   query_block=qb)),
+        ("SQbf16", lambda: SqSearcher(args.dim, args.metric, qtype="bf16",
+                                      query_block=qb)),
+    ]
+    for nprobe in (8, 32, 64):
+        configs.append((f"IVF4096,np{nprobe}",
+                        lambda np_=nprobe: IvfSearcher(
+                            args.dim, args.metric, nlist=4096, nprobe=np_)))
+    configs.append(("PQ16", lambda: PqSearcher(args.dim, args.metric,
+                                               num_subspaces=16,
+                                               query_block=qb)))
+    for nprobe in (8, 32, 64):
+        configs.append((f"IVF4096,PQ16,np{nprobe}",
+                        lambda np_=nprobe: IvfPqSearcher(
+                            args.dim, args.metric, nlist=4096,
+                            num_subspaces=16, nprobe=np_)))
+
+    for name, maker in configs:
+        try:
+            row, _ = bench_one(name, maker, corpus, queries, args.k,
+                               args.reps, gt=gt)
+            rows.append(row)
+        except Exception as e:  # record OOM/unsupported rather than abort
+            print(json.dumps({"searcher": name, "error": str(e)[:200]}))
+
+    hdr = f"{'searcher':<22}{'build_s':>9}{'qps':>10}{'ms':>9}{'recall@100':>12}"
+    print("\n" + hdr, file=sys.stderr)
+    for r in rows:
+        print(f"{r['searcher']:<22}{r['build_s']:>9}{r['qps']:>10}"
+              f"{r['search_ms']:>9}{r['recall@100']:>12}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

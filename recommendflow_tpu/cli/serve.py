@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--pooling", default="cls")
     p.add_argument("--whitening", action="store_true")
     p.add_argument("--max_batch", type=int, default=4096)
+    p.add_argument("--batch_window_ms", type=float, default=4.0,
+                   help="coalesce concurrent /encode requests into one "
+                   "device batch within this window (0 disables)")
     args = p.parse_args(argv)
     print_args(args)
 
@@ -52,7 +55,8 @@ def main(argv=None):
 
     from recommendflow_tpu.serving import EncodeServer, make_server
     backend = EncodeServer(encoder=encoder, serving_model=serving_model,
-                           max_batch=args.max_batch)
+                           max_batch=args.max_batch,
+                           batch_window_ms=args.batch_window_ms)
     httpd = make_server(backend, args.host, args.port)
     endpoints = backend.handle_health({})["endpoints"]
     print(f"serving {endpoints} on {args.host}:{httpd.server_address[1]}")

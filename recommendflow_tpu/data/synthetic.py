@@ -66,8 +66,39 @@ def generate_records(conf: Configuration,
             num_items, size=3)
         row: Dict[str, list] = {}
         for name, f in feats.items():
-            if f.tower == FeatureTower.Label or name == "label":
+            if name == "conversion":
+                # post-click conversion: only clicked impressions can
+                # convert (the ESSM/ESCM2 task structure)
+                row[name] = [label * float(rng.rand() < 0.4)]
+            elif f.tower == FeatureTower.Label or name == "label":
                 row[name] = [label]
+            elif name in ("user_cat_a", "user_cat_b"):
+                # planted: the user's latent category, exposed directly
+                # (demo_ranking's lookup features; _b adds 20% noise)
+                c = int(user_cat[u]) if (name.endswith("_a") or
+                                         rng.rand() > 0.2) \
+                    else rng.randint(n_cat)
+                row[name] = [c]
+            elif name in ("item_cat_a", "item_cat_b"):
+                c = int(item_cat[it]) if (name.endswith("_a") or
+                                          rng.rand() > 0.2) \
+                    else rng.randint(n_cat)
+                row[name] = [c]
+            elif name == "stat_ctr":
+                row[name] = [float(item_ctr[it])]
+            elif name == "stat_cvr":
+                row[name] = [float(item_ctr[it] * 0.3)]
+            elif f.deal == FeatureDeal.TokenId and f.tower in (
+                    FeatureTower.User, FeatureTower.Ad):
+                # planted text signal: tokens draw from the latent
+                # category's 8-id block (user tower -> user's category, ad
+                # tower -> item's) — matching pairs share vocabulary, so
+                # token encoders (ESIM/siamese/Que2Search) can learn the
+                # click structure
+                cat = int(user_cat[u] if f.tower == FeatureTower.User
+                          else item_cat[it])
+                base = 1 + cat * 8
+                row[name] = rng.randint(base, base + 8, size=8).tolist()
             elif name == "user_id":
                 row[name] = [f"u{u}"]
             elif name == "item_id":

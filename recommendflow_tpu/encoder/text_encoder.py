@@ -157,6 +157,8 @@ class TextEncoderService:
             # len(uniq) > cache_size)
             fresh = dict(zip(uniq, embs))
             for t, e in fresh.items():
+                if self.cache_size <= 0:
+                    break  # caching disabled
                 if t not in self._cache and len(self._cache) >= self.cache_size:
                     self._cache.popitem(last=False)
                 self._cache[t] = e

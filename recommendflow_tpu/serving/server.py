@@ -29,10 +29,99 @@ from typing import Any, Dict
 import numpy as np
 
 
+class _MicroBatcher:
+    """Coalesce concurrent encode requests into one device batch.
+
+    Concurrent clients each pay one tokenize+jit dispatch under the naive
+    lock; batching them into a single encode amortizes the per-call
+    dispatch latency (the dominant cost on tunneled devices) and fills the
+    device batch. A worker thread takes the first queued request, then
+    drains more until `window_ms` passes or `max_batch` texts are gathered;
+    per-request slices come back through per-request events. Single-request
+    latency cost is bounded by the window (only paid when the queue is
+    otherwise empty).
+    """
+
+    def __init__(self, encode_fn, window_ms: float = 4.0,
+                 max_batch: int = 4096):
+        import queue
+        self.encode_fn = encode_fn
+        self.window = window_ms / 1e3
+        self.max_batch = max_batch
+        self.q: "queue.Queue" = queue.Queue()
+        self.batches_run = 0
+        self.requests_batched = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    class _Req:
+        __slots__ = ("texts", "normalize", "event", "result", "error")
+
+        def __init__(self, texts, normalize):
+            self.texts, self.normalize = texts, normalize
+            self.event = threading.Event()
+            self.result, self.error = None, None
+
+    def encode(self, texts, normalize: bool = True):
+        req = self._Req(list(texts), bool(normalize))
+        self.q.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self):
+        self.q.put(None)
+        self._thread.join(timeout=5)
+
+    def _loop(self):
+        import queue
+        import time as _time
+        while True:
+            head = self.q.get()
+            if head is None:
+                return
+            batch = [head]
+            total = len(head.texts)
+            deadline = _time.time() + self.window
+            while total < self.max_batch:
+                left = deadline - _time.time()
+                if left <= 0:
+                    break
+                try:
+                    req = self.q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if req is None:
+                    self.q.put(None)  # re-queue shutdown for after this batch
+                    break
+                batch.append(req)
+                total += len(req.texts)
+            self.batches_run += 1
+            self.requests_batched += len(batch)
+            for norm in (True, False):
+                group = [r for r in batch if r.normalize == norm]
+                if not group:
+                    continue
+                texts = [t for r in group for t in r.texts]
+                try:
+                    embs = self.encode_fn(texts, normalize=norm)
+                    off = 0
+                    for r in group:
+                        r.result = embs[off:off + len(r.texts)]
+                        off += len(r.texts)
+                except Exception as e:  # noqa: BLE001 — deliver, don't die
+                    for r in group:
+                        r.error = e
+            for r in batch:
+                r.event.set()
+
+
 class EncodeServer:
     """Bundles the serveable backends + dispatch table."""
 
-    def __init__(self, encoder=None, serving_model=None, max_batch: int = 4096):
+    def __init__(self, encoder=None, serving_model=None, max_batch: int = 4096,
+                 batch_window_ms: float = 4.0):
         if encoder is None and serving_model is None:
             raise ValueError("need an encoder and/or a serving model to serve")
         self.encoder = encoder
@@ -40,6 +129,12 @@ class EncodeServer:
         self.max_batch = max_batch
         self._lock = threading.Lock()
         self.requests_served = 0
+        # cross-request micro-batching for /encode (batch_window_ms <= 0
+        # disables it and restores the plain lock path)
+        self._batcher = (_MicroBatcher(encoder.encode, batch_window_ms,
+                                       max_batch)
+                         if encoder is not None and batch_window_ms > 0
+                         else None)
 
     # ----------------------------------------------------------- handlers
     def handle_health(self, _payload) -> Dict[str, Any]:
@@ -49,10 +144,14 @@ class EncodeServer:
             endpoints.append("/encode")
         if self.serving_model is not None:
             endpoints.append("/predict")
-        return {"status": "ok",
+        info = {"status": "ok",
                 "device": jax.devices()[0].platform,
                 "requests_served": self.requests_served,
                 "endpoints": endpoints}
+        if self._batcher is not None:
+            info["batches_run"] = self._batcher.batches_run
+            info["requests_batched"] = self._batcher.requests_batched
+        return info
 
     def handle_encode(self, payload) -> Dict[str, Any]:
         if self.encoder is None:
@@ -63,9 +162,14 @@ class EncodeServer:
         if len(texts) > self.max_batch:
             raise ValueError(f"batch too large ({len(texts)} > {self.max_batch})")
         normalize = bool(payload.get("normalize", True))
-        with self._lock:
-            emb = self.encoder.encode(texts, normalize=normalize)
-            self.requests_served += 1
+        if self._batcher is not None:
+            emb = self._batcher.encode(texts, normalize=normalize)
+            with self._lock:
+                self.requests_served += 1
+        else:
+            with self._lock:
+                emb = self.encoder.encode(texts, normalize=normalize)
+                self.requests_served += 1
         return {"embeddings": np.asarray(emb).tolist(),
                 "dim": int(emb.shape[1]) if len(emb) else 0}
 

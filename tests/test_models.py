@@ -351,3 +351,140 @@ Networks:
     # compare LOGITS: untrained sigmoid scores are both ~0 and allclose
     assert np.abs(np.asarray(out["logit"]) -
                   np.asarray(out2["logit"])).max() > 1e-3
+
+
+# ------------------------------------------------------------ does-it-learn
+# Planted-structure acceptance: every zoo model must beat a stated AUC on
+# the synthetic task in a couple of epochs (VERDICT r1 item 4 — the honest
+# quality evidence given the reference is head-to-head unrunnable,
+# COVERAGE.md §2.10). Chance = 0.5; the planted category preference is
+# directly exposed through cat/token/behavior features.
+
+@pytest.fixture(scope="module")
+def learn_recall_world(demo_conf_path, tmp_path_factory):
+    from recommendflow_tpu.data.pipeline import Dataset
+    from recommendflow_tpu.data.synthetic import generate_records
+    conf = Configuration(demo_conf_path)
+    conf.networks["loss"] = \
+        "recommendflow_tpu.losses.match.batch_neg_sample_scaled_multi_class_ce_loss"
+    out = str(tmp_path_factory.mktemp("learn_recall"))
+    paths = generate_records(conf, out, num_rows=6000, num_files=1, seed=5)
+    schema = compile_schema(conf.features)
+    return conf, schema, paths
+
+
+@pytest.fixture(scope="module")
+def learn_ranking_world(tmp_path_factory):
+    import os
+    from recommendflow_tpu.data.synthetic import generate_records
+    path = os.path.join(os.path.dirname(__file__), "..", "conf",
+                        "demo_ranking.yaml")
+    conf = Configuration(path)
+    out = str(tmp_path_factory.mktemp("learn_ranking"))
+    paths = generate_records(conf, out, num_rows=6000, num_files=1, seed=6)
+    schema = compile_schema(conf.features)
+    return conf, schema, paths
+
+
+def _fit_val_auc(conf, schema, paths, model, epochs=2, lr=3e-3):
+    from recommendflow_tpu.data.pipeline import Dataset
+    from recommendflow_tpu.train import Trainer
+    train = Dataset(schema, paths, batch_size=256, shuffle=True, seed=0)
+    valid = Dataset(schema, paths, batch_size=256, shuffle=False,
+                    take_batches=6)
+    trainer = Trainer(model, learning_rate=lr)
+    result = trainer.fit(train, epochs=epochs, valid_ds=valid)
+    return result["history"][-1]["val_auc"]
+
+
+# (path, kwargs, auc_threshold, epochs, lr)
+LEARN_RECALL = [
+    ("recommendflow_tpu.models.matching.dssm.Dssm",
+     {"tower_units": [64]}, 0.65, 2, 3e-3),
+    ("recommendflow_tpu.models.matching.mobius.Mobius",
+     {"tower_units": [64]}, 0.60, 2, 3e-3),
+    ("recommendflow_tpu.models.matching.pdm.Pdm",
+     {"tower_units": [64]}, 0.60, 2, 3e-3),
+]
+
+LEARN_RANKING = [
+    ("recommendflow_tpu.models.ranking.dnn.Dnn",
+     {"hidden_units": [64, 32]}, 0.70, 2, 3e-3),
+    ("recommendflow_tpu.models.ranking.dcn.Dcn",
+     {"hidden_units": [64], "cross_layers": 2}, 0.70, 2, 3e-3),
+    ("recommendflow_tpu.models.ranking.deepfm.DeepFm",
+     {"hidden_units": [64]}, 0.70, 2, 3e-3),
+    ("recommendflow_tpu.models.ranking.deepfm.XDeepFm",
+     {"hidden_units": [64], "cin_layers": (16,)}, 0.70, 2, 3e-3),
+    # multi-task models split capacity across heads: 4 epochs to converge
+    # (measured trajectory 0.57 -> 0.65 -> 0.77 -> 0.94)
+    ("recommendflow_tpu.models.ranking.mmoe.Mmoe",
+     {"num_experts": 2, "num_tasks": 2, "expert_units": (64,),
+      "tower_units": (32,)}, 0.70, 4, 3e-3),
+    ("recommendflow_tpu.models.ranking.tabtransformer.TabTransformer",
+     {"num_blocks": 1, "hidden_units": (64,)}, 0.70, 2, 3e-3),
+    ("recommendflow_tpu.models.ranking.essm.Essm",
+     {"tower_units": (64,)}, 0.70, 4, 3e-3),
+    ("recommendflow_tpu.models.preranking.cold.Cold",
+     {"hidden_units": (64,)}, 0.70, 2, 3e-3),
+    ("recommendflow_tpu.models.reranking.escm2.Escm2",
+     {"tower_units": (64,)}, 0.70, 4, 3e-3),
+    ("recommendflow_tpu.models.ranking.esim.Esim",
+     {"model_dim": 32, "mlp_units": (32,), "vocab_size": 200}, 0.65, 2, 3e-3),
+]
+
+# token_id sequences carry no [CLS] token, so the encoders pool with
+# 'avg' here ('cls' == first-token pooling barely trains on raw token ids —
+# measured stuck at 0.52; 'avg' reaches 0.96 in 4 epochs). Transformers
+# also want the gentler lr (3e-3 oscillates, 1e-3 converges).
+LEARN_ENCODER = [
+    ("recommendflow_tpu.models.matching.siamese_encoder.SiameseEncoder",
+     {}, 0.70, 4, 1e-3),
+    ("recommendflow_tpu.models.matching.dssm_encoder.DssmEncoder",
+     {}, 0.70, 4, 1e-3),
+    ("recommendflow_tpu.models.matching.que2search.Que2Search",
+     {"channel_dim": 32, "text_vocab_size": 200, "text_dim": 32,
+      "text_layers": 1}, 0.70, 4, 1e-3),
+]
+
+
+@pytest.mark.parametrize("path,kwargs,thresh,epochs,lr", LEARN_RECALL,
+                         ids=[p.rsplit(".", 1)[1] for p, *_ in LEARN_RECALL])
+def test_recall_model_learns(learn_recall_world, path, kwargs, thresh,
+                             epochs, lr):
+    conf, schema, paths = learn_recall_world
+    model, _ = build_network(path, {"conf": conf, **kwargs})
+    auc = _fit_val_auc(conf, schema, paths, model, epochs=epochs, lr=lr)
+    assert auc > thresh, f"{path}: val_auc {auc:.3f} <= {thresh}"
+
+
+@pytest.mark.parametrize("path,kwargs,thresh,epochs,lr", LEARN_RANKING,
+                         ids=[p.rsplit(".", 1)[1] for p, *_ in LEARN_RANKING])
+def test_ranking_model_learns(learn_ranking_world, path, kwargs, thresh,
+                              epochs, lr):
+    conf, schema, paths = learn_ranking_world
+    model, _ = build_network(path, {"conf": conf, **kwargs})
+    auc = _fit_val_auc(conf, schema, paths, model, epochs=epochs, lr=lr)
+    assert auc > thresh, f"{path}: val_auc {auc:.3f} <= {thresh}"
+
+
+@pytest.mark.parametrize("path,kwargs,thresh,epochs,lr", LEARN_ENCODER,
+                         ids=[p.rsplit(".", 1)[1] for p, *_ in LEARN_ENCODER])
+def test_encoder_model_learns(learn_ranking_world, path, kwargs, thresh,
+                              epochs, lr):
+    conf, schema, paths = learn_ranking_world
+    conf = Configuration(conf.config_path) if hasattr(conf, "config_path") else conf
+    conf.networks["loss"] = \
+        "recommendflow_tpu.losses.match.batch_neg_sample_scaled_multi_class_ce_loss"
+    conf.networks["embedding_dim"] = 32
+    conf.networks["text_vocab_size"] = 200
+    conf.networks["text_dim"] = 32
+    conf.networks["text_layers"] = 1
+    conf.networks["text_pooling"] = "avg"
+    conf.networks["user_encoder"] = {"vocab_size": 200, "num_layers": 1,
+                                     "model_dim": 32, "pooling": "avg"}
+    conf.networks["ad_encoder"] = {"vocab_size": 200, "num_layers": 1,
+                                   "model_dim": 32, "pooling": "avg"}
+    model, _ = build_network(path, {"conf": conf, **kwargs})
+    auc = _fit_val_auc(conf, schema, paths, model, epochs=epochs, lr=lr)
+    assert auc > thresh, f"{path}: val_auc {auc:.3f} <= {thresh}"
