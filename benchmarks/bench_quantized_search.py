@@ -84,6 +84,12 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--isotropic", action="store_true")
     ap.add_argument("--metric", default="ip")
+    ap.add_argument("--only", default=None,
+                    help="regex filter over searcher names")
+    ap.add_argument("--gt", default=None,
+                    help="ground-truth cache .npz: reuse the exact results "
+                    "across per-searcher processes (10M indices + all "
+                    "quantized structures exceed one chip's HBM together)")
     args = ap.parse_args()
 
     from recommendflow_tpu.retrieval import (
@@ -101,11 +107,20 @@ def main():
     qb = 512 if args.n >= 4_000_000 else 4096
     rows = []
 
-    # exact ground truth first (also the Flat baseline timing)
-    row, gt = bench_one(
-        "Flat", lambda: TpuSearcher(args.dim, args.metric, query_block=qb),
-        corpus, queries, args.k, args.reps)
-    rows.append(row)
+    import os
+    import re
+    gt = None
+    if args.gt and os.path.exists(args.gt):
+        gt = np.load(args.gt)["gt"]
+    if gt is None:
+        # exact ground truth first (also the Flat baseline timing)
+        row, gt = bench_one(
+            "Flat", lambda: TpuSearcher(args.dim, args.metric,
+                                        query_block=qb),
+            corpus, queries, args.k, args.reps)
+        rows.append(row)
+        if args.gt:
+            np.savez(args.gt, gt=gt)
 
     configs = [
         ("SQ8", lambda: SqSearcher(args.dim, args.metric, qtype="sq8",
@@ -127,6 +142,8 @@ def main():
                             num_subspaces=16, nprobe=np_)))
 
     for name, maker in configs:
+        if args.only and not re.search(args.only, name):
+            continue
         try:
             row, _ = bench_one(name, maker, corpus, queries, args.k,
                                args.reps, gt=gt)

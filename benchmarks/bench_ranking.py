@@ -27,10 +27,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _build(conf, batch_size, trainer_cls, vocab=None):
+def _build(conf, batch_size, trainer_cls, vocab=None, zipf=0.0,
+           table_update="dense"):
     from recommendflow_tpu.data.schema import compile_schema
+    from recommendflow_tpu.data.synthetic import synthetic_batch
     from recommendflow_tpu.models.base import build_network
-    from __graft_entry__ import _synthetic_batch
     if vocab is not None:
         for f in conf.features.features:
             if f.vocab_size == 750000:
@@ -39,18 +40,42 @@ def _build(conf, batch_size, trainer_cls, vocab=None):
             del conf.features._schema_cache
     model, _ = build_network(conf.networks["class"], {"conf": conf})
     schema = compile_schema(conf.features)
-    batch = _synthetic_batch(schema, batch_size)
-    trainer = trainer_cls(model, learning_rate=1e-3)
+    batch = synthetic_batch(schema, batch_size, zipf=zipf)
+    trainer = trainer_cls(model, learning_rate=1e-3,
+                          table_update=table_update)
     state = trainer.init_state(trainer._put(batch))
     return trainer, state, batch
 
 
+def _dup_stats(schema, batch):
+    """Duplicate fraction of the batch's stored-row ids per table dim."""
+    import numpy as np
+    ids = {}
+    for name, arr in batch.items():
+        s = schema.slots.get(name)
+        if s is not None and s.kind == "sparse":
+            ids.setdefault(s.dim, []).append(np.asarray(arr).reshape(-1))
+    return {d: 1.0 - len(np.unique(np.concatenate(v)))
+            / len(np.concatenate(v)) for d, v in ids.items()}
+
+
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.schema import compile_schema
     from recommendflow_tpu.train import Trainer
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--zipf", type=float, default=0.0,
+                    help="draw ids Zipf(a)-distributed (real CTR ids are "
+                    "Zipfian; 0 = uniform)")
+    ap.add_argument("--table_update", default="dense",
+                    choices=["dense", "sparse", "auto"])
+    args = ap.parse_args()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
@@ -75,7 +100,13 @@ def main():
     # of consecutive steps and OOMs the chip.
     conf = Configuration(os.path.join(here, "conf", "bench_ranking.yaml"))
     trainer, state, batch = _build(conf, batch_size, Trainer,
-                                   vocab=None if on_tpu else 10000)
+                                   vocab=None if on_tpu else 10000,
+                                   zipf=args.zipf,
+                                   table_update=args.table_update)
+    if args.zipf:
+        dup = _dup_stats(compile_schema(conf.features), batch)
+        print(f"zipf a={args.zipf}: duplicate id fraction per dim = "
+              f"{ {d: round(f, 4) for d, f in dup.items()} }")
     steps_full = 10 if on_tpu else steps   # scan-K: K small keeps HBM peak low
     batches = [batch] * steps_full
     state, m = trainer.train_steps(state, batches)   # compile + warm

@@ -166,17 +166,27 @@ def generate_records(conf: Configuration,
     return paths
 
 
-def synthetic_batch(schema, batch_size: int, seed: int = 0):
+def synthetic_batch(schema, batch_size: int, seed: int = 0,
+                    zipf: float = 0.0):
     """One random device-shaped batch straight from a compiled schema
     (ids/dense/labels only — no record files). Used by the export CLI's
-    sample batch, the driver entrypoints, and the benchmarks."""
+    sample batch, the driver entrypoints, and the benchmarks.
+
+    zipf > 1 draws sparse ids Zipf(zipf)-distributed instead of uniform —
+    real CTR ids are Zipfian, which changes the duplicate ratio the
+    embedding-table scatter sees (benchmarks/bench_ranking.py --zipf)."""
     rng = np.random.RandomState(seed)
     batch = {}
     for name in schema.order:
         s = schema.slots[name]
         if s.kind == "sparse":
-            batch[name] = rng.randint(
-                0, s.num_rows, size=(batch_size,) + s.batch_shape).astype(np.int32)
+            shape = (batch_size,) + s.batch_shape
+            if zipf and zipf > 1.0:
+                ids = (rng.zipf(zipf, size=shape) - 1) % s.num_rows
+                batch[name] = ids.astype(np.int32)
+            else:
+                batch[name] = rng.randint(
+                    0, s.num_rows, size=shape).astype(np.int32)
         elif s.kind == "dense":
             batch[name] = rng.rand(batch_size, *s.batch_shape).astype(np.float32)
         else:

@@ -90,7 +90,7 @@ def _make_pairwise_distance(metric: str, p: float):
 
 
 def _tournament_select(queries, m1, vecs_g, sqn_g, k, select_k, valid,
-                       metric):
+                       metric, base=None):
     """Two-level tournament select + exact vector rescore.
 
     m1      [Q, n_groups] per-group score maxima (masked by the caller).
@@ -125,7 +125,11 @@ def _tournament_select(queries, m1, vecs_g, sqn_g, k, select_k, valid,
             jnp.arange(G2)[None, None, :]).reshape(nq, select_k * G2)
     gidx = jnp.take_along_axis(gids, pos, axis=1)     # [Q, sk] groups
     gv = vecs_g[gidx.reshape(-1)].reshape(nq, select_k, G, dim)
-    cs = jnp.einsum("qkgd,qd->qkg", gv, queries)
+    # vecs_g may hold quantized codes (SqSearcher): cast to the query dtype
+    # and add the caller's per-query affine base (q·vmin for SQ8)
+    cs = jnp.einsum("qkgd,qd->qkg", gv.astype(queries.dtype), queries)
+    if base is not None:
+        cs = cs + base[:, None, None]
     cand = (gidx[:, :, None] * G +
             jnp.arange(G)[None, None, :]).reshape(nq, select_k * G)
     if metric == "l2":
@@ -484,28 +488,36 @@ def kmeans(vectors: jnp.ndarray, nlist: int, iters: int = 10,
 
 # ------------------------------------------------------- shared IVF/PQ tools
 def _assign_blocks(padded_vecs: jnp.ndarray, centroids: jnp.ndarray,
-                   n: int, block: int = 65536) -> np.ndarray:
+                   n: int, block: int = 16384) -> np.ndarray:
     """Nearest-centroid assignment for the first n rows of a padded device
-    corpus, row-blocked via lax.map to bound the [block, nlist] score temp."""
+    corpus, row-blocked via lax.map to bound the [block, nlist] score temp.
+
+    Blocks OVERLAP at the tail instead of padding (start clamps to
+    N - block): padding would copy the whole corpus on device — at 10M x
+    128 that second 5.1 GB copy OOMs the chip during train. Overlapping
+    rows compute identical assignments, so later blocks harmlessly rewrite
+    them on the host."""
+    N = int(padded_vecs.shape[0])
+    block = min(block, N)
     n_blk = -(-n // block)
-    pad_n = n_blk * block
-    if pad_n > padded_vecs.shape[0]:
-        padded_vecs = jnp.concatenate(
-            [padded_vecs, jnp.zeros((pad_n - padded_vecs.shape[0],
-                                     padded_vecs.shape[1]), jnp.float32)])
+    starts_np = np.minimum(np.arange(n_blk) * block, N - block)
 
     @jax.jit
-    def assign_all(v, c):
+    def assign_all(v, c, starts):
         c_sq = jnp.sum(c * c, axis=1)
 
         def one(start):
             x = jax.lax.dynamic_slice(v, (start, 0), (block, v.shape[1]))
             return jnp.argmax(2.0 * (x @ c.T) - c_sq[None, :], axis=1)
 
-        starts = jnp.arange(n_blk) * block
-        return jax.lax.map(one, starts).reshape(-1)
+        return jax.lax.map(one, starts)
 
-    return np.asarray(assign_all(padded_vecs, centroids))[:n].astype(np.int64)
+    parts = np.asarray(assign_all(padded_vecs, centroids,
+                                  jnp.asarray(starts_np, jnp.int32)))
+    out = np.empty(N, np.int64)
+    for i, s in enumerate(starts_np):
+        out[s:s + block] = parts[i]
+    return out[:n]
 
 
 def _build_capped_lists(assign: np.ndarray, nlist: int, cap_factor: float):
@@ -628,13 +640,13 @@ class IvfSearcher(TpuSearcher):
         padded = np.zeros((n + 1, self.dim), np.float32)
         padded[:n] = vectors
         self._vecs = jnp.asarray(padded)
-        dev_vecs = self._vecs[:n]
-
         # 1. coarse quantizer on a device-side sample (faiss practice:
-        # don't kmeans 10M rows)
+        # don't kmeans 10M rows). NOTE: never slice self._vecs[:n] eagerly
+        # here — an eager slice materializes a second full-corpus copy
+        # (5.1 GB at 10M x 128) and OOMs train on one chip.
         rng = np.random.RandomState(self.seed)
         if n <= self.train_sample:
-            sample = dev_vecs
+            sample = jnp.take(self._vecs, jnp.arange(n), axis=0)
         else:
             sample_idx = rng.choice(n, self.train_sample, replace=False)
             sample = jnp.take(self._vecs, jnp.asarray(sample_idx), axis=0)
@@ -1028,7 +1040,8 @@ class IvfPqSearcher(TpuSearcher):
         padded[:n] = vectors
         dev = jnp.asarray(padded)
         if n <= self.train_sample:
-            sample = dev[:n]
+            # jnp.take, not an eager slice: dev[:n] would copy the corpus
+            sample = jnp.take(dev, jnp.arange(n), axis=0)
         else:
             sample = jnp.take(dev, jnp.asarray(
                 rng.choice(n, self.train_sample, replace=False)), axis=0)
@@ -1076,6 +1089,7 @@ class IvfPqSearcher(TpuSearcher):
             self._xhat_sq = jnp.asarray(xsq)
         self._vecs = None
         self._search_fn = None
+        self._codes_g = self._xsq_g = None  # grouped relayouts, built lazily
 
     def add(self, vectors, items=None):
         """Append: encode with the EXISTING quantizers (FAISS IVFPQ add
@@ -1285,6 +1299,8 @@ class SqSearcher(TpuSearcher):
         self._vmin = None         # [D] f32 (sq8)
         self._scale = None        # [D] f32 (sq8)
         self._xhat_sq = None      # [N_pad] f32 (l2)
+        self._codes_g = None      # [N_pad/G, G, D] grouped view (hier path)
+        self._xsq_g = None        # [N_pad/G, G] grouped norms (hier l2)
 
     # --------------------------------------------------------------- build
     def train(self, vectors: np.ndarray, items: Optional[Sequence[Any]] = None):
@@ -1349,12 +1365,81 @@ class SqSearcher(TpuSearcher):
         num_items = self.num_items
         dim = self.dim
         bn = self.item_block
-        n_blocks = int(self._codes.shape[0]) // bn
+        n_pad = int(self._codes.shape[0])
+        n_blocks = n_pad // bn
         k_eff = min(k, bn)
         xhat_sq = self._xhat_sq if metric == "l2" \
             else jnp.zeros((1,), jnp.float32)
         vmin = self._vmin if qtype == "sq8" else jnp.zeros((1,), jnp.float32)
         scale = self._scale if qtype == "sq8" else jnp.zeros((1,), jnp.float32)
+
+        # ---- grouped-tournament path (the exact searcher's pruning, over
+        # quantized codes): per-block [Q, n, G] scores reduce to group
+        # maxima WITHOUT any wide top_k (lax.top_k over 65k-wide block rows
+        # made the flat scan ~20x slower than Flat at 10M — measured
+        # 254 vs 5761 qps, benchmarks/bench_quantized_search.py); the k
+        # winning groups rescore from gathered code tiles dequantized via
+        # the same affine identity. Group maxima compute in bf16 (f32
+        # accum) while the rescore is f32 — a borderline group can in
+        # principle differ in the last bf16 ulp, so recall is ~=1 rather
+        # than provably 1 relative to the quantized scores (the codes are
+        # already approximate vs the original vectors).
+        G, G2 = _GROUP, _SUPERGROUP
+        if (n_pad % (G * G2) == 0 and n_pad // (G * G2) > max(k, 64)
+                and n_pad >= _HIER_MIN_ITEMS and bn % G == 0):
+            if self._codes_g is None:
+                self._codes_g = jax.jit(
+                    lambda c: c.reshape(n_pad // G, G, dim))(self._codes)
+                if metric == "l2":
+                    self._xsq_g = jax.jit(
+                        lambda s: s.reshape(n_pad // G, G))(self._xhat_sq)
+            xsq_g = self._xsq_g if metric == "l2" \
+                else jnp.zeros((1, G), jnp.float32)
+
+            def search_hier(queries, codes_g, vmin, scale, xsq_g):
+                nq = queries.shape[0]
+                if qtype == "sq8":
+                    qs = queries * scale[None, :]
+                    base = queries @ vmin                      # [Q]
+                else:
+                    qs = queries
+                    base = jnp.zeros((nq,), jnp.float32)
+                # f32 scan (not bf16): selection and rescore must agree —
+                # TPU f32 matmuls compute at bf16 MXU precision anyway
+                # (CLAUDE.md: bf16 scan output was bit-identical), so f32
+                # costs nothing and keeps the tournament self-consistent
+                gb = bn // G                                   # groups/block
+
+                def one(gstart):
+                    blk = jax.lax.dynamic_slice(
+                        codes_g, (gstart, 0, 0), (gb, G, dim))
+                    s = jnp.einsum("qd,ngd->qng", qs,
+                                   blk.astype(jnp.float32),
+                                   preferred_element_type=jnp.float32)
+                    s = s + base[:, None, None]
+                    item = ((gstart + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, gb, G), 1)) * G
+                        + jax.lax.broadcasted_iota(jnp.int32, (1, gb, G), 2))
+                    if metric == "l2":
+                        s = 2.0 * s - jax.lax.dynamic_slice(
+                            xsq_g, (gstart, 0), (gb, G))[None]
+                    s = jnp.where(item < num_items, s, NEG)
+                    return jnp.max(s, axis=-1)                 # [Q, gb]
+
+                starts = jnp.arange(n_blocks) * gb
+                m1b = jax.lax.map(one, starts)                 # [nb, Q, gb]
+                m1 = m1b.transpose(1, 0, 2).reshape(nq, n_pad // G)
+                top_scores, top_idx = _tournament_select(
+                    qs.astype(jnp.float32), m1, codes_g, xsq_g, k, k,
+                    num_items, metric, base=base)
+                if metric == "l2":
+                    q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
+                    top_scores = jnp.sqrt(jnp.maximum(q_sq - top_scores, 0.0))
+                return top_scores, top_idx
+
+            jitted = jax.jit(search_hier)
+            return lambda q, v, sq: jitted(q, self._codes_g, vmin, scale,
+                                           xsq_g)
 
         def search_block(queries, codes, vmin, scale, xsq):
             nq = queries.shape[0]
@@ -1461,6 +1546,7 @@ class SqSearcher(TpuSearcher):
             self._xhat_sq = jnp.asarray(xsq)
         self._vecs = None
         self._search_fn = None
+        self._codes_g = self._xsq_g = None  # grouped relayouts, built lazily
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -1471,7 +1557,7 @@ class SqSearcher(TpuSearcher):
         state["_scale"] = np.asarray(self._scale) \
             if self._scale is not None else None
         for key in ("_vecs", "_sq_norms", "_search_fn", "_vecs_g", "_sqn_g",
-                    "_xhat_sq"):
+                    "_xhat_sq", "_codes_g", "_xsq_g"):
             state[key] = None
         return state
 

@@ -479,3 +479,52 @@ class TestEncoderSearcher:
         s = EncoderSearcher(encoder=_ToyEncoder(), items=self._items())
         with pytest.raises(RuntimeError, match="not trained"):
             s.search(["x"], topK=1)
+
+
+@pytest.mark.parametrize("qtype", ["sq8", "bf16"])
+@pytest.mark.parametrize("metric", ["ip", "cos", "l2"])
+def test_sq_grouped_tournament_matches_flat_scan(metric, qtype, monkeypatch):
+    """SqSearcher's grouped-tournament path (engaged on big corpora) must
+    agree with its flat block scan — same quantized scores, same ids (up to
+    bf16-ulp group-max ties)."""
+    import recommendflow_tpu.retrieval.searcher as S
+    from recommendflow_tpu.retrieval import SqSearcher
+    rng = np.random.RandomState(5)
+    n, d, k = 20000, 16, 10
+    v = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(16, d).astype(np.float32)
+
+    monkeypatch.setattr(S, "_HIER_MIN_ITEMS", 1024)
+    hier = SqSearcher(dim=d, metric=metric, qtype=qtype,
+                      item_block=1024).train(v)
+    s_hier, i_hier = hier.search(q, topk=k, return_items=False)
+    assert hier._codes_g is not None           # tournament path engaged
+
+    # golden: numpy over the DEQUANTIZED corpus (the searcher's own x-hat)
+    vv = v / np.linalg.norm(v, axis=1, keepdims=True) if metric == "cos" else v
+    qq = q / np.linalg.norm(q, axis=1, keepdims=True) if metric == "cos" else q
+    if qtype == "sq8":
+        codes = np.asarray(hier._codes)[:n].astype(np.float32)
+        xhat = np.asarray(hier._vmin) + np.asarray(hier._scale) * codes
+    else:
+        xhat = np.asarray(hier._codes)[:n].astype(np.float32)
+    if metric == "l2":
+        d2 = ((qq[:, None, :] - xhat[None, :, :]) ** 2).sum(-1)
+        g_idx = np.argsort(d2, axis=1)[:, :k]
+        g_scores = np.sqrt(np.take_along_axis(d2, g_idx, axis=1))
+    else:
+        sim = qq @ xhat.T
+        g_idx = np.argsort(-sim, axis=1)[:, :k]
+        g_scores = np.take_along_axis(sim, g_idx, axis=1)
+    np.testing.assert_allclose(np.sort(np.asarray(s_hier), axis=1),
+                               np.sort(g_scores, axis=1),
+                               rtol=1e-4, atol=1e-4)
+    for r in range(len(q)):
+        assert set(np.asarray(i_hier)[r]) == set(g_idx[r]), f"row {r}"
+
+    # pickle round-trip keeps the lazy grouped state rebuildable
+    import pickle
+    hier2 = pickle.loads(pickle.dumps(hier))
+    s2, i2 = hier2.search(q, topk=k, return_items=False)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s_hier),
+                               rtol=2e-3, atol=2e-3)
