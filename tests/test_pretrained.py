@@ -108,6 +108,21 @@ class TestTorchOracle:
         assert kwargs["ln_epsilon"] == 1e-12
 
 
+def test_safetensors_checkpoint_loads(oracle, tmp_path):
+    """The HF safetensors format loads identically to the .bin state dict."""
+    st = pytest.importorskip("safetensors.torch")
+    cfg, bin_path, model = oracle
+    path = str(tmp_path / "model.safetensors")
+    st.save_file(model.state_dict(), path)
+    import jax
+    kw = dict(num_layers=TINY["num_hidden_layers"], max_len=48,
+              num_heads=TINY["num_attention_heads"])
+    p_bin = bert_params_to_flax(load_bert_checkpoint(bin_path), **kw)
+    p_st = bert_params_to_flax(load_bert_checkpoint(path), **kw)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7),
+                 p_bin, p_st)
+
+
 def _google_name(canonical: str) -> str:
     g = "bert/" + canonical
     if "LayerNorm" in canonical:
