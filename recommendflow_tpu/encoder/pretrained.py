@@ -28,8 +28,12 @@ __all__ = [
 ]
 
 # HF hidden_act -> our activation-table names (ops/mlp.py:_ACTIVATIONS).
-# Google BERT "gelu" is the erf form; HF "gelu_new" is the tanh
-# approximation, which is exactly what flax's default nn.gelu computes.
+# "gelu" -> erf gelu: this matches HF BERT AND bert4keras (whose default is
+# gelu_erf) — i.e. the reference's serving behavior. Google's original TF1
+# modeling.py used the tanh approximation, so bert4keras itself serves TF
+# checkpoints with the same ~1e-3 activation delta we do; parity target is
+# bert4keras (blocks/bert.py:11), not TF1. "gelu_new" is the tanh form
+# (flax's default nn.gelu).
 _ACT_MAP = {"gelu": "gelu_exact", "gelu_new": "gelu", "gelu_python":
             "gelu_exact", "relu": "relu", "silu": "silu", "swish": "silu"}
 

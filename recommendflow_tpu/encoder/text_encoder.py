@@ -82,7 +82,10 @@ class TextEncoderService:
                     raise ValueError(f"pool_pos not support: {pool_pos}")
                 enc_kwargs["pooling"] = pool_pos
             else:
-                n_pos = bert_encoder_kwargs(config_path)["max_len"]
+                # bound by the ACTUAL sequence length the encoder will see,
+                # not the checkpoint's max_position_embeddings
+                n_pos = bert_encoder_kwargs(config_path,
+                                            max_len=max_len)["max_len"]
                 if not 0 <= int(pool_pos) < n_pos:
                     raise ValueError(
                         f"pool_pos scalar must in [0, {n_pos}), get {pool_pos}")

@@ -21,7 +21,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from recommendflow_tpu.retrieval.searcher import (
-    _DISTANCE_METRICS, _l2_normalize, index_factory, resolve_metric)
+    _l2_normalize, index_factory, resolve_metric)
 
 
 class EncoderSearcher:
@@ -149,23 +149,25 @@ class EncoderSearcher:
 
     # ------------------------------------------------------------- persist
     def save_searcher(self, path: str):
+        """Whole-searcher pickle. An encoder that cannot pickle is dropped
+        with a warning (vector search keeps working on reload; text queries
+        then need a fresh encoder attached)."""
+        try:
+            blob = pickle.dumps(self)
+        except Exception:
+            encoder, self.encoder = self.encoder, None
+            try:
+                blob = pickle.dumps(self)
+            finally:
+                self.encoder = encoder
+            import warnings
+            warnings.warn("EncoderSearcher: encoder is not picklable and "
+                          "was omitted from the saved searcher")
         with open(path, "wb") as f:
-            pickle.dump(self, f)
+            f.write(blob)
 
     @staticmethod
     def load_searcher(path: str) -> "EncoderSearcher":
         with open(path, "rb") as f:
             return pickle.load(f)
 
-    def __getstate__(self):
-        state = self.__dict__.copy()
-        # the underlying index pickles itself (TpuSearcher __getstate__) and
-        # TextEncoderService drops its jitted closure; an encoder that still
-        # cannot pickle is dropped (vector search keeps working — text
-        # queries then need a fresh encoder attached)
-        if self.encoder is not None:
-            try:
-                pickle.dumps(self.encoder)
-            except Exception:
-                state["encoder"] = None
-        return state

@@ -241,6 +241,8 @@ class TpuSearcher:
             # distances -> top_k of the negation, returned ascending
             dist = _make_pairwise_distance(metric, self.metric_arg)
             nb = 512
+            while n_pad % nb:          # pad_multiple is caller-configurable
+                nb //= 2
 
             def search_block(queries, vecs, sq_norms):
                 nq = queries.shape[0]
@@ -1089,7 +1091,6 @@ class IvfPqSearcher(TpuSearcher):
             self._xhat_sq = jnp.asarray(xsq)
         self._vecs = None
         self._search_fn = None
-        self._codes_g = self._xsq_g = None  # grouped relayouts, built lazily
 
     def add(self, vectors, items=None):
         """Append: encode with the EXISTING quantizers (FAISS IVFPQ add

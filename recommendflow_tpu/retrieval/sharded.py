@@ -92,6 +92,8 @@ class ShardedSearcher(TpuSearcher):
     """
 
     AXIS = "items"
+    # the sharded scan scores with the matmul family only
+    SUPPORTED_METRICS = ("ip", "cos", "l2")
 
     def __init__(self, dim: int, metric: str = "cos",
                  mesh: Optional[Mesh] = None, query_block: int = 4096):

@@ -77,8 +77,10 @@ class _MicroBatcher:
     def _loop(self):
         import queue
         import time as _time
+        carry = None   # a dequeued request that would overflow this batch
         while True:
-            head = self.q.get()
+            head = carry if carry is not None else self.q.get()
+            carry = None
             if head is None:
                 return
             batch = [head]
@@ -94,6 +96,9 @@ class _MicroBatcher:
                     break
                 if req is None:
                     self.q.put(None)  # re-queue shutdown for after this batch
+                    break
+                if total + len(req.texts) > self.max_batch:
+                    carry = req       # honor max_batch: open the NEXT batch
                     break
                 batch.append(req)
                 total += len(req.texts)

@@ -57,7 +57,7 @@ class _PreemptSync:
     MirroredStrategy is single-host); this is TPU-pod-grade preemption.
     """
 
-    def __init__(self, window: int = 4):
+    def __init__(self, window: int = 16):
         from collections import deque
 
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -66,6 +66,13 @@ class _PreemptSync:
         mesh = Mesh(np.asarray(jax.devices()), ("all",))
         self._sharding = NamedSharding(mesh, P("all"))
         self._any = jax.jit(jnp.max)
+
+    @staticmethod
+    def _done(x) -> bool:
+        try:
+            return x.is_ready()
+        except AttributeError:   # backends without is_ready: assume done
+            return True
 
     def _agree(self, flag: bool):
         local = np.full((jax.local_device_count(),), 1 if flag else 0,
@@ -79,9 +86,14 @@ class _PreemptSync:
         self.pending.append(self._agree(flag))
 
     def should_stop(self) -> bool:
-        """Check agreements older than the window (non-collective)."""
+        """Check settled agreements (non-collective). Fetches are
+        non-blocking in steady state: an agreement is popped once the
+        device reports it ready (is_ready), and only forced — a real sync —
+        when the backlog exceeds the window, so the async dispatch pipeline
+        keeps its depth (CLAUDE.md: per-step syncs collapse fit throughput)."""
         stop = False
-        while len(self.pending) > self.window:
+        while self.pending and (len(self.pending) > self.window
+                                or self._done(self.pending[0])):
             stop |= int(self.pending.popleft()) > 0
         return stop
 
