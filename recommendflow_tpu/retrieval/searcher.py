@@ -1396,8 +1396,16 @@ class SqSearcher(TpuSearcher):
                         lambda s: s.reshape(n_pad // G, G))(self._xhat_sq)
             xsq_g = self._xsq_g if metric == "l2" \
                 else jnp.zeros((1, G), jnp.float32)
+            # bf16 codes ARE a valid corpus for the exact path's fused
+            # Pallas scan (scores + group max with the [Q, N] matrix never
+            # touching HBM) — the m1 stage rides it whenever the Mosaic
+            # shape constraints hold (sq8's uint8 codes stay on the XLA
+            # einsum: the kernel has no in-register dequant)
+            use_kernel = (jax.default_backend() != "cpu"
+                          and qtype == "bf16" and dim % 128 == 0
+                          and n_pad % (128 * G) == 0)
 
-            def search_hier(queries, codes_g, vmin, scale, xsq_g):
+            def search_hier(queries, codes2d, codes_g, vmin, scale, xsq_g):
                 nq = queries.shape[0]
                 if qtype == "sq8":
                     qs = queries * scale[None, :]
@@ -1427,9 +1435,17 @@ class SqSearcher(TpuSearcher):
                     s = jnp.where(item < num_items, s, NEG)
                     return jnp.max(s, axis=-1)                 # [Q, gb]
 
-                starts = jnp.arange(n_blocks) * gb
-                m1b = jax.lax.map(one, starts)                 # [nb, Q, gb]
-                m1 = m1b.transpose(1, 0, 2).reshape(nq, n_pad // G)
+                if use_kernel:
+                    from recommendflow_tpu.ops.pallas.grouped_topk import (
+                        grouped_score_max)
+                    m1 = grouped_score_max(
+                        qs, codes2d,
+                        self._xhat_sq if metric == "l2" else None,
+                        group=G, num_items=num_items).T
+                else:
+                    starts = jnp.arange(n_blocks) * gb
+                    m1b = jax.lax.map(one, starts)             # [nb, Q, gb]
+                    m1 = m1b.transpose(1, 0, 2).reshape(nq, n_pad // G)
                 top_scores, top_idx = _tournament_select(
                     qs.astype(jnp.float32), m1, codes_g, xsq_g, k, k,
                     num_items, metric, base=base)
@@ -1439,8 +1455,8 @@ class SqSearcher(TpuSearcher):
                 return top_scores, top_idx
 
             jitted = jax.jit(search_hier)
-            return lambda q, v, sq: jitted(q, self._codes_g, vmin, scale,
-                                           xsq_g)
+            return lambda q, v, sq: jitted(q, self._codes, self._codes_g,
+                                           vmin, scale, xsq_g)
 
         def search_block(queries, codes, vmin, scale, xsq):
             nq = queries.shape[0]

@@ -426,3 +426,24 @@ def test_mmoe_legacy_checkpoint_migration():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # already-stacked trees pass through untouched
     assert migrate_legacy_params(migrated) is migrated
+
+
+def test_preempt_sync_single_process_semantics():
+    """_PreemptSync unit behavior (the cross-process agreement used by
+    fit() when process_count > 1): flags propagate through the device
+    reduce, pops respect the window, drain settles everything."""
+    from recommendflow_tpu.train.trainer import _PreemptSync
+    ps = _PreemptSync(window=3)
+    for _ in range(3):
+        ps.push(False)
+    # nothing beyond the window yet and all-false anyway
+    assert ps.should_stop() is False
+    ps.push(True)
+    ps.push(False)
+    # the True agreement surfaces once it settles (single process: ready
+    # immediately) or once it ages past the window
+    assert ps.should_stop() is True
+    assert ps.drain(False) is False          # pending cleared by the pops
+    ps2 = _PreemptSync(window=8)
+    ps2.push(False)
+    assert ps2.drain(True) is True           # fresh agreement sees the flag
