@@ -3,7 +3,9 @@ from recommendflow_tpu.retrieval.searcher import (
     index_factory, kmeans, resolve_metric,
 )
 from recommendflow_tpu.retrieval.encoder_search import EncoderSearcher
-from recommendflow_tpu.retrieval.sharded import ShardedSearcher
+from recommendflow_tpu.retrieval.sharded import (
+    ShardedSearcher, ShardedSqSearcher,
+)
 from recommendflow_tpu.retrieval.whitening import VecsWhitening
 from recommendflow_tpu.retrieval.eval import (
     batch_compute_group_recall_score, batch_compute_recall_score, click_ranks,

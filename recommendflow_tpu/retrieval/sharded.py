@@ -28,7 +28,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from recommendflow_tpu.retrieval.searcher import (
-    NEG, _GROUP, _SUPERGROUP, TpuSearcher, _l2_normalize, _tournament_select,
+    NEG, _GROUP, _SUPERGROUP, SqSearcher, TpuSearcher, _l2_normalize,
+    _tournament_select,
 )
 
 BIG = 1e30
@@ -215,6 +216,220 @@ class ShardedSearcher(TpuSearcher):
         # jax Device objects don't pickle; the restoring host rebuilds the
         # mesh over its own devices in __setstate__
         state["mesh"] = None
+        return state
+
+    def __setstate__(self, state):
+        state["mesh"] = Mesh(np.asarray(jax.devices()), (self.AXIS,))
+        super().__setstate__(state)
+
+
+class ShardedSqSearcher(SqSearcher):
+    """SqSearcher with the quantized code matrix row-sharded over a mesh.
+
+    The beyond-HBM composition: scalar quantization already fits 2x (bf16)
+    or 4x (sq8) more items per chip than f32; sharding the item axis
+    multiplies that by mesh size (8 chips x sq8 = 32x the f32 single-chip
+    corpus at recall ~0.97, bf16 = 16x at ~1.0 — regime numbers in
+    COVERAGE.md §2.8). Search runs SPMD: every shard scans its local codes
+    with the same grouped-tournament used on one chip (Pallas fused m1 scan
+    for bf16 when Mosaic shapes allow), then an `all_gather` of per-shard
+    top-k merges exactly — correct because a global top-k item is a local
+    top-k item of its own shard. Same surface as SqSearcher
+    (train/add/search/save/load/pickle); the restoring host rebuilds on its
+    own default mesh.
+
+    Scoring matches SqSearcher: q·x̂ = q·vmin + (q⊙scale)·codes (sq8) rides
+    the integer codes without dequantizing; the per-query affine base is a
+    rank-preserving shift, so group selection needs only the code matmul.
+    Per-shard padding masks with the traced valid count via the same
+    over-inclusion trick as ShardedSearcher (boundary group pinned +BIG,
+    select_k = k+1, exact mask at rescore).
+    """
+
+    AXIS = "items"
+
+    def __init__(self, dim: int, metric: str = "cos", qtype: str = "bf16",
+                 mesh: Optional[Mesh] = None, item_block: int = 65536,
+                 query_block: int = 2048):
+        super().__init__(dim, metric, qtype=qtype, item_block=item_block,
+                         query_block=query_block)
+        self.mesh = mesh if mesh is not None else Mesh(
+            np.asarray(jax.devices()), (self.AXIS,))
+
+    # --------------------------------------------------------------- build
+    def _restore_codes(self, codes: np.ndarray):
+        """Pad to an equal per-shard multiple and upload row-sharded."""
+        n = len(codes)
+        n_dev = self.mesh.devices.size
+        per = 65536 if n > 131072 * n_dev else 512
+        local = max(-(-n // (per * n_dev)), 1) * per
+        n_pad = local * n_dev
+        sharding = NamedSharding(self.mesh, P(self.AXIS, None))
+        if self.qtype == "sq8":
+            padded = np.zeros((n_pad, self.dim), np.uint8)
+            padded[:n] = codes
+            self._codes = jax.device_put(padded, sharding)
+        else:
+            padded = np.zeros((n_pad, self.dim), np.float32)
+            padded[:n] = codes
+            self._codes = jax.device_put(
+                padded.astype(jnp.bfloat16), sharding)
+        if self.metric == "l2":
+            xsq = np.zeros((n_pad,), np.float32)
+            for s in range(0, n, 65536):
+                blk = codes[s:s + 65536]
+                dec = (np.asarray(self._vmin) +
+                       np.asarray(self._scale) * blk.astype(np.float32)) \
+                    if self.qtype == "sq8" else \
+                    blk.astype(jnp.bfloat16).astype(np.float32)
+                xsq[s:s + len(blk)] = (dec ** 2).sum(-1)
+            self._xhat_sq = jax.device_put(
+                xsq, NamedSharding(self.mesh, P(self.AXIS)))
+        self._vecs = None
+        self._search_fn = None
+        self._codes_g = self._xsq_g = None
+
+    # -------------------------------------------------------------- search
+    def _build_search(self, k: int):
+        metric, qtype, dim = self.metric, self.qtype, self.dim
+        num_items = self.num_items
+        mesh, axis = self.mesh, self.AXIS
+        n_dev = mesh.devices.size
+        n_pad = int(self._codes.shape[0])
+        n_local = n_pad // n_dev
+        G, G2 = _GROUP, _SUPERGROUP
+        k_local = min(k, n_local)
+        # largest block <= item_block that divides the per-shard row count
+        # (n_local is always a multiple of 512, so this terminates at 512)
+        bn = min(self.item_block, n_local)
+        while n_local % bn:
+            bn //= 2
+        hier = (n_local % (G * G2) == 0 and bn % G == 0
+                and n_local // (G * G2) > max(k_local + 1, 64))
+        use_kernel = (jax.default_backend() != "cpu" and qtype == "bf16"
+                      and dim % 128 == 0 and n_local % (128 * G) == 0)
+        if hier and self._codes_g is None:
+            self._codes_g = jax.jit(
+                lambda c: c.reshape(n_pad // G, G, dim),
+                out_shardings=NamedSharding(mesh, P(axis, None, None)),
+            )(self._codes)
+            if metric == "l2":
+                self._xsq_g = jax.jit(
+                    lambda s: s.reshape(n_pad // G, G),
+                    out_shardings=NamedSharding(mesh, P(axis, None)),
+                )(self._xhat_sq)
+        vmin = self._vmin if qtype == "sq8" else jnp.zeros((1,), jnp.float32)
+        scale = self._scale if qtype == "sq8" else jnp.ones((1,), jnp.float32)
+
+        def local_topk(queries, codes, codes_g, xsq, xsq_g, valid):
+            nq = queries.shape[0]
+            if qtype == "sq8":
+                qs = queries * scale[None, :]
+                base = queries @ vmin                          # [Q]
+            else:
+                qs = queries
+                base = jnp.zeros((nq,), jnp.float32)
+
+            if hier:
+                if use_kernel:
+                    from recommendflow_tpu.ops.pallas.grouped_topk import (
+                        grouped_score_max)
+                    m1 = grouped_score_max(
+                        qs, codes, xsq if metric == "l2" else None,
+                        group=G, num_items=n_local).T
+                else:
+                    gb = bn // G
+
+                    def one(gstart):
+                        blk = jax.lax.dynamic_slice(
+                            codes_g, (gstart, 0, 0), (gb, G, dim))
+                        s = jnp.einsum("qd,ngd->qng", qs,
+                                       blk.astype(jnp.float32),
+                                       preferred_element_type=jnp.float32)
+                        if metric == "l2":
+                            s = 2.0 * s - jax.lax.dynamic_slice(
+                                xsq_g, (gstart, 0), (gb, G))[None]
+                        return jnp.max(s, axis=-1)             # [Q, gb]
+
+                    starts = jnp.arange(n_local // bn) * gb
+                    m1b = jax.lax.map(one, starts)             # [nb, Q, gb]
+                    m1 = m1b.transpose(1, 0, 2).reshape(nq, n_local // G)
+                # base is a per-query constant: rank-preserving, so m1 can
+                # skip it — selection only compares within a query's row
+                g = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, n_local // G), 1)
+                full = (g + 1) * G <= valid
+                boundary = (g * G < valid) & ~full
+                m1 = jnp.where(full, m1, jnp.where(boundary, BIG, NEG))
+                return _tournament_select(
+                    qs, m1, codes_g, xsq_g, k_local, k_local + 1, valid,
+                    metric, base=base)
+
+            def one(start):
+                blk = jax.lax.dynamic_slice(codes, (start, 0), (bn, dim))
+                s = jnp.einsum("qd,nd->qn", qs.astype(jnp.bfloat16),
+                               blk.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+                s = s + base[:, None]
+                if metric == "l2":
+                    s = 2.0 * s - jax.lax.dynamic_slice(
+                        xsq, (start,), (bn,))[None, :]
+                gidx = start + jax.lax.broadcasted_iota(
+                    jnp.int32, (nq, bn), 1)
+                s = jnp.where(gidx < valid, s, NEG)
+                bs, bp = jax.lax.top_k(s, min(k_local, bn))
+                return bs, jnp.take_along_axis(gidx, bp, axis=1)
+
+            starts = jnp.arange(n_local // bn) * bn
+            bs, bi = jax.lax.map(one, starts)
+            all_s = bs.transpose(1, 0, 2).reshape(nq, -1)
+            all_i = bi.transpose(1, 0, 2).reshape(nq, -1)
+            s, pos = jax.lax.top_k(all_s, k_local)
+            return s, jnp.take_along_axis(all_i, pos, axis=1)
+
+        def local_merge(queries, codes, codes_g, xsq, xsq_g):
+            shard = jax.lax.axis_index(axis)
+            offset = shard * n_local
+            valid = jnp.clip(num_items - offset, 0, n_local)
+            s, i = local_topk(queries, codes, codes_g, xsq, xsq_g, valid)
+            i = i + offset
+            s_all = jax.lax.all_gather(s, axis)                # [n_dev, Q, k']
+            i_all = jax.lax.all_gather(i, axis)
+            nq = queries.shape[0]
+            s_flat = s_all.transpose(1, 0, 2).reshape(nq, -1)
+            i_flat = i_all.transpose(1, 0, 2).reshape(nq, -1)
+            top, pos = jax.lax.top_k(s_flat, k)
+            idx = jnp.take_along_axis(i_flat, pos, axis=1)
+            if metric == "l2":
+                q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
+                top = jnp.sqrt(jnp.maximum(q_sq - top, 0.0))
+            return top, idx
+
+        from jax import shard_map
+        spec_cg = P(axis, None, None) if hier else P()
+        spec_xsq = P(axis) if metric == "l2" else P()
+        spec_xsqg = P(axis, None) if (hier and metric == "l2") else P()
+        shard_fn = jax.jit(shard_map(
+            lambda q, c, cg, xs, xsg: local_merge(
+                q, c, cg if hier else None,
+                xs if metric == "l2" else None,
+                xsg if (hier and metric == "l2") else None),
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), spec_cg, spec_xsq, spec_xsqg),
+            out_specs=(P(), P()), check_vma=False))
+        zero = jnp.zeros((), jnp.float32)
+
+        def run(q, v, sq):
+            return shard_fn(q, self._codes,
+                            self._codes_g if hier else zero,
+                            self._xhat_sq if metric == "l2" else zero,
+                            self._xsq_g if (hier and metric == "l2") else zero)
+        return run
+
+    # ------------------------------------------------------------- persist
+    def __getstate__(self):
+        state = super().__getstate__()
+        state["mesh"] = None   # Device objects don't pickle; rebuilt below
         return state
 
     def __setstate__(self, state):

@@ -305,6 +305,88 @@ def test_sharded_searcher_pickle_roundtrip(tmp_path):
     assert np.array_equal(np.asarray(i2), np.asarray(i1))
 
 
+@pytest.mark.parametrize("qtype,metric", [
+    ("bf16", "ip"), ("bf16", "cos"), ("bf16", "l2"),
+    ("sq8", "cos"), ("sq8", "l2"),
+])
+def test_sharded_sq_matches_single_device(qtype, metric):
+    """ShardedSqSearcher row-shards the quantized codes over the mesh; the
+    per-item surrogate scores are computed by the same formula/dtype path
+    as the single-device SqSearcher, so the merged top-k must agree (ties
+    break by lowest global index in both)."""
+    from recommendflow_tpu.retrieval import ShardedSqSearcher
+    from recommendflow_tpu.retrieval.searcher import SqSearcher
+    n, d, k = 3777, 16, 9
+    v = _corpus(n, d, seed=21)
+    q = _corpus(25, d, seed=22)
+    single = SqSearcher(dim=d, metric=metric, qtype=qtype).train(v)
+    sharded = ShardedSqSearcher(dim=d, metric=metric, qtype=qtype).train(v)
+    _, s1, i1 = single.search(q, topk=k)
+    _, s2, i2 = sharded.search(q, topk=k)
+    np.testing.assert_allclose(np.sort(np.asarray(s2), axis=1),
+                               np.sort(np.asarray(s1), axis=1),
+                               rtol=1e-4, atol=1e-4)
+    for r in range(len(q)):
+        assert len(set(np.asarray(i2)[r]) & set(np.asarray(i1)[r])) >= k - 1
+
+
+def test_sharded_sq_hier_local_path():
+    """Per-shard corpora large enough for the local grouped tournament
+    (n_local > 16384): the sharded bf16 search must recover the top-k of
+    the dequantized corpus (exact selection over quantized scores; the
+    boundary shard straddles num_items)."""
+    from recommendflow_tpu.retrieval import ShardedSqSearcher
+    n, d, k = 140_000, 16, 7
+    rng = np.random.RandomState(31)
+    v = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(10, d).astype(np.float32)
+    sharded = ShardedSqSearcher(dim=d, metric="ip", qtype="bf16").train(v)
+    n_dev = sharded.mesh.devices.size
+    n_local = int(sharded._codes.shape[0]) // n_dev
+    assert n_local // (16 * 16) > 64, "test must exercise the hier path"
+    _, i2 = sharded.search(q, topk=k, return_items=False)
+    vq = sharded.reconstruct(np.arange(n))          # dequantized corpus
+    golden = np.argsort(-(q.astype(np.float64) @ vq.astype(np.float64).T),
+                        axis=1)[:, :k]
+    for r in range(len(q)):
+        assert len(set(np.asarray(i2)[r]) & set(golden[r])) >= k - 1
+
+
+def test_sharded_sq_add_and_pickle(tmp_path):
+    """add() extends with the frozen quantizer across the sharded layout;
+    pickling drops Device handles and restores on the current mesh."""
+    from recommendflow_tpu.retrieval import ShardedSqSearcher
+    v = _corpus(2000, 16, seed=41)
+    extra = _corpus(500, 16, seed=42)
+    q = _corpus(5, 16, seed=43)
+    s = ShardedSqSearcher(dim=16, metric="cos", qtype="sq8").train(v)
+    s.add(extra)
+    assert s.num_items == 2500
+    _, sc1, i1 = s.search(q, topk=8)
+    s.dump(str(tmp_path / "ssq.pkl"))
+    s2 = ShardedSqSearcher.load_pickle(str(tmp_path / "ssq.pkl"))
+    _, sc2, i2 = s2.search(q, topk=8)
+    np.testing.assert_allclose(np.asarray(sc2), np.asarray(sc1),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_index_factory_mesh_routing():
+    """index_factory(mesh=...) routes Flat -> ShardedSearcher and SQ* ->
+    ShardedSqSearcher; IVF/PQ reject the mesh."""
+    import jax
+    from jax.sharding import Mesh
+    from recommendflow_tpu.retrieval import (
+        ShardedSearcher, ShardedSqSearcher, index_factory)
+    mesh = Mesh(np.asarray(jax.devices()), ("items",))
+    assert isinstance(index_factory(8, "Flat", mesh=mesh), ShardedSearcher)
+    s = index_factory(8, "SQbf16", "ip", mesh=mesh)
+    assert isinstance(s, ShardedSqSearcher) and s.qtype == "bf16"
+    assert index_factory(8, "SQ8", mesh=mesh).qtype == "sq8"
+    with pytest.raises(ValueError, match="mesh"):
+        index_factory(8, "IVF16,Flat", mesh=mesh)
+
+
 # ---------------------------------------------------- metric edge regressions
 def test_metrics_binarize_and_handle_ties():
     """average_precision/recall_at_precision binarize labels like roc_auc;
