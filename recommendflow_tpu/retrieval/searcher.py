@@ -1537,20 +1537,35 @@ class SqSearcher(TpuSearcher):
             s._restore_codes(data["codes"].astype(np.float32))
         return s
 
+    # padding/placement hooks — ShardedSqSearcher overrides these three to
+    # shard the same restore logic over a mesh (sharded.py)
+    def _pad_rows(self, n: int) -> int:
+        return -(-n // self.item_block) * self.item_block
+
+    def _put_codes(self, padded: np.ndarray):
+        return jnp.asarray(padded)
+
+    def _put_norms(self, xsq: np.ndarray):
+        return jnp.asarray(xsq)
+
     def _restore_codes(self, codes: np.ndarray):
-        """Pad to an item_block multiple and upload; l2 additionally needs
-        per-item ‖x̂‖² (computed blockwise — the f32 decode never fully
-        materializes). Single home shared by train / add / load / unpickle."""
+        """Pad (via _pad_rows) and upload (via _put_*); l2 additionally
+        needs per-item ‖x̂‖² (computed blockwise — the f32 decode never
+        fully materializes). Single home shared by train / add / load /
+        unpickle, and by the sharded subclass via the placement hooks."""
         n = len(codes)
-        n_pad = -(-n // self.item_block) * self.item_block
+        n_pad = self._pad_rows(n)
         if self.qtype == "sq8":
             padded = np.zeros((n_pad, self.dim), np.uint8)
             padded[:n] = codes
-            self._codes = jnp.asarray(padded)
         else:
-            padded = np.zeros((n_pad, self.dim), np.float32)
-            padded[:n] = codes
-            self._codes = jnp.asarray(padded.astype(jnp.bfloat16))
+            # allocate bf16 directly (2 B/elem host peak, not 6): blockwise
+            # assignment casts f32 -> bf16 without a full-corpus temp
+            padded = np.zeros((n_pad, self.dim), jnp.bfloat16)
+            for s in range(0, n, 65536):
+                blk = codes[s:s + 65536]
+                padded[s:s + len(blk)] = blk
+        self._codes = self._put_codes(padded)
         if self.metric == "l2":
             xsq = np.zeros((n_pad,), np.float32)
             for s in range(0, n, 65536):
@@ -1560,7 +1575,7 @@ class SqSearcher(TpuSearcher):
                     if self.qtype == "sq8" else \
                     blk.astype(jnp.bfloat16).astype(np.float32)
                 xsq[s:s + len(blk)] = (dec ** 2).sum(-1)
-            self._xhat_sq = jnp.asarray(xsq)
+            self._xhat_sq = self._put_norms(xsq)
         self._vecs = None
         self._search_fn = None
         self._codes_g = self._xsq_g = None  # grouped relayouts, built lazily

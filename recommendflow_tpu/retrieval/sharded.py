@@ -17,6 +17,10 @@ rescore time. The tournament runs with select_k = k + 1 so the pinned
 boundary group occupies the extra slot instead of displacing a true top-k
 group (with exactly k slots a true k-th item in its own group could be
 dropped — the over-inclusion must widen the selection, not just join it).
+
+`ShardedSqSearcher` composes the same sharding with scalar quantization
+(the beyond-HBM tier). Both accept any mesh that has an 'items' axis; the
+shard count is that axis's size (other axes replicate the scan).
 """
 from __future__ import annotations
 
@@ -35,12 +39,62 @@ from recommendflow_tpu.retrieval.searcher import (
 BIG = 1e30
 
 
+def _mask_groups(m1, valid, group):
+    """Over-inclusion masking of group maxima against a TRACED valid count:
+    groups entirely past `valid` score NEG, the single straddling group is
+    pinned +BIG (always selected; the exact per-item mask applies at
+    rescore). The subtlest invariant in this file — single home, used by
+    both sharded searchers."""
+    g = jax.lax.broadcasted_iota(jnp.int32, (1, m1.shape[1]), 1)
+    full = (g + 1) * group <= valid          # group entirely below the cut
+    boundary = (g * group < valid) & ~full   # straddles the cut
+    return jnp.where(full, m1, jnp.where(boundary, BIG, NEG))
+
+
+def _gathered_merge(queries, s, i, axis, k, metric):
+    """all_gather per-shard (scores, GLOBAL indices) and reduce to the
+    global top-k; l2 surrogate scores convert to distances after the
+    merge. Exact: a global top-k item is in its own shard's local top-k."""
+    s_all = jax.lax.all_gather(s, axis)              # [n_sh, Q, k_local]
+    i_all = jax.lax.all_gather(i, axis)
+    nq = queries.shape[0]
+    s_flat = s_all.transpose(1, 0, 2).reshape(nq, -1)
+    i_flat = i_all.transpose(1, 0, 2).reshape(nq, -1)
+    top, pos = jax.lax.top_k(s_flat, k)
+    idx = jnp.take_along_axis(i_flat, pos, axis=1)
+    if metric == "l2":
+        q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
+        top = jnp.sqrt(jnp.maximum(q_sq - top, 0.0))
+    return top, idx
+
+
+def _items_axis_size(mesh: Mesh, axis: str) -> int:
+    if axis not in mesh.axis_names:
+        raise ValueError(
+            f"mesh {dict(mesh.shape)} has no '{axis}' axis — sharded "
+            f"searchers shard the corpus along an axis named '{axis}'")
+    return int(mesh.shape[axis])
+
+
+class _MeshPickle:
+    """jax Device handles don't pickle: drop the mesh on dump and rebuild
+    over the restoring host's devices on load (mixin; chains into the
+    parent searcher's __getstate__/__setstate__)."""
+
+    def __getstate__(self):
+        state = super().__getstate__()
+        state["mesh"] = None
+        return state
+
+    def __setstate__(self, state):
+        state["mesh"] = Mesh(np.asarray(jax.devices()), (self.AXIS,))
+        super().__setstate__(state)
+
+
 def _local_m1(queries, vecs, sq_norms, valid, *, group, use_kernel):
     """Group maxima of the masked local score matrix, [Q, n_local/group].
 
-    `valid` may be traced: groups entirely past it score NEG, the boundary
-    group +BIG (always-candidate over-inclusion; exact per-item masking
-    happens at rescore)."""
+    `valid` may be traced: see _mask_groups."""
     n_local = vecs.shape[0]
     if use_kernel:
         from recommendflow_tpu.ops.pallas.grouped_topk import grouped_score_max
@@ -53,10 +107,7 @@ def _local_m1(queries, vecs, sq_norms, valid, *, group, use_kernel):
             s = queries @ vecs.T
         m1 = jnp.max(s.reshape(queries.shape[0], n_local // group, group),
                      axis=-1)
-    g = jax.lax.broadcasted_iota(jnp.int32, (1, n_local // group), 1)
-    full = (g + 1) * group <= valid          # group entirely below the cut
-    boundary = (g * group < valid) & ~full   # straddles the cut
-    return jnp.where(full, m1, jnp.where(boundary, BIG, NEG))
+    return _mask_groups(m1, valid, group)
 
 
 def _local_topk(queries, vecs, vecs_g, sq_norms, sqn_g, valid, k, *,
@@ -82,13 +133,13 @@ def _local_topk(queries, vecs, vecs_g, sq_norms, sqn_g, valid, k, *,
     return jax.lax.top_k(s, k)
 
 
-class ShardedSearcher(TpuSearcher):
+class ShardedSearcher(_MeshPickle, TpuSearcher):
     """TpuSearcher with the item axis sharded over a `jax.sharding.Mesh`.
 
     Same surface as TpuSearcher (train/add/search/save/load/pickle); the
     corpus is placed row-sharded at train() and every search runs SPMD with
     a final all-gathered exact merge. Corpus capacity therefore scales with
-    mesh size (each chip holds N/n_dev rows). Restoring (load/unpickle)
+    mesh size (each chip holds N/n_shards rows). Restoring (load/unpickle)
     rebuilds on the current default mesh.
     """
 
@@ -101,6 +152,7 @@ class ShardedSearcher(TpuSearcher):
         super().__init__(dim, metric, query_block=query_block)
         self.mesh = mesh if mesh is not None else Mesh(
             np.asarray(jax.devices()), (self.AXIS,))
+        _items_axis_size(self.mesh, self.AXIS)
 
     # --------------------------------------------------------------- build
     def train(self, vectors: np.ndarray,
@@ -112,13 +164,13 @@ class ShardedSearcher(TpuSearcher):
         if self.metric == "cos":
             vectors = _l2_normalize(vectors)
         self.num_items = len(vectors)
-        n_dev = self.mesh.devices.size
+        n_sh = _items_axis_size(self.mesh, self.AXIS)
         # each shard gets an equal row count, padded so the tournament's
         # group structure holds locally (65536 at scale, 512 for small/test
         # corpora — both multiples of _GROUP * _SUPERGROUP)
-        per = 65536 if self.num_items > 131072 * n_dev else 512
-        local = -(-self.num_items // (per * n_dev)) * per
-        n_pad = local * n_dev
+        per = 65536 if self.num_items > 131072 * n_sh else 512
+        local = -(-self.num_items // (per * n_sh)) * per
+        n_pad = local * n_sh
         padded = np.zeros((n_pad, self.dim), np.float32)
         padded[:self.num_items] = vectors
         sharding = NamedSharding(self.mesh, P(self.AXIS, None))
@@ -139,9 +191,9 @@ class ShardedSearcher(TpuSearcher):
         metric = self.metric
         num_items = self.num_items
         mesh = self.mesh
-        n_dev = mesh.devices.size
+        n_sh = _items_axis_size(mesh, self.AXIS)
         n_pad = int(self._vecs.shape[0])
-        n_local = n_pad // n_dev
+        n_local = n_pad // n_sh
         use_kernel = (jax.default_backend() != "cpu"
                       and self.dim % 128 == 0 and n_local % (128 * _GROUP) == 0)
         axis = self.AXIS
@@ -176,18 +228,7 @@ class ShardedSearcher(TpuSearcher):
             s, i = _local_topk(queries, vecs, vecs_g, sq_norms, sqn_g,
                                valid, k_local, metric=metric,
                                use_kernel=use_kernel)
-            i = i + offset
-            s_all = jax.lax.all_gather(s, axis)          # [n_dev, Q, k']
-            i_all = jax.lax.all_gather(i, axis)
-            nq = queries.shape[0]
-            s_flat = s_all.transpose(1, 0, 2).reshape(nq, -1)
-            i_flat = i_all.transpose(1, 0, 2).reshape(nq, -1)
-            top, pos = jax.lax.top_k(s_flat, k)
-            idx = jnp.take_along_axis(i_flat, pos, axis=1)
-            if metric == "l2":
-                q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
-                top = jnp.sqrt(jnp.maximum(q_sq - top, 0.0))
-            return top, idx
+            return _gathered_merge(queries, s, i + offset, axis, k, metric)
 
         from jax import shard_map
         spec_g = P(axis, None, None) if hier else P()
@@ -210,20 +251,8 @@ class ShardedSearcher(TpuSearcher):
                             self._sqn_g if (hier and metric == "l2") else zero)
         return run
 
-    # ------------------------------------------------------------- persist
-    def __getstate__(self):
-        state = super().__getstate__()
-        # jax Device objects don't pickle; the restoring host rebuilds the
-        # mesh over its own devices in __setstate__
-        state["mesh"] = None
-        return state
 
-    def __setstate__(self, state):
-        state["mesh"] = Mesh(np.asarray(jax.devices()), (self.AXIS,))
-        super().__setstate__(state)
-
-
-class ShardedSqSearcher(SqSearcher):
+class ShardedSqSearcher(_MeshPickle, SqSearcher):
     """SqSearcher with the quantized code matrix row-sharded over a mesh.
 
     The beyond-HBM composition: scalar quantization already fits 2x (bf16)
@@ -242,8 +271,7 @@ class ShardedSqSearcher(SqSearcher):
     the integer codes without dequantizing; the per-query affine base is a
     rank-preserving shift, so group selection needs only the code matmul.
     Per-shard padding masks with the traced valid count via the same
-    over-inclusion trick as ShardedSearcher (boundary group pinned +BIG,
-    select_k = k+1, exact mask at rescore).
+    over-inclusion trick as ShardedSearcher (_mask_groups + select_k=k+1).
     """
 
     AXIS = "items"
@@ -255,55 +283,41 @@ class ShardedSqSearcher(SqSearcher):
                          query_block=query_block)
         self.mesh = mesh if mesh is not None else Mesh(
             np.asarray(jax.devices()), (self.AXIS,))
+        _items_axis_size(self.mesh, self.AXIS)
 
-    # --------------------------------------------------------------- build
-    def _restore_codes(self, codes: np.ndarray):
-        """Pad to an equal per-shard multiple and upload row-sharded."""
-        n = len(codes)
-        n_dev = self.mesh.devices.size
-        per = 65536 if n > 131072 * n_dev else 512
-        local = max(-(-n // (per * n_dev)), 1) * per
-        n_pad = local * n_dev
-        sharding = NamedSharding(self.mesh, P(self.AXIS, None))
-        if self.qtype == "sq8":
-            padded = np.zeros((n_pad, self.dim), np.uint8)
-            padded[:n] = codes
-            self._codes = jax.device_put(padded, sharding)
-        else:
-            padded = np.zeros((n_pad, self.dim), np.float32)
-            padded[:n] = codes
-            self._codes = jax.device_put(
-                padded.astype(jnp.bfloat16), sharding)
-        if self.metric == "l2":
-            xsq = np.zeros((n_pad,), np.float32)
-            for s in range(0, n, 65536):
-                blk = codes[s:s + 65536]
-                dec = (np.asarray(self._vmin) +
-                       np.asarray(self._scale) * blk.astype(np.float32)) \
-                    if self.qtype == "sq8" else \
-                    blk.astype(jnp.bfloat16).astype(np.float32)
-                xsq[s:s + len(blk)] = (dec ** 2).sum(-1)
-            self._xhat_sq = jax.device_put(
-                xsq, NamedSharding(self.mesh, P(self.AXIS)))
-        self._vecs = None
-        self._search_fn = None
-        self._codes_g = self._xsq_g = None
+    # ------------------------------------------- restore placement hooks
+    # (the restore logic itself lives in SqSearcher._restore_codes)
+    def _pad_rows(self, n: int) -> int:
+        n_sh = _items_axis_size(self.mesh, self.AXIS)
+        per = 65536 if n > 131072 * n_sh else 512
+        return max(-(-n // (per * n_sh)), 1) * per * n_sh
+
+    def _put_codes(self, padded: np.ndarray):
+        return jax.device_put(
+            padded, NamedSharding(self.mesh, P(self.AXIS, None)))
+
+    def _put_norms(self, xsq: np.ndarray):
+        return jax.device_put(xsq, NamedSharding(self.mesh, P(self.AXIS)))
 
     # -------------------------------------------------------------- search
     def _build_search(self, k: int):
         metric, qtype, dim = self.metric, self.qtype, self.dim
         num_items = self.num_items
         mesh, axis = self.mesh, self.AXIS
-        n_dev = mesh.devices.size
+        n_sh = _items_axis_size(mesh, axis)
         n_pad = int(self._codes.shape[0])
-        n_local = n_pad // n_dev
+        n_local = n_pad // n_sh
         G, G2 = _GROUP, _SUPERGROUP
         k_local = min(k, n_local)
-        # largest block <= item_block that divides the per-shard row count
-        # (n_local is always a multiple of 512, so this terminates at 512)
+        # largest power-of-two-scaled block <= item_block dividing the
+        # per-shard row count; n_local is always a multiple of 512, so the
+        # 512 fallback always divides (a non-power-of-two item_block would
+        # otherwise degrade the halving loop to bn=1)
         bn = min(self.item_block, n_local)
-        while n_local % bn:
+        while bn > 512 and n_local % bn:
             bn //= 2
+        if n_local % bn:
+            bn = 512
         hier = (n_local % (G * G2) == 0 and bn % G == 0
                 and n_local // (G * G2) > max(k_local + 1, 64))
         use_kernel = (jax.default_backend() != "cpu" and qtype == "bf16"
@@ -356,11 +370,7 @@ class ShardedSqSearcher(SqSearcher):
                     m1 = m1b.transpose(1, 0, 2).reshape(nq, n_local // G)
                 # base is a per-query constant: rank-preserving, so m1 can
                 # skip it — selection only compares within a query's row
-                g = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, n_local // G), 1)
-                full = (g + 1) * G <= valid
-                boundary = (g * G < valid) & ~full
-                m1 = jnp.where(full, m1, jnp.where(boundary, BIG, NEG))
+                m1 = _mask_groups(m1, valid, G)
                 return _tournament_select(
                     qs, m1, codes_g, xsq_g, k_local, k_local + 1, valid,
                     metric, base=base)
@@ -392,18 +402,7 @@ class ShardedSqSearcher(SqSearcher):
             offset = shard * n_local
             valid = jnp.clip(num_items - offset, 0, n_local)
             s, i = local_topk(queries, codes, codes_g, xsq, xsq_g, valid)
-            i = i + offset
-            s_all = jax.lax.all_gather(s, axis)                # [n_dev, Q, k']
-            i_all = jax.lax.all_gather(i, axis)
-            nq = queries.shape[0]
-            s_flat = s_all.transpose(1, 0, 2).reshape(nq, -1)
-            i_flat = i_all.transpose(1, 0, 2).reshape(nq, -1)
-            top, pos = jax.lax.top_k(s_flat, k)
-            idx = jnp.take_along_axis(i_flat, pos, axis=1)
-            if metric == "l2":
-                q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)
-                top = jnp.sqrt(jnp.maximum(q_sq - top, 0.0))
-            return top, idx
+            return _gathered_merge(queries, s, i + offset, axis, k, metric)
 
         from jax import shard_map
         spec_cg = P(axis, None, None) if hier else P()
@@ -425,13 +424,3 @@ class ShardedSqSearcher(SqSearcher):
                             self._xhat_sq if metric == "l2" else zero,
                             self._xsq_g if (hier and metric == "l2") else zero)
         return run
-
-    # ------------------------------------------------------------- persist
-    def __getstate__(self):
-        state = super().__getstate__()
-        state["mesh"] = None   # Device objects don't pickle; rebuilt below
-        return state
-
-    def __setstate__(self, state):
-        state["mesh"] = Mesh(np.asarray(jax.devices()), (self.AXIS,))
-        super().__setstate__(state)

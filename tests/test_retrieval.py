@@ -371,6 +371,34 @@ def test_sharded_sq_add_and_pickle(tmp_path):
     assert np.array_equal(np.asarray(i2), np.asarray(i1))
 
 
+def test_sharded_searchers_on_multi_axis_mesh():
+    """Shard count must come from the 'items' axis size, not the total
+    device count: on a 2x4 ('x','items') mesh the scan shards 4-way and
+    replicates over 'x' (regression: review finding — deriving n_local
+    from devices.size scanned half of every shard and offset wrongly)."""
+    import jax
+    from jax.sharding import Mesh
+    from recommendflow_tpu.retrieval import (
+        ShardedSearcher, ShardedSqSearcher)
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("x", "items"))
+    n, d, k = 5000, 16, 5
+    v = _corpus(n, d, seed=51)
+    q = _corpus(8, d, seed=52)
+    golden = np.argsort(-(q @ v.T), axis=1)[:, :k]
+    s = ShardedSearcher(dim=d, metric="ip", mesh=mesh).train(v)
+    _, i1 = s.search(q, topk=k, return_items=False)
+    for r in range(len(q)):
+        assert set(np.asarray(i1)[r]) == set(golden[r])
+    sq = ShardedSqSearcher(dim=d, metric="ip", qtype="bf16",
+                           mesh=mesh).train(v)
+    _, i2 = sq.search(q, topk=k, return_items=False)
+    for r in range(len(q)):
+        assert len(set(np.asarray(i2)[r]) & set(golden[r])) >= k - 1
+    with pytest.raises(ValueError, match="items"):
+        ShardedSearcher(dim=d, mesh=Mesh(devs, ("a", "b")))
+
+
 def test_index_factory_mesh_routing():
     """index_factory(mesh=...) routes Flat -> ShardedSearcher and SQ* ->
     ShardedSqSearcher; IVF/PQ reject the mesh."""
