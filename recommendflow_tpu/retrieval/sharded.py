@@ -261,7 +261,8 @@ class ShardedSqSearcher(_MeshPickle, SqSearcher):
     corpus at recall ~0.97, bf16 = 16x at ~1.0 — regime numbers in
     COVERAGE.md §2.8). Search runs SPMD: every shard scans its local codes
     with the same grouped-tournament used on one chip (Pallas fused m1 scan
-    for bf16 when Mosaic shapes allow), then an `all_gather` of per-shard
+    for both code dtypes when Mosaic shapes allow — uint8 SQ8 codes cast to
+    bf16 in-VMEM), then an `all_gather` of per-shard
     top-k merges exactly — correct because a global top-k item is a local
     top-k item of its own shard. Same surface as SqSearcher
     (train/add/search/save/load/pickle); the restoring host rebuilds on its
@@ -320,7 +321,7 @@ class ShardedSqSearcher(_MeshPickle, SqSearcher):
             bn = 512
         hier = (n_local % (G * G2) == 0 and bn % G == 0
                 and n_local // (G * G2) > max(k_local + 1, 64))
-        use_kernel = (jax.default_backend() != "cpu" and qtype == "bf16"
+        use_kernel = (jax.default_backend() != "cpu"
                       and dim % 128 == 0 and n_local % (128 * G) == 0)
         if hier and self._codes_g is None:
             self._codes_g = jax.jit(

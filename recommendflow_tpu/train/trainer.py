@@ -67,13 +67,6 @@ class _PreemptSync:
         self._sharding = NamedSharding(mesh, P("all"))
         self._any = jax.jit(jnp.max)
 
-    @staticmethod
-    def _done(x) -> bool:
-        try:
-            return x.is_ready()
-        except AttributeError:   # backends without is_ready: assume done
-            return True
-
     def _agree(self, flag: bool):
         local = np.full((jax.local_device_count(),), 1 if flag else 0,
                         np.int32)
@@ -86,23 +79,35 @@ class _PreemptSync:
         self.pending.append(self._agree(flag))
 
     def should_stop(self) -> bool:
-        """Check settled agreements (non-collective). Fetches are
-        non-blocking in steady state: an agreement is popped once the
-        device reports it ready (is_ready), and only forced — a real sync —
-        when the backlog exceeds the window, so the async dispatch pipeline
-        keeps its depth (CLAUDE.md: per-step syncs collapse fit throughput)."""
+        """Check settled agreements (non-collective). Agreements are
+        consumed DETERMINISTICALLY: each is fetched exactly `window` pushes
+        after its dispatch, so every process pops at the same loop index
+        and stops after the SAME number of dispatched steps. (Popping early
+        when a fetch happens to be ready — is_ready() — is per-host timing
+        and desyncs the fleet: one host would stop at step s, another at
+        s+3, and the straggler's collectives deadlock.) The fetch is
+        `window` steps stale by then, so it is materialized in steady state
+        and doesn't stall the async pipeline (CLAUDE.md: per-step syncs
+        collapse fit throughput)."""
         stop = False
-        while self.pending and (len(self.pending) > self.window
-                                or self._done(self.pending[0])):
+        while len(self.pending) > self.window:
             stop |= int(self.pending.popleft()) > 0
         return stop
 
+    def agree(self, flag: bool) -> bool:
+        """One immediate agreement (collective — every process must call at
+        the same point): True iff ANY process raised `flag`."""
+        return int(self._agree(flag)) > 0
+
     def drain(self, flag: bool) -> bool:
         """Epoch boundary: settle all pending agreements plus one fresh one
-        (collective — every process must call)."""
+        (collective — every process must call). The fresh agreement is
+        dispatched unconditionally: short-circuiting it on a locally-known
+        stop would leave other processes blocked in the reduce."""
         stop = any(int(x) > 0 for x in self.pending)
         self.pending.clear()
-        return stop or int(self._agree(flag)) > 0
+        agreed = self.agree(flag)
+        return stop or agreed
 
 
 class TrainState(flax_train_state.TrainState):
@@ -449,10 +454,11 @@ class Trainer:
     def _build_train_step(self):
         return jax.jit(self._step_body, donate_argnums=(0,))
 
-    def _build_train_step_scan(self, k: int):
+    def _build_train_step_scan(self):
         """K steps per dispatch via lax.scan over stacked batches [K, B, ...]
         — amortizes the per-call host->device dispatch latency (~3 ms on
-        tunneled platforms). Metrics are means over the K steps."""
+        tunneled platforms). Metrics are means over the K steps. One jit
+        wrapper serves every K (jit retraces per stacked shape)."""
         def multi(state: TrainState, batches):
             def body(s, b):
                 s2, m = self._step_body(s, b)
@@ -486,20 +492,27 @@ class Trainer:
 
     def train_steps(self, state, batches):
         """Run len(batches) steps in ONE dispatch (lax.scan)."""
-        k = len(batches)
         if self._train_step_scan is None:
-            self._train_step_scan = {}
-        if k not in self._train_step_scan:
-            self._train_step_scan[k] = self._build_train_step_scan(k)
+            self._train_step_scan = self._build_train_step_scan()
         stacked = {key: np.stack([b[key] for b in batches])
                    for key in batches[0]}
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "dp"))  # axis0=K, axis1=batch
-            stacked = {key: jax.device_put(v, sh) for key, v in stacked.items()}
+            if jax.process_count() > 1:
+                # per-host stacks are LOCAL data: device_put with a global
+                # sharding would treat each host's array as the full global
+                # value and silently drop the other hosts' examples
+                # (CLAUDE.md; shard_batch does the same for single batches)
+                stacked = {
+                    key: jax.make_array_from_process_local_data(sh, v)
+                    for key, v in stacked.items()}
+            else:
+                stacked = {key: jax.device_put(v, sh)
+                           for key, v in stacked.items()}
         else:
             stacked = {key: jnp.asarray(v) for key, v in stacked.items()}
-        return self._train_step_scan[k](state, stacked)
+        return self._train_step_scan(state, stacked)
 
     def eval_step(self, state, batch):
         if self._eval_step is None:
@@ -507,14 +520,25 @@ class Trainer:
         return self._eval_step(state, self._put(batch))
 
     # --------------------------------------------------------------- loops
+    @staticmethod
+    def _fetch(x) -> np.ndarray:
+        """Device -> host numpy; multi-process runs allgather first (a
+        dp-sharded output spans non-addressable devices — plain np.asarray
+        raises; CLAUDE.md, same rule save_pytree follows)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
     def predict(self, state, dataset: Iterable) -> Dict[str, np.ndarray]:
         """Stacked model outputs over a dataset (parity surface:
-        model.predict under MirroredStrategy, predict.py:49-85)."""
+        model.predict under MirroredStrategy, predict.py:49-85). In
+        multi-process runs every host returns the GLOBAL outputs."""
         chunks: Dict[str, List[np.ndarray]] = {}
         for batch in prefetch(iter(dataset)):
             out = self.eval_step(state, batch)
             for k, v in out.items():
-                chunks.setdefault(k, []).append(np.asarray(v))
+                chunks.setdefault(k, []).append(self._fetch(v))
         return {k: np.concatenate(v, axis=0) for k, v in chunks.items()}
 
     def evaluate(self, state, dataset: Iterable) -> Dict[str, float]:
@@ -548,8 +572,8 @@ class Trainer:
             elif "score" in out:
                 scores.append(jnp.ravel(out["score"]))
                 labels.append(jnp.ravel(out["label"]))
-        scores = [np.asarray(s) for s in scores]
-        labels = [np.asarray(y) for y in labels]
+        scores = [self._fetch(s) for s in scores]
+        labels = [self._fetch(y) for y in labels]
         logs: Dict[str, float] = {}
         if losses:
             logs["val_loss"] = float(np.mean([float(x) for x in losses]))
@@ -569,7 +593,8 @@ class Trainer:
             profile_dir: Optional[str] = None,
             profile_steps: Tuple[int, int] = (10, 15),
             resume_data: bool = True,
-            preempt_dir: Optional[str] = None) -> Dict[str, Any]:
+            preempt_dir: Optional[str] = None,
+            preempt_window: int = 16) -> Dict[str, Any]:
         callbacks = list(callbacks or [])
         history = History()
         callbacks.append(history)
@@ -610,10 +635,25 @@ class Trainer:
         trace_active = False
         logs: Dict[str, float] = {}
         # multi-process runs must agree on the preemption stop step (see
-        # _PreemptSync) — single-process keeps the zero-overhead local check
-        psync = _PreemptSync() if jax.process_count() > 1 else None
+        # _PreemptSync) — single-process keeps the zero-overhead local check.
+        # preempt_window trades stop latency (the agreed stop lands that
+        # many steps after the signal) against async pipeline depth (each
+        # should_stop fetches the agreement dispatched `window` steps ago,
+        # throttling dispatch to that depth)
+        psync = _PreemptSync(window=preempt_window) \
+            if jax.process_count() > 1 else None
         for epoch in range(start_epoch, epochs):
-            if self.control["stop"]:
+            if psync is not None:
+                # agree on the epoch-top flags: a SIGTERM (or an
+                # early-stopping decision made from per-host metrics) that
+                # landed on ONE process between drain() and here would
+                # otherwise make that host break while the others dispatch
+                # next-epoch collectives — the straggler deadlock
+                if psync.agree(bool(self.control["stop"])):
+                    self.control["stop"] = True
+                if psync.agree(bool(self.control.get("preempt"))):
+                    self.control["preempt"] = True
+            if self.control["stop"] or self.control.get("preempt"):
                 break
             if self.control["lr_scale"] != lr_scale_applied:
                 lr_scale_applied = self.control["lr_scale"]

@@ -70,6 +70,26 @@ def main():
         state, metrics = trainer.train_step(state, b)
         losses.append(float(metrics["loss"]))
 
+    # scan-K multi-dispatch across PROCESSES: per-host [K, B/2, ...] stacks
+    # must concatenate into the global [K, B, ...] batch (the
+    # make_array_from_process_local_data branch of train_steps)
+    extra = [synthetic_batch(schema, B, seed=100 + s) for s in range(2)]
+    local_extra = [{k: v[idx * half:(idx + 1) * half] for k, v in b.items()}
+                   for b in extra]
+    state, ms = trainer.train_steps(state, local_extra)
+    scan_loss = float(ms["loss"])
+
+    # evaluate/predict across processes: outputs are dp-sharded over both
+    # hosts — the trainer allgathers before np conversion, so every process
+    # sees the GLOBAL metrics/rows
+    eval_b = [synthetic_batch(schema, B, seed=200 + s) for s in range(2)]
+    local_eval = [{k: v[idx * half:(idx + 1) * half] for k, v in b.items()}
+                  for b in eval_b]
+    ev = trainer.evaluate(state, local_eval)
+    pred = trainer.predict(state, local_eval)
+    assert len(pred["user"]) == 2 * B, \
+        f"proc {idx}: predict must return GLOBAL rows, got {len(pred['user'])}"
+
     # global param digest: cross-process arrays require every process to
     # run the same program — compute on both, write on one
     total_fn = jax.jit(
@@ -101,6 +121,7 @@ def main():
     if idx == 0:
         with open(os.path.join(out_dir, "digest.json"), "w") as f:
             json.dump({"losses": losses, "param_total": total,
+                       "scan_loss": scan_loss, "val_auc": ev["val_auc"],
                        "search_ok": True}, f)
 
 
@@ -141,7 +162,10 @@ def _preempt_resume(mode, idx, out_dir, trainer, local):
         # ASYMMETRIC preemption: only process 0 is signalled (at batch 3);
         # _PreemptSync must stop process 1 at the same step regardless
         ds = _ListDataset(local, kill_at=3 if idx == 0 else None)
-        result = trainer.fit(ds, epochs=1, preempt_dir=pdir)
+        # small agreement window so the deterministic stop (signal step +
+        # window) lands mid-epoch within this 16-step test epoch
+        result = trainer.fit(ds, epochs=1, preempt_dir=pdir,
+                             preempt_window=4)
         saved = latest_step(pdir)
         assert saved is not None and 1 <= saved <= 14, (
             saved, 'agreement must stop the cluster mid-epoch, not at the drain')

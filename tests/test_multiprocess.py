@@ -137,6 +137,20 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # batch (per-host halves concatenated, not dropped)
     np.testing.assert_allclose(digest["losses"], ref_losses,
                                rtol=1e-5, atol=1e-6)
+
+    # scan-K dispatch: the cluster's per-host stacks must concatenate into
+    # these same global batches (train_steps' multi-host placement)
+    extra = [synthetic_batch(schema, 64, seed=100 + s) for s in range(2)]
+    state, ms = trainer.train_steps(state, extra)
+    np.testing.assert_allclose(digest["scan_loss"], float(ms["loss"]),
+                               rtol=1e-5, atol=1e-6)
+
+    # evaluate: the cluster's allgathered global metrics == single-process
+    eval_b = [synthetic_batch(schema, 64, seed=200 + s) for s in range(2)]
+    ev = trainer.evaluate(state, eval_b)
+    np.testing.assert_allclose(digest["val_auc"], ev["val_auc"],
+                               rtol=1e-5, atol=1e-6)
+
     ref_total = float(sum(float(jnp.sum(x)) for x in
                           jax.tree.leaves(jax.device_get(state.params))))
     np.testing.assert_allclose(digest["param_total"], ref_total,

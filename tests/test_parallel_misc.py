@@ -431,19 +431,28 @@ def test_mmoe_legacy_checkpoint_migration():
 def test_preempt_sync_single_process_semantics():
     """_PreemptSync unit behavior (the cross-process agreement used by
     fit() when process_count > 1): flags propagate through the device
-    reduce, pops respect the window, drain settles everything."""
+    reduce, agreements are consumed DETERMINISTICALLY exactly `window`
+    pushes after dispatch (never early on is_ready — that is per-host
+    timing and would desync the fleet), drain settles everything."""
     from recommendflow_tpu.train.trainer import _PreemptSync
     ps = _PreemptSync(window=3)
     for _ in range(3):
         ps.push(False)
     # nothing beyond the window yet and all-false anyway
     assert ps.should_stop() is False
-    ps.push(True)
+    ps.push(True)                            # agreement at index 3
     ps.push(False)
-    # the True agreement surfaces once it settles (single process: ready
-    # immediately) or once it ages past the window
+    # the True agreement is only 2 pushes old: still inside the window —
+    # every process sees False here at the same loop index
+    assert ps.should_stop() is False
+    ps.push(False)
+    assert ps.should_stop() is False
+    ps.push(False)
+    # ...and surfaces exactly when it ages past the window
     assert ps.should_stop() is True
-    assert ps.drain(False) is False          # pending cleared by the pops
+    assert ps.drain(False) is False          # remaining pendings all-false
     ps2 = _PreemptSync(window=8)
     ps2.push(False)
     assert ps2.drain(True) is True           # fresh agreement sees the flag
+    assert ps2.agree(False) is False         # immediate agreement helper
+    assert ps2.agree(True) is True
