@@ -90,6 +90,10 @@ def main():
                     help="ground-truth cache .npz: reuse the exact results "
                     "across per-searcher processes (10M indices + all "
                     "quantized structures exceed one chip's HBM together)")
+    ap.add_argument("--qb", type=int, default=None,
+                    help="query_block override (default 512 at >=4M items; "
+                    "SQ scans sustain 2048 — m1 is [Q, N/16] f32, 5 GB at "
+                    "qb=2048/10M, the ceiling)")
     args = ap.parse_args()
 
     from recommendflow_tpu.retrieval import (
@@ -104,7 +108,7 @@ def main():
     queries = corpus[qidx] + 0.15 * rng.standard_normal(
         (args.q, args.dim), np.float32)
 
-    qb = 512 if args.n >= 4_000_000 else 4096
+    qb = args.qb or (512 if args.n >= 4_000_000 else 4096)
     rows = []
 
     import os

@@ -45,23 +45,31 @@ def main(argv=None):
     if args.checkpoint:
         state = restore_checkpoint(args.checkpoint, state)
     variables = trainer._variables(state)
+    # serving requests carry no labels: bake label columns in as zeroed
+    # constants (their output echoes are dropped) instead of making them
+    # part of the serving input signature
+    label_keys = [k for k in getattr(schema, "label_names", [])
+                  if k in sample]
+    serve_sample = {k: v for k, v in sample.items() if k not in label_keys}
+    constants = {k: np.zeros_like(sample[k]) for k in label_keys}
     if args.format in ("rfx", "both"):
-        path = export_model(model, variables, sample, args.out)
+        path = export_model(model, variables, serve_sample, args.out,
+                            constants=constants)
         print(f"exported to {path}")
         # smoke: reload and run once
         serving = ServingModel.load(path)
-        out = serving.predict(sample)
+        out = serving.predict(serve_sample)
         print("reload check:",
               {k: np.asarray(v).shape for k, v in out.items()})
     if args.format in ("savedmodel", "both"):
         from recommendflow_tpu.export import export_savedmodel, load_savedmodel
         sm_path = (args.out + ".savedmodel" if args.format == "both"
                    else args.out)
-        export_savedmodel(model, variables, sample, sm_path,
-                          frozen_pb=args.frozen_pb)
+        export_savedmodel(model, variables, serve_sample, sm_path,
+                          frozen_pb=args.frozen_pb, constants=constants)
         print(f"exported SavedModel to {sm_path}"
               + (f" + frozen pb {args.frozen_pb}" if args.frozen_pb else ""))
-        out = load_savedmodel(sm_path)(sample)
+        out = load_savedmodel(sm_path)(serve_sample)
         print("TF reload check:",
               {k: np.asarray(v).shape for k, v in out.items()})
 

@@ -23,10 +23,17 @@ MAGIC = "RFX1"
 
 
 def export_model(model, variables, sample_batch: Dict[str, np.ndarray],
-                 path: str, training: bool = False) -> str:
+                 path: str, training: bool = False,
+                 constants: Dict[str, np.ndarray] = None) -> str:
     """Serialize model.apply(variables, batch, training=False) to StableHLO
     with weights folded in. sample_batch fixes shapes/dtypes (static-shape
-    serving contract, like the reference's concrete-function freeze)."""
+    serving contract, like the reference's concrete-function freeze).
+
+    `constants`: feature columns baked into the trace instead of being
+    serving inputs — the export CLI passes zeroed LABEL columns here so
+    real serving requests (which have no labels) don't need to fabricate
+    them; any echo of a constant key in the output dict is dropped."""
+    constants = {k: np.asarray(v) for k, v in (constants or {}).items()}
     batch_keys = sorted(sample_batch.keys())
     # bake weights as host constants: device/sharding metadata on restored
     # checkpoint arrays would otherwise be serialized and break deserialize
@@ -34,7 +41,11 @@ def export_model(model, variables, sample_batch: Dict[str, np.ndarray],
 
     def predict(*arrays):
         batch = dict(zip(batch_keys, arrays))
-        return model.apply(variables, batch, training=training)
+        batch.update(constants)
+        out = model.apply(variables, batch, training=training)
+        if constants and isinstance(out, dict):
+            out = {k: v for k, v in out.items() if k not in constants}
+        return out
 
     arrays = [jax.ShapeDtypeStruct(np.shape(sample_batch[k]),
                                    np.asarray(sample_batch[k]).dtype)
@@ -62,7 +73,8 @@ def export_model(model, variables, sample_batch: Dict[str, np.ndarray],
 
 def export_savedmodel(model, variables, sample_batch: Dict[str, np.ndarray],
                       path: str, training: bool = False,
-                      frozen_pb: str = None) -> str:
+                      frozen_pb: str = None,
+                      constants: Dict[str, np.ndarray] = None) -> str:
     """jax2tf -> TF SavedModel: a standard-interchange artifact that
     predicts under PURE TensorFlow with no JAX import at serve time
     (parity: the reference's frozen-GraphDef/ONNX export,
@@ -77,12 +89,17 @@ def export_savedmodel(model, variables, sample_batch: Dict[str, np.ndarray],
     import tensorflow as tf
     from jax.experimental import jax2tf
 
+    constants = {k: np.asarray(v) for k, v in (constants or {}).items()}
     batch_keys = sorted(sample_batch.keys())
     variables = jax.tree.map(np.asarray, variables)
 
     def predict(*arrays):
         batch = dict(zip(batch_keys, arrays))
-        return model.apply(variables, batch, training=training)
+        batch.update({k: jax.numpy.asarray(v) for k, v in constants.items()})
+        out = model.apply(variables, batch, training=training)
+        if constants and isinstance(out, dict):
+            out = {k: v for k, v in out.items() if k not in constants}
+        return out
 
     tf_fn = jax2tf.convert(predict, with_gradient=False)
     specs = [tf.TensorSpec(np.shape(sample_batch[k]),
@@ -109,6 +126,17 @@ def export_savedmodel(model, variables, sample_batch: Dict[str, np.ndarray],
                     exist_ok=True)
         with open(frozen_pb, "wb") as f:
             f.write(gd.SerializeToString())
+        # sidecar: structured output key -> frozen tensor name. The
+        # fallback 'consumer-less Identity' scan in load_frozen_pb cannot
+        # name outputs and can pick up dangling Identities left by
+        # constant folding; tf.nest flattens dict outputs in sorted-key
+        # order, so keys and frozen.outputs align positionally
+        struct = concrete.structured_outputs
+        names = [t.name for t in frozen.outputs]
+        keys = (sorted(struct) if isinstance(struct, dict)
+                else [f"out{i}" for i in range(len(names))])
+        with open(frozen_pb + ".outputs.txt", "w") as f:
+            f.write("\n".join(f"{k}\t{n}" for k, n in zip(keys, names)))
     return path
 
 
@@ -132,7 +160,9 @@ def load_savedmodel(path: str):
 def load_frozen_pb(pb_path: str, input_names, output_names=None):
     """Re-import a frozen GraphDef written by export_savedmodel(frozen_pb=)
     (wrap_frozen_graph parity, onnx_utils.py:63-99). Returns
-    predict(batch_dict) -> list/dict of np.ndarray."""
+    predict(batch_arrays) -> dict of np.ndarray keyed by the exported
+    output names when the `<pb>.outputs.txt` sidecar (written alongside
+    the pb) is present, else a list in deterministic op-name order."""
     import tensorflow as tf
     with open(pb_path, "rb") as f:
         gd = tf.compat.v1.GraphDef()
@@ -145,12 +175,23 @@ def load_frozen_pb(pb_path: str, input_names, output_names=None):
     graph = wrapped.graph
     ins = [graph.get_tensor_by_name(n if ":" in n else n + ":0")
            for n in input_names]
+    out_keys = None
     if output_names is None:
-        # every tensor fed into the graph's fetch-less terminal ops —
-        # default to Identity outputs named like the signature
-        out_ops = [op for op in graph.get_operations()
-                   if op.type == "Identity" and not any(
-                       c for c in op.outputs[0].consumers())]
+        sidecar = pb_path + ".outputs.txt"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                pairs = [line.split("\t") for line in
+                         f.read().splitlines() if line]
+            out_keys = [p[0] for p in pairs]
+            output_names = [p[1] for p in pairs]
+    if output_names is None:
+        # fallback: consumer-less Identity ops, sorted by name for a
+        # deterministic order (graph-insertion order is not)
+        out_ops = sorted(
+            (op for op in graph.get_operations()
+             if op.type == "Identity"
+             and not any(c for c in op.outputs[0].consumers())),
+            key=lambda op: op.name)
         outs = [op.outputs[0] for op in out_ops]
     else:
         outs = [graph.get_tensor_by_name(n if ":" in n else n + ":0")
@@ -161,7 +202,8 @@ def load_frozen_pb(pb_path: str, input_names, output_names=None):
         import tensorflow as _tf
         tensors = [_tf.convert_to_tensor(np.asarray(a))
                    for a in batch_arrays]
-        return [np.asarray(t) for t in fn(*tensors)]
+        res = [np.asarray(t) for t in fn(*tensors)]
+        return dict(zip(out_keys, res)) if out_keys else res
 
     return predict
 

@@ -43,8 +43,14 @@ def _kernel(q_ref, v_ref, sqn_ref, o_ref, *, group: int, num_items: int,
     # [QB, C] -> [QB, C/G, G] one.
     j = pl.program_id(0)
     # bf16 corpus: bf16 x bf16 MXU dot with f32 accumulation (queries are
-    # pre-cast by the caller) — halves the HBM corpus stream
-    s = jax.lax.dot_general(v_ref[...], q_ref[...], (((1,), (1,)), ((), ())),
+    # pre-cast by the caller) — halves the HBM corpus stream. uint8 corpus
+    # (SQ8 codes): HBM streams 1 byte/elem and the cast to the query dtype
+    # happens in VMEM — integers <= 255 are exactly representable in bf16
+    # (8 significand bits), so the dequant-free SQ8 scoring identity holds
+    v = v_ref[...]
+    if v.dtype == jnp.uint8:
+        v = v.astype(q_ref.dtype)
+    s = jax.lax.dot_general(v, q_ref[...], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)   # [C, QB]
     if l2:
         s = 2.0 * s - sqn_ref[...]          # [C, 1] broadcasts over queries
@@ -71,8 +77,9 @@ def grouped_score_max(queries: jnp.ndarray, vecs: jnp.ndarray,
     c = 128 * group
     qb = min(_BLOCK_QUERIES, q)
     assert d % 128 == 0 and n_pad % c == 0
-    if vecs.dtype == jnp.bfloat16:
-        # match operand dtypes so the dot is a native bf16 MXU pass
+    if vecs.dtype in (jnp.bfloat16, jnp.uint8):
+        # match operand dtypes so the dot is a native bf16 MXU pass (uint8
+        # codes cast to bf16 in-kernel, exactly — see _kernel)
         queries = queries.astype(jnp.bfloat16)
     l2 = sq_norms is not None
     sqn = (sq_norms.reshape(n_pad, 1) if l2 else

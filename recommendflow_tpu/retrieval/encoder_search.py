@@ -38,12 +38,16 @@ class EncoderSearcher:
                 "encoder must expose an encode(texts) -> [N, D] method "
                 "(faiss_searcher.py:48-50 contract)")
         self.encoder = encoder
+        if items is None:
+            raise ValueError("items must be given")
         if encoder is None and not isinstance(items, np.ndarray):
             raise TypeError(
                 "without an encoder, items must be a [N, D] ndarray "
                 "(faiss_searcher.py:40-44 contract)")
-        if items is None:
-            raise ValueError("items must be given")
+        if encoder is not None and not hasattr(items, "columns"):
+            raise TypeError(
+                "with an encoder, items must be a DataFrame whose first "
+                "column holds the text to encode")
         if item_list is not None and len(item_list) != len(items):
             raise ValueError(
                 f"len(item_list)={len(item_list)} != len(items)={len(items)}")
@@ -99,6 +103,12 @@ class EncoderSearcher:
         })
         sim_item = self.items.iloc[indexes.reshape(-1)].reset_index(drop=True)
         sim_item.columns = ["sim_item"] + list(sim_item.columns[1:])
+        clash = {"source_item", "sim_val", "rank_no"} & set(sim_item.columns)
+        if clash:
+            raise ValueError(
+                f"items DataFrame columns {sorted(clash)} clash with the "
+                "join's output columns — rename them before searching "
+                "(duplicate labels would silently corrupt the result)")
         res = pd.concat([out, sim_item], axis=1)
         if not keep_rank_no:
             res = res.drop(columns=["rank_no"])
@@ -114,6 +124,9 @@ class EncoderSearcher:
             raise RuntimeError(
                 "searcher not trained — call train() before search "
                 "(faiss_searcher.py:179 parity)")
+        if isinstance(target, str):
+            # a bare string would iterate character-by-character
+            target = [target]
         qvecs = self.get_vecs(target)
         if isinstance(topK, int):
             sims, idx = self.index.search(qvecs, topK, return_items=False)
@@ -139,13 +152,32 @@ class EncoderSearcher:
         raise TypeError(f"topK does not support type: {type(topK)}")
 
     def cal_sim(self, item1: str, items2: List[str]):
-        """Pairwise similarity of one item vs a list, sorted descending
-        (faiss_searcher.py:209-215)."""
+        """Pairwise similarity of one item vs a list, ranked CONSISTENTLY
+        with this searcher's metric: dot descending for ip/cos, distance
+        ascending for l2 and the distance metrics. (The reference scores a
+        raw dot product regardless of the index metric,
+        faiss_searcher.py:209-215 — its cal_sim ranking contradicts its own
+        l2 searches; implemented by intent.)"""
         import pandas as pd
         v1 = self.get_vecs([item1])
         v2 = self.get_vecs(items2)
-        df = pd.DataFrame({"item": items2, "score": (v1 @ v2.T)[0]})
-        return df.sort_values("score", ascending=False).reset_index(drop=True)
+        m = self.measurement
+        if m in ("ip", "cos"):
+            score, ascending = (v1 @ v2.T)[0], False
+        elif m == "l2":
+            score, ascending = np.linalg.norm(v2 - v1, axis=1), True
+        else:
+            import jax.numpy as jnp
+
+            from recommendflow_tpu.retrieval.searcher import (
+                _make_pairwise_distance)
+            dist = _make_pairwise_distance(
+                m, float(self.kwargs.get("metric_arg", 3.0)))
+            score = np.asarray(dist(jnp.asarray(v1), jnp.asarray(v2)))[0]
+            ascending = True
+        df = pd.DataFrame({"item": items2, "score": score})
+        return df.sort_values(
+            "score", ascending=ascending).reset_index(drop=True)
 
     # ------------------------------------------------------------- persist
     def save_searcher(self, path: str):

@@ -1396,14 +1396,14 @@ class SqSearcher(TpuSearcher):
                         lambda s: s.reshape(n_pad // G, G))(self._xhat_sq)
             xsq_g = self._xsq_g if metric == "l2" \
                 else jnp.zeros((1, G), jnp.float32)
-            # bf16 codes ARE a valid corpus for the exact path's fused
-            # Pallas scan (scores + group max with the [Q, N] matrix never
-            # touching HBM) — the m1 stage rides it whenever the Mosaic
-            # shape constraints hold (sq8's uint8 codes stay on the XLA
-            # einsum: the kernel has no in-register dequant)
+            # both code dtypes ride the exact path's fused Pallas scan
+            # (scores + group max with the [Q, N] matrix never touching
+            # HBM) whenever the Mosaic shape constraints hold: bf16 codes
+            # directly, sq8's uint8 codes via the kernel's in-VMEM cast
+            # (integers <= 255 are exact in bf16, so the dequant-free
+            # scoring identity q·x̂ = base + qs·codes still holds)
             use_kernel = (jax.default_backend() != "cpu"
-                          and qtype == "bf16" and dim % 128 == 0
-                          and n_pad % (128 * G) == 0)
+                          and dim % 128 == 0 and n_pad % (128 * G) == 0)
 
             def search_hier(queries, codes2d, codes_g, vmin, scale, xsq_g):
                 nq = queries.shape[0]

@@ -51,6 +51,7 @@ class _MicroBatcher:
         self.q: "queue.Queue" = queue.Queue()
         self.batches_run = 0
         self.requests_batched = 0
+        self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -63,9 +64,15 @@ class _MicroBatcher:
             self.result, self.error = None, None
 
     def encode(self, texts, normalize: bool = True):
+        if self._closed:
+            raise RuntimeError("micro-batcher is closed")
         req = self._Req(list(texts), bool(normalize))
         self.q.put(req)
-        req.event.wait()
+        # bounded waits so a dead worker (close(), or a BaseException that
+        # escaped the batch loop) cannot hang this handler thread forever
+        while not req.event.wait(timeout=1.0):
+            if self._closed:
+                raise RuntimeError("micro-batcher worker exited")
         if req.error is not None:
             raise req.error
         return req.result
@@ -75,6 +82,23 @@ class _MicroBatcher:
         self._thread.join(timeout=5)
 
     def _loop(self):
+        try:
+            self._loop_inner()
+        finally:
+            # fail everything still queued/in-flight rather than leaving
+            # their handler threads blocked on events no one will set
+            self._closed = True
+            import queue
+            while True:
+                try:
+                    req = self.q.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None:
+                    req.error = RuntimeError("micro-batcher worker exited")
+                    req.event.set()
+
+    def _loop_inner(self):
         import queue
         import time as _time
         carry = None   # a dequeued request that would overflow this batch
@@ -85,9 +109,11 @@ class _MicroBatcher:
                 return
             batch = [head]
             total = len(head.texts)
-            deadline = _time.time() + self.window
+            # monotonic: a wall-clock step would stretch or collapse the
+            # coalescing window
+            deadline = _time.monotonic() + self.window
             while total < self.max_batch:
-                left = deadline - _time.time()
+                left = deadline - _time.monotonic()
                 if left <= 0:
                     break
                 try:
@@ -132,11 +158,19 @@ class EncodeServer:
         self.encoder = encoder
         self.serving_model = serving_model
         self.max_batch = max_batch
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()        # device: one jitted call in flight
+        self._count_lock = threading.Lock()  # counters only (never the device)
         self.requests_served = 0
         # cross-request micro-batching for /encode (batch_window_ms <= 0
-        # disables it and restores the plain lock path)
-        self._batcher = (_MicroBatcher(encoder.encode, batch_window_ms,
+        # disables it and restores the plain lock path). The batcher worker
+        # takes the SAME device lock as /predict: one jitted computation in
+        # flight (module docstring) — concurrent dispatch of large
+        # non-donated buffers can OOM tunneled chips (CLAUDE.md)
+        def _locked_encode(texts, normalize=True):
+            with self._lock:
+                return encoder.encode(texts, normalize=normalize)
+
+        self._batcher = (_MicroBatcher(_locked_encode, batch_window_ms,
                                        max_batch)
                          if encoder is not None and batch_window_ms > 0
                          else None)
@@ -169,7 +203,7 @@ class EncodeServer:
         normalize = bool(payload.get("normalize", True))
         if self._batcher is not None:
             emb = self._batcher.encode(texts, normalize=normalize)
-            with self._lock:
+            with self._count_lock:
                 self.requests_served += 1
         else:
             with self._lock:
@@ -221,18 +255,24 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
+        # query strings are allowed (load-balancer health probes append
+        # cache-busters); bad requests are the client's fault, not a 500
+        path = self.path.split("?", 1)[0]
         try:
-            self._reply(200, self.backend.dispatch(self.path, {}))
+            self._reply(200, self.backend.dispatch(path, {}))
         except LookupError as e:
             self._reply(404, {"error": str(e)})
+        except (ValueError, KeyError, TypeError) as e:
+            self._reply(400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001 — serving must not die
             self._reply(500, {"error": str(e)})
 
     def do_POST(self):
+        path = self.path.split("?", 1)[0]
         try:
             n = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(n) or b"{}")
-            self._reply(200, self.backend.dispatch(self.path, payload))
+            self._reply(200, self.backend.dispatch(path, payload))
         except LookupError as e:
             self._reply(404, {"error": str(e)})
         except (ValueError, KeyError, TypeError) as e:

@@ -156,15 +156,46 @@ print("PURE_TF_OK")
         np.testing.assert_allclose(tf_out[k], rfx_out[k],
                                    rtol=1e-5, atol=1e-6, err_msg=k)
 
-    # frozen GraphDef re-import (freeze_keras_model2pb parity)
+    # frozen GraphDef re-import (freeze_keras_model2pb parity): the
+    # .outputs.txt sidecar names the outputs, so predict returns a dict
     keys = sorted(batch.keys())
     predict = load_frozen_pb(pb_path, [k + ":0" for k in keys])
     pb_out = predict([batch[k] for k in keys])
-    flat_ref = [rfx_out[k] for k in sorted(rfx_out)]
-    got_sorted = sorted(pb_out, key=lambda a: (a.shape, a.tobytes()[:64]))
-    want_sorted = sorted(flat_ref, key=lambda a: (a.shape, a.tobytes()[:64]))
-    for g, w in zip(got_sorted, want_sorted):
-        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+    assert set(pb_out) == set(rfx_out), (sorted(pb_out), sorted(rfx_out))
+    for k in rfx_out:
+        np.testing.assert_allclose(pb_out[k], rfx_out[k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_export_bakes_label_constants(demo_conf_path, tmp_path):
+    """Serving artifacts must not require label tensors (review finding:
+    synthetic_batch includes label columns, so a naive export baked 'label'
+    into the serving signature and every real request 400'd). The CLI
+    passes label columns as zeroed constants; echoes are dropped."""
+    from recommendflow_tpu.config import Configuration
+    from recommendflow_tpu.data.schema import compile_schema
+    from recommendflow_tpu.export import ServingModel, export_model
+    from recommendflow_tpu.models.base import build_network
+    from __graft_entry__ import _synthetic_batch
+
+    conf = Configuration(demo_conf_path)
+    model, _ = build_network(conf.networks["class"],
+                             {"conf": conf, "tower_units": [16]})
+    schema = compile_schema(conf.features)
+    batch = _synthetic_batch(schema, 8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           {k: jnp.asarray(v) for k, v in batch.items()},
+                           training=False)
+    label_keys = [k for k in schema.label_names if k in batch]
+    assert label_keys, "demo schema must have a label column for this test"
+    serve = {k: v for k, v in batch.items() if k not in label_keys}
+    consts = {k: np.zeros_like(batch[k]) for k in label_keys}
+    path = export_model(model, variables, serve, str(tmp_path / "m"),
+                        constants=consts)
+    serving = ServingModel.load(path)
+    assert not (set(serving.batch_keys) & set(label_keys))
+    out = serving.predict(serve)                 # no label tensor supplied
+    assert "user" in out and not (set(out) & set(label_keys))
 
 
 def test_flash_attention_matches_reference():

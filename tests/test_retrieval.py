@@ -568,6 +568,39 @@ class TestEncoderSearcher:
         res = s.search(vecs[:3], topK=[1, 2])
         assert res[1][0].shape == (3, 1)
 
+    def test_guardrails(self):
+        """Review-finding regressions: a bare-string target wraps into a
+        one-element list (not char-by-char encoding); items columns that
+        clash with the join's output names raise instead of silently
+        corrupting; encoder + ndarray items rejects at construction."""
+        import pandas as pd
+        from recommendflow_tpu.retrieval import EncoderSearcher
+        s = EncoderSearcher(encoder=_ToyEncoder(), items=self._items(),
+                            index_param="Flat", measurement="cos").train()
+        df = s.search("item_3", topK=2, keep_rank_no=True)
+        assert len(df) == 2 and (df.source_item == "item_3").all()
+        clash = EncoderSearcher(
+            encoder=_ToyEncoder(),
+            items=pd.DataFrame({"title": ["a", "b"],
+                                "sim_val": [1.0, 2.0]}),
+            index_param="Flat", measurement="cos").train()
+        with pytest.raises(ValueError, match="sim_val"):
+            clash.search(["a"], topK=1)
+        with pytest.raises(TypeError, match="DataFrame"):
+            EncoderSearcher(encoder=_ToyEncoder(),
+                            items=np.zeros((4, 8), np.float32))
+
+    def test_cal_sim_l2_ranks_ascending(self):
+        """cal_sim must rank consistently with the searcher's metric (the
+        reference always dot-products, contradicting its own l2 searches —
+        implemented by intent)."""
+        from recommendflow_tpu.retrieval import EncoderSearcher
+        s = EncoderSearcher(encoder=_ToyEncoder(), items=self._items(),
+                            index_param="Flat", measurement="l2").train()
+        sim = s.cal_sim("item_0", ["item_1", "item_0", "item_2"])
+        assert sim.iloc[0]["item"] == "item_0"       # zero distance first
+        assert sim.iloc[0]["score"] <= sim.iloc[1]["score"]
+
     def test_cal_sim_and_pickle(self, tmp_path):
         from recommendflow_tpu.retrieval import EncoderSearcher
         s = EncoderSearcher(encoder=_ToyEncoder(), items=self._items(),

@@ -57,6 +57,17 @@ def test_health(server):
     assert set(h["endpoints"]) == {"/health", "/encode", "/predict"}
 
 
+def test_health_with_query_string(server):
+    """Load balancers append cache-busters — the path must dispatch with
+    the query stripped (was a 404; review finding)."""
+    with urllib.request.urlopen(server + "/health?probe=1", timeout=5) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    # GET on a POST-shaped endpoint is a client error, not a 500
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/encode", timeout=5)
+    assert e.value.code == 400
+
+
 def test_encode_endpoint(server):
     out = _post(server, "/encode", {"texts": ["ab", "xyz"], "normalize": False})
     emb = np.asarray(out["embeddings"])
