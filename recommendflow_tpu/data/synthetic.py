@@ -166,6 +166,54 @@ def generate_records(conf: Configuration,
     return paths
 
 
+def bayes_ceiling(num_users: int = 2000, num_items: int = 500,
+                  seed: int = 0, n_samples: int = 500_000) -> float:
+    """Bayes-optimal AUC of the planted click model in generate_records.
+
+    The generator's click rule (make_row above — keep in sync):
+      branch A (p=0.5): item uniform over M(u) = items matching the user's
+        latent category, label=1 (item uniform over all if M(u) empty);
+      branch B (p=0.5): item uniform over all N items,
+        label = [cat match] * [rand < 0.3].
+    The posterior P(label=1 | u, it) is therefore exactly
+        match:    (0.5/m + 0.15/N) / (0.5/m + 0.5/N),  m = |M(u)|
+        nomatch:  0
+    (or 0.5 for every item when m = 0 — branch A always labels 1).
+    This score depends only on OBSERVABLE features (user/item category are
+    exposed via user_cat_a/item_cat_a in demo_ranking and clk_cat_ids /
+    item_cat_id in demo_recall; m is a function of user category), so the
+    ceiling is information-theoretically reachable by the zoo models —
+    what keeps a trained model below it is estimation error, not hidden
+    state. Returns the oracle's AUC over a large simulated draw of rows
+    from the same (user_cat, item_cat) world (latents drawn exactly as
+    generate_records draws them for this seed).
+    """
+    from recommendflow_tpu.train.metrics import roc_auc
+    rng = np.random.RandomState(seed)
+    n_cat = 16
+    user_cat = rng.randint(0, n_cat, size=num_users)
+    item_cat = rng.randint(0, n_cat, size=num_items)
+    m_per_cat = np.bincount(item_cat, minlength=n_cat).astype(np.float64)
+
+    sim = np.random.RandomState(seed + 10_007)
+    u = sim.randint(num_users, size=n_samples)
+    uc = user_cat[u]
+    m = m_per_cat[uc]
+    branch_a = sim.rand(n_samples) < 0.5
+    # branch A item: uniform over the m matching items — for the oracle we
+    # only need the item's category, which is uc itself when m > 0
+    it_b = sim.randint(num_items, size=n_samples)
+    match_b = item_cat[it_b] == uc
+    match = np.where(branch_a, m > 0, match_b)
+    label = np.where(
+        branch_a, 1.0,
+        (match_b & (sim.rand(n_samples) < 0.3)).astype(np.float64))
+    with np.errstate(divide="ignore"):
+        s_match = (0.5 / m + 0.15 / num_items) / (0.5 / m + 0.5 / num_items)
+    score = np.where(match, s_match, np.where(m == 0, 0.5, 0.0))
+    return float(roc_auc(label, score))
+
+
 def synthetic_batch(schema, batch_size: int, seed: int = 0,
                     zipf: float = 0.0):
     """One random device-shaped batch straight from a compiled schema

@@ -78,6 +78,42 @@ def interact_batches(queries: Sequence[str], docs: Sequence[str],
                "label": np.asarray([labels[i] for i in idx], np.float32)}
 
 
+def simbert_batches(pairs: Sequence[Sequence[str]], tokenizer: Tokenizer,
+                    batch_size: int, max_len: int,
+                    shuffle: bool = True, seed: int = 0) -> Iterator[dict]:
+    """SimBERT/UniLM seq2seq batches from similar-sentence pairs (parity:
+    generator.py:136-178 SimbertDataGenerator): each (t1, t2) contributes
+    BOTH orders — [CLS] t1 [SEP] t2 [SEP] and [CLS] t2 [SEP] t1 [SEP] —
+    with REAL segment ids (0 for the source sentence, 1 for the target),
+    which is exactly what the UniLM mask (TextEncoder(seq2seq=True)) and
+    the in-batch CLS similarity loss consume. Rows are padded to 2*max_len
+    like the reference's maxlen=max_len*2 encode. Malformed entries
+    (len != 2) are skipped, as the reference does.
+
+    Yields {'tok': [2B, 2*max_len] int32, 'seg': [2B, 2*max_len] int32};
+    there is no label — SimBERT's targets are the segment-1 tokens
+    themselves (LM) plus the in-batch pair structure (rows 2i and 2i+1 are
+    mutual positives), see encoder/simbert.py.
+    """
+    good = [p for p in pairs if len(p) == 2]
+    order = np.arange(len(good))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    half = max(1, batch_size // 2)
+    width = 2 * max_len
+    for start in range(0, len(good), half):
+        idx = order[start:start + half]
+        if len(idx) < half:
+            return
+        texts, pair_texts = [], []
+        for i in idx:
+            t1, t2 = good[i]
+            texts += [t1, t2]
+            pair_texts += [t2, t1]
+        tok, seg = tokenizer.encode_batch(texts, width, pairs=pair_texts)
+        yield {"tok": tok, "seg": seg}
+
+
 def sbert_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """[a; b; |a-b|] feature for an SBERT-style interaction classifier head
     (parity: encoder_utils.py:27-34 merge)."""

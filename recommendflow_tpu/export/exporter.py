@@ -185,13 +185,20 @@ def load_frozen_pb(pb_path: str, input_names, output_names=None):
             out_keys = [p[0] for p in pairs]
             output_names = [p[1] for p in pairs]
     if output_names is None:
-        # fallback: consumer-less Identity ops, sorted by name for a
-        # deterministic order (graph-insertion order is not)
+        # fallback: consumer-less Identity ops, natural-sorted so
+        # Identity_2 < Identity_10 (lexicographic order would misorder
+        # graphs with >10 outputs; graph-insertion order isn't exposed)
+        def _natural(name):
+            base, _, suffix = name.rpartition("_")
+            if base and suffix.isdigit():
+                return (base, int(suffix))
+            return (name, -1)
+
         out_ops = sorted(
             (op for op in graph.get_operations()
              if op.type == "Identity"
              and not any(c for c in op.outputs[0].consumers())),
-            key=lambda op: op.name)
+            key=lambda op: _natural(op.name))
         outs = [op.outputs[0] for op in out_ops]
     else:
         outs = [graph.get_tensor_by_name(n if ":" in n else n + ":0")

@@ -20,11 +20,19 @@ NEG_INF = -1e9
 def scaled_dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                  mask: Optional[jnp.ndarray] = None,
                                  use_pallas: bool = False) -> jnp.ndarray:
-    """SDPA over [..., L, D] with optional key mask [..., L] (True = valid).
+    """SDPA over [..., L, D] with optional mask (True = valid): either a
+    key mask [..., Lk] (broadcast over query positions) or a full attention
+    mask with an explicit query axis — mask.ndim == q.ndim, broadcastable
+    to the [..., Lq, Lk] logits (UniLM seq2seq masking uses this).
 
     Parity: layer_utils.py:4-24 (scale by sqrt(dk), -inf masking, softmax).
     """
+    full_mask = mask is not None and mask.ndim == q.ndim
     if use_pallas:
+        if full_mask:
+            raise ValueError(
+                "use_pallas supports key masks only; got a full attention "
+                "mask of shape %s" % (mask.shape,))
         from recommendflow_tpu.ops.pallas.flash_attention import flash_attention
         # the kernel wants rank-4 [B, H, L, D] and a [B, Lk] key mask;
         # normalize the vanilla-path shapes ([..., L, D] + broadcastable mask)
@@ -45,7 +53,8 @@ def scaled_dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     dk = jnp.asarray(k.shape[-1], q.dtype)
     logits = jnp.einsum("...qd,...kd->...qk", q, k) / jnp.sqrt(dk)
     if mask is not None:
-        logits = jnp.where(mask[..., None, :], logits, NEG_INF)
+        logits = jnp.where(mask if full_mask else mask[..., None, :],
+                           logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("...qk,...kd->...qd", weights, v)
 
@@ -87,7 +96,9 @@ class MultiHeadAttention(nn.Module):
         q = split_heads(nn.Dense(inner, name="q")(q_in), self.num_heads)
         k = split_heads(nn.Dense(inner, name="k")(k_in), self.num_heads)
         v = split_heads(nn.Dense(inner, name="v")(v_in), self.num_heads)
-        kmask = mask[:, None, :] if mask is not None else None
+        # mask: [B, Lk] key mask, or [B, Lq, Lk] full attention mask (both
+        # get a broadcast head axis; SDPA distinguishes by rank vs q)
+        kmask = mask[:, None] if mask is not None else None
         out = scaled_dot_product_attention(q, k, v, kmask, use_pallas=use_pallas)
         out = merge_heads(out)
         return nn.Dense(self.out_dim or model_dim, name="out")(out)

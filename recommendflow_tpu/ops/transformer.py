@@ -82,7 +82,16 @@ class TextEncoder(nn.Module):
     def __call__(self, token_ids: jnp.ndarray,
                  segment_ids: Optional[jnp.ndarray] = None,
                  training: bool = False,
-                 use_pallas: bool = False) -> jnp.ndarray:
+                 use_pallas: bool = False,
+                 seq2seq: bool = False,
+                 return_sequence: bool = False) -> jnp.ndarray:
+        """seq2seq=True applies the UniLM mask derived from segment ids
+        (SimBERT training, reference generator.py:136-178 data layout):
+        segment-0 tokens attend bidirectionally within segment 0, while a
+        segment-1 token at position i attends segment 0 plus segment-1
+        positions <= i — BERT-as-seq2seq without an architecture change.
+        return_sequence=True skips pooling and returns [B, L, D] hidden
+        states (the LM head in encoder/simbert.py consumes these)."""
         if token_ids.shape[1] > self.max_len:
             raise ValueError(
                 f"sequence length {token_ids.shape[1]} exceeds the "
@@ -107,15 +116,25 @@ class TextEncoder(nn.Module):
         x = nn.LayerNorm(name="emb_ln", epsilon=self.ln_epsilon)(x)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
 
+        attn_mask = mask
+        if seq2seq:
+            # UniLM mask [B, Lq, Lk]: key j visible to query i iff j is a
+            # real token AND (j is in segment 0 OR j <= i)
+            l = token_ids.shape[1]
+            tri = (jnp.arange(l)[None, :, None]        # i
+                   >= jnp.arange(l)[None, None, :])    # j
+            attn_mask = mask[:, None, :] & ((seg == 0)[:, None, :] | tri)
         layer_outputs = []
         for i in range(self.num_layers):
             x = TransformerEncoderBlock(
                 self.num_heads, self.ffn_hidden, self.dropout,
                 ffn_activation=self.ffn_activation,
                 ln_epsilon=self.ln_epsilon,
-                name=f"block{i}")(x, mask, training, use_pallas)
+                name=f"block{i}")(x, attn_mask, training, use_pallas)
             layer_outputs.append(x)
         out = layer_outputs[self.out_layer]
+        if return_sequence:
+            return out
 
         m = mask[..., None].astype(out.dtype)
         if self.pooling == "cls":

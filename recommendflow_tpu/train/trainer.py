@@ -522,10 +522,15 @@ class Trainer:
     # --------------------------------------------------------------- loops
     @staticmethod
     def _fetch(x) -> np.ndarray:
-        """Device -> host numpy; multi-process runs allgather first (a
-        dp-sharded output spans non-addressable devices — plain np.asarray
-        raises; CLAUDE.md, same rule save_pytree follows)."""
-        if jax.process_count() > 1:
+        """Device -> host numpy; multi-process runs allgather only for
+        arrays that actually span non-addressable devices (plain np.asarray
+        raises on those; CLAUDE.md, same rule save_pytree follows). A fully
+        replicated output must NOT be allgathered: tiled=True would
+        concatenate each host's identical copy and silently return
+        process_count duplicates."""
+        if (jax.process_count() > 1 and isinstance(x, jax.Array)
+                and not x.is_fully_replicated
+                and not x.is_fully_addressable):
             from jax.experimental import multihost_utils
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))
         return np.asarray(x)
@@ -533,7 +538,10 @@ class Trainer:
     def predict(self, state, dataset: Iterable) -> Dict[str, np.ndarray]:
         """Stacked model outputs over a dataset (parity surface:
         model.predict under MirroredStrategy, predict.py:49-85). In
-        multi-process runs every host returns the GLOBAL outputs."""
+        multi-process runs every host returns the GLOBAL outputs; the
+        per-batch allgather is a collective, so every host must iterate
+        the SAME number of batches (give each host an equal-length local
+        shard of the dataset) or the cluster deadlocks."""
         chunks: Dict[str, List[np.ndarray]] = {}
         for batch in prefetch(iter(dataset)):
             out = self.eval_step(state, batch)
@@ -543,7 +551,10 @@ class Trainer:
 
     def evaluate(self, state, dataset: Iterable) -> Dict[str, float]:
         """Validation metrics: val_loss (same loss fn on eval outputs) and
-        val_auc over similarity/score vs label when available."""
+        val_auc over similarity/score vs label when available. Multi-process:
+        the deferred fetches allgather per batch (collectives), so all hosts
+        must supply the same number of eval batches or the cluster
+        deadlocks."""
         from recommendflow_tpu.train.metrics import roc_auc
         losses, scores, labels = [], [], []
         try:
@@ -594,7 +605,8 @@ class Trainer:
             profile_steps: Tuple[int, int] = (10, 15),
             resume_data: bool = True,
             preempt_dir: Optional[str] = None,
-            preempt_window: int = 16) -> Dict[str, Any]:
+            preempt_window: int = 16,
+            verbose: bool = True) -> Dict[str, Any]:
         callbacks = list(callbacks or [])
         history = History()
         callbacks.append(history)
@@ -711,8 +723,13 @@ class Trainer:
                 trace_active = False
                 log.info("profiler trace (short epoch) written to %s",
                          profile_dir)
-            dt = time.time() - t0
+            # fetch the accumulated metrics BEFORE stopping the epoch timer:
+            # dispatch is async, so until this sync the device may still be
+            # chewing through the tail of the epoch — timing dispatch alone
+            # over-reported examples_per_sec ~5x on the tunnel (measured
+            # 255k dispatch vs 49k synced)
             logs = {k: float(v) / max(n_batches, 1) for k, v in running.items()}
+            dt = time.time() - t0
             logs["examples_per_sec"] = n_examples / max(dt, 1e-9)
             if psync is not None and psync.drain(
                     bool(self.control.get("preempt"))):
@@ -731,9 +748,11 @@ class Trainer:
                 cb.on_epoch_end(self, state, epoch, logs)
             if "restore_state" in self.control:
                 state = self.control.pop("restore_state")
-            print_table([[k, f"{v:.6g}"] for k, v in sorted(logs.items())],
-                        headers=["metric", "value"],
-                        title=f"Epoch {epoch} ({dt:.1f}s, {n_batches} steps)")
+            if verbose:
+                print_table(
+                    [[k, f"{v:.6g}"] for k, v in sorted(logs.items())],
+                    headers=["metric", "value"],
+                    title=f"Epoch {epoch} ({dt:.1f}s, {n_batches} steps)")
         if self.control.pop("preempt", False) and preempt_dir:
             # graceful preemption: the step counter inside `state` lets the
             # next fit() resume mid-epoch from exactly this batch

@@ -192,7 +192,7 @@ def test_hierarchical_tournament_is_exact(metric, monkeypatch):
     """Force the two-level tournament + vector-rescore path on a small corpus
     and verify it returns exactly the brute-force top-k (scores and index
     sets) for every metric."""
-    import recommendflow_tpu.retrieval.searcher as S
+    import recommendflow_tpu.retrieval._kernels as S
     monkeypatch.setattr(S, "_HIER_MIN_ITEMS", 1024)
     n, d, k = 20000, 16, 12   # pads to 20480 -> 80 supergroups (> 64 guard)
     v = _corpus(n, d, seed=3)
@@ -630,7 +630,7 @@ def test_sq_grouped_tournament_matches_flat_scan(metric, qtype, monkeypatch):
     """SqSearcher's grouped-tournament path (engaged on big corpora) must
     agree with its flat block scan — same quantized scores, same ids (up to
     bf16-ulp group-max ties)."""
-    import recommendflow_tpu.retrieval.searcher as S
+    import recommendflow_tpu.retrieval._kernels as S
     from recommendflow_tpu.retrieval import SqSearcher
     rng = np.random.RandomState(5)
     n, d, k = 20000, 16, 10
