@@ -26,6 +26,20 @@ def _l2_normalize(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
+def _to_host(x) -> np.ndarray:
+    """Device -> host numpy for corpus/code matrices. In multi-process runs
+    a mesh-sharded matrix spans non-addressable devices — plain np.asarray
+    raises — so it is allgathered first (tiled: each process contributes its
+    rows; same rule train/checkpoint.save_pytree follows). Collective: in a
+    multi-process cluster every process must call save/add/reconstruct/
+    pickle together, SPMD-style."""
+    if (isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not x.is_fully_replicated):
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 # distance metrics beyond the matmul family (smaller = better; search()
 # returns them ascending, FAISS-style). Parity: the reference's 9-metric map
 # faiss_searcher.py:81-97.

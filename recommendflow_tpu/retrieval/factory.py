@@ -26,6 +26,19 @@ def index_factory(dim: int, index_param: str = "Flat",
     import re as _re
     spec = (index_param or "Flat").strip()
     mesh = kwargs.pop("mesh", None)
+    # host-RAM tier: corpus beyond one chip's HBM, streamed from host numpy
+    # (FAISS's host-scale regime, faiss_searcher.py:108-130) — 'Host' prefix
+    # on the SQ/Flat strings
+    m = _re.match(r"^Host(Flat|SQ8|SQfp16|SQbf16)$", spec, _re.IGNORECASE)
+    if m:
+        from recommendflow_tpu.retrieval.host_tier import StreamingSqSearcher
+        sub = m.group(1).lower()
+        qtype = {"flat": "f32", "sq8": "sq8",
+                 "sqfp16": "bf16", "sqbf16": "bf16"}[sub]
+        if mesh is not None:
+            raise ValueError("the host tier streams from one host — use "
+                             "Sharded* (device-resident) for mesh scaling")
+        return StreamingSqSearcher(dim, metric, qtype=qtype, **kwargs)
     m = _re.match(r"^SQ(8|fp16|bf16)$", spec, _re.IGNORECASE)
     if m:
         qtype = "sq8" if m.group(1) == "8" else "bf16"

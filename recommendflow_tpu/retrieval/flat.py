@@ -28,6 +28,7 @@ from recommendflow_tpu.retrieval import _kernels
 from recommendflow_tpu.retrieval._kernels import (
     NEG, _DISTANCE_METRICS, _FAISS_METRIC_INTS, _GROUP,
     _SUPERGROUP, _assign_blocks, _build_capped_lists, _l2_normalize,
+    _to_host,
     _make_pairwise_distance, _pq_decode_np, _pq_encode, _pq_train_codebooks,
     _tournament_select, kmeans, resolve_metric,
 )
@@ -103,7 +104,7 @@ class TpuSearcher:
         vectors = np.asarray(vectors, np.float32)
         if self._vecs is None:
             return self.train(vectors, items)
-        existing = np.asarray(self._vecs)[:self.num_items]
+        existing = _to_host(self._vecs)[:self.num_items]
         if self.metric == "cos":
             # stored vectors are already normalized; train() re-normalizes
             # (no-op for them) and normalizes the new ones
@@ -306,7 +307,7 @@ class TpuSearcher:
             raise RuntimeError("nothing to save")
         np.savez_compressed(
             path,
-            vecs=np.asarray(self._vecs)[:self.num_items],
+            vecs=_to_host(self._vecs)[:self.num_items],
             items=self.items,
             dim=self.dim, metric=self.metric)
 
@@ -324,7 +325,7 @@ class TpuSearcher:
 
     def __getstate__(self):
         state = self.__dict__.copy()
-        state["_vecs"] = np.asarray(self._vecs)[:self.num_items] if self._vecs is not None else None
+        state["_vecs"] = _to_host(self._vecs)[:self.num_items] if self._vecs is not None else None
         for key in ("_sq_norms", "_search_fn", "_vecs_g", "_sqn_g"):
             state[key] = None
         return state

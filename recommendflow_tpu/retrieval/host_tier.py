@@ -1,0 +1,364 @@
+"""Host-RAM corpus tier: beyond-HBM search on a single chip.
+
+FAISS is a CPU library whose indices are bounded by host RAM — tens of GB
+(reference surface: backend/third_party_components/faiss_searcher.py:23-225,
+index_factory strings :108-130). The device-resident searchers here cap at
+one chip's HBM (~10M x 128 f32, ~40M at SQ8). This module closes that
+asymmetry the TPU way: the corpus (scalar-quantized codes, or raw f32 for
+the exact tier) lives in HOST numpy, and search() streams it through the
+device in double-buffered blocks — device_put of block i+1 is in flight
+while the MXU scans block i, so the scan rides the host->device link at
+full bandwidth. Each block is reduced on device to its local top-k by the
+same grouped-tournament used by the HBM-resident searchers
+(_kernels._tournament_select; Pallas fused m1 scan when Mosaic shapes
+allow), then a final [Q, n_blocks*k] top-k merges the per-block winners —
+exact over the quantized scores by the same argument as the sharded merge
+(a global top-k item is a local top-k item of its block).
+
+Cost model: every search() streams the whole code matrix over PCIe/ICI
+once per query block, so throughput is transfer-bound at
+(link GB/s) / (bytes per row) rows/s, independent of Q up to compute
+saturation — batch queries as large as possible (query_block=2048
+default). That is the honest price of beyond-HBM capacity; an IVF-style
+host tier that transfers only probed lists wins at SMALL query batches but
+re-transfers overlapping lists at large ones (see CLAUDE.md "IVF future
+lever" — revisit if online low-latency host-scale serving matters more
+than bulk throughput).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommendflow_tpu.retrieval import _kernels
+from recommendflow_tpu.retrieval._kernels import (
+    NEG, _GROUP, _SUPERGROUP, _l2_normalize, _tournament_select,
+    resolve_metric,
+)
+
+try:  # host-side bf16 storage (2x compression) — ships with jax
+    import ml_dtypes
+    _BF16 = np.dtype(ml_dtypes.bfloat16)
+except Exception:  # pragma: no cover - ml_dtypes is a jax dependency
+    _BF16 = np.dtype(np.float32)
+
+
+class StreamingSqSearcher:
+    """Host-resident (streamed) scalar-quantized / exact searcher.
+
+    qtype: 'bf16' (2x, recall ~= 1), 'sq8' (4x, recall ~0.97 at 10M
+    clustered — regime table in COVERAGE.md §2.8), or 'f32' (exact host
+    Flat tier — FAISS CPU 'Flat' parity at host-RAM scale).
+
+    train() accepts one [N, D] array OR a sequence of [n_i, D] blocks
+    (so a 25 GB corpus can arrive from memory-mapped files without an
+    extra resident copy; sq8 needs two passes, so a generator must be
+    materialized into a list of blocks first).
+    """
+
+    SUPPORTED_METRICS = ("ip", "cos", "l2")
+
+    def __init__(self, dim: int, metric: Union[str, int] = "cos",
+                 qtype: str = "bf16", block_items: int = 1 << 20,
+                 query_block: int = 2048):
+        metric = resolve_metric(metric)
+        if metric not in self.SUPPORTED_METRICS:
+            raise ValueError(
+                f"metric '{metric}' not in {self.SUPPORTED_METRICS}")
+        if qtype not in ("bf16", "sq8", "f32"):
+            raise ValueError(f"qtype must be bf16|sq8|f32, got '{qtype}'")
+        G, G2 = _GROUP, _SUPERGROUP
+        if block_items % (G * G2):
+            raise ValueError(f"block_items must be a multiple of {G * G2}")
+        self.dim = dim
+        self.metric = metric
+        self.qtype = qtype
+        self.block_items = int(block_items)
+        self.query_block = int(query_block)
+        self.items: Optional[np.ndarray] = None
+        self.num_items = 0
+        self._codes: Optional[np.ndarray] = None    # [N, D] HOST bf16|u8|f32
+        self._xsq: Optional[np.ndarray] = None      # [N] f32 host (l2)
+        self._vmin = None                           # [D] f32 (sq8)
+        self._scale = None
+        self._search_fns = {}
+
+    # --------------------------------------------------------------- build
+    @staticmethod
+    def _as_blocks(vectors) -> Sequence[np.ndarray]:
+        if isinstance(vectors, np.ndarray):
+            return [vectors]
+        return list(vectors)
+
+    def _host_dtype(self):
+        return {"bf16": _BF16, "sq8": np.uint8,
+                "f32": np.dtype(np.float32)}[self.qtype]
+
+    def train(self, vectors, items: Optional[Sequence[Any]] = None):
+        blocks = self._as_blocks(vectors)
+        n = sum(len(b) for b in blocks)
+        if any(b.ndim != 2 or b.shape[1] != self.dim for b in blocks):
+            raise ValueError(f"expected [*, {self.dim}] blocks")
+        if self.qtype == "sq8":
+            # pass 1: global per-dim ranges (FAISS SQ semantics — the
+            # quantizer is fit over the whole corpus, then frozen)
+            vmin = np.full((self.dim,), np.inf, np.float32)
+            vmax = np.full((self.dim,), -np.inf, np.float32)
+            for b in blocks:
+                v = b.astype(np.float32, copy=False)
+                if self.metric == "cos":
+                    v = _l2_normalize(v)
+                np.minimum(vmin, v.min(axis=0), out=vmin)
+                np.maximum(vmax, v.max(axis=0), out=vmax)
+            diff = vmax - vmin
+            self._vmin = vmin
+            self._scale = np.where(diff > 0, diff / 255.0, 1.0) \
+                .astype(np.float32)
+        self._codes = np.empty((n, self.dim), self._host_dtype())
+        self._xsq = np.empty((n,), np.float32) if self.metric == "l2" \
+            else None
+        pos = 0
+        for b in blocks:
+            pos = self._encode_into(b, pos)
+        self.num_items = n
+        self.items = np.asarray(items) if items is not None \
+            else np.arange(n)
+        self._search_fns = {}
+        return self
+
+    def _encode_into(self, block: np.ndarray, pos: int) -> int:
+        v = block.astype(np.float32, copy=False)
+        if self.metric == "cos":
+            v = _l2_normalize(v)
+        e = pos + len(v)
+        if self.qtype == "sq8":
+            self._codes[pos:e] = np.clip(
+                np.rint((v - self._vmin) / self._scale), 0, 255)
+            if self._xsq is not None:
+                xhat = self._vmin + self._scale * self._codes[pos:e]
+                self._xsq[pos:e] = (xhat ** 2).sum(-1)
+        else:
+            self._codes[pos:e] = v      # bf16 rounds here; f32 exact
+            if self._xsq is not None:
+                xhat = self._codes[pos:e].astype(np.float32)
+                self._xsq[pos:e] = (xhat ** 2).sum(-1)
+        return e
+
+    def add(self, vectors, items=None):
+        """Append with the frozen quantizer (FAISS SQ add semantics)."""
+        if self._codes is None:
+            return self.train(vectors, items)
+        blocks = self._as_blocks(vectors)
+        n_new = sum(len(b) for b in blocks)
+        old_n = self.num_items
+        self._codes = np.concatenate(
+            [self._codes, np.empty((n_new, self.dim), self._host_dtype())])
+        if self._xsq is not None:
+            self._xsq = np.concatenate(
+                [self._xsq, np.empty((n_new,), np.float32)])
+        pos = old_n
+        for b in blocks:
+            pos = self._encode_into(b, pos)
+        new_items = np.asarray(items) if items is not None else \
+            np.arange(old_n, old_n + n_new)
+        self.items = np.concatenate([self.items, new_items])
+        self.num_items += n_new
+        self._search_fns = {}
+        return self
+
+    # -------------------------------------------------------------- search
+    def _block_fn(self, k: int, bn: int, valid: int):
+        """Jitted per-block local top-k: (queries_scaled [Q, D] f32,
+        codes [bn, D], xsq [bn]) -> (surrogate scores [Q, k], local idx).
+
+        Scores omit the per-query sq8 affine base (rank-preserving within a
+        query, hence across this query's blocks too); search() adds the
+        base / l2 finish after the cross-block merge.
+        """
+        metric, qtype, dim = self.metric, self.qtype, self.dim
+        G, G2 = _GROUP, _SUPERGROUP
+        key = (k, bn, valid)
+        if key in self._search_fns:
+            return self._search_fns[key]
+        use_kernel = (jax.default_backend() != "cpu"
+                      and dim % 128 == 0 and bn % (128 * G) == 0)
+        hier = bn // (G * G2) >= max(k, 2)
+
+        def fn(qs, codes, xsq):
+            nq = qs.shape[0]
+            if hier:
+                if use_kernel:
+                    from recommendflow_tpu.ops.pallas.grouped_topk import (
+                        grouped_score_max)
+                    m1 = grouped_score_max(
+                        qs, codes, xsq if metric == "l2" else None,
+                        group=G, num_items=valid).T
+                else:
+                    # compute the dot TRANSPOSED so groups lie on sublanes
+                    # (Mosaic rejects lane-splitting casts; same trick as
+                    # the HBM-resident SQ scan)
+                    s = jnp.einsum("nd,qd->nq", codes.astype(jnp.float32),
+                                   qs, preferred_element_type=jnp.float32)
+                    if metric == "l2":
+                        s = 2.0 * s - xsq[:, None]
+                    row = jax.lax.broadcasted_iota(
+                        jnp.int32, (bn, 1), 0)
+                    s = jnp.where(row < valid, s, NEG)
+                    m1 = jnp.max(s.reshape(bn // G, G, nq), axis=1).T
+                codes_g = codes.reshape(bn // G, G, dim)
+                xsq_g = xsq.reshape(bn // G, G) if metric == "l2" \
+                    else jnp.zeros((1, G), jnp.float32)
+                return _tournament_select(
+                    qs, m1, codes_g, xsq_g, k, min(k, bn // (G * G2)),
+                    valid, metric)
+            # tiny-block fallback: full scores + top_k (test regime)
+            s = jnp.einsum("qd,nd->qn", qs, codes.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+            if metric == "l2":
+                s = 2.0 * s - xsq[None, :]
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1)
+            s = jnp.where(col < valid, s, NEG)
+            return jax.lax.top_k(s, k)
+
+        jitted = jax.jit(fn)
+        self._search_fns[key] = jitted
+        return jitted
+
+    def search(self, queries: np.ndarray,
+               topk: Union[int, Sequence[int]] = 10,
+               return_items: bool = True):
+        """Same surface as TpuSearcher.search (items, scores, idx / per-k
+        dict slicing for list topk)."""
+        if self._codes is None:
+            raise RuntimeError("searcher is empty — call train() first")
+        ks = sorted({int(k) for k in
+                     (topk if isinstance(topk, (list, tuple)) else [topk])})
+        k_max = min(max(ks), self.num_items)
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if self.metric == "cos":
+            queries = _l2_normalize(queries)
+
+        out_scores, out_idx = [], []
+        for qstart in range(0, len(queries), self.query_block):
+            qblk = queries[qstart:qstart + self.query_block]
+            s, i = self._search_block_of_queries(qblk, k_max)
+            out_scores.append(s)
+            out_idx.append(i)
+        scores = np.concatenate(out_scores, axis=0)
+        idx = np.concatenate(out_idx, axis=0)
+
+        def slice_k(arr):
+            return arr if len(ks) == 1 else {k: arr[:, :k] for k in ks}
+
+        if return_items and self.items is not None:
+            return slice_k(self.items[idx]), slice_k(scores), slice_k(idx)
+        return slice_k(scores), slice_k(idx)
+
+    def _search_block_of_queries(self, queries: np.ndarray, k: int):
+        n, bn = self.num_items, self.block_items
+        n_blocks = -(-n // bn)
+        if self.qtype == "sq8":
+            qs = queries * self._scale[None, :]
+            base = queries @ self._vmin                      # [Q]
+        else:
+            qs, base = queries, None
+        qs_dev = jnp.asarray(qs, jnp.float32)
+
+        def put(i):
+            """Host block -> device, zero-padding the tail block (a host
+            copy of at most one block). device_put is async — issued for
+            block i+1 before block i's compute is dispatched below."""
+            s, e = i * bn, min((i + 1) * bn, n)
+            cb = self._codes[s:e]
+            xb = self._xsq[s:e] if self._xsq is not None else None
+            if e - s < bn:
+                pad = np.zeros((bn, self.dim), self._codes.dtype)
+                pad[:e - s] = cb
+                cb = pad
+                if xb is not None:
+                    xpad = np.full((bn,), np.inf, np.float32)
+                    xpad[:e - s] = xb
+                    xb = xpad
+            return (jax.device_put(cb),
+                    jax.device_put(xb) if xb is not None
+                    else jnp.zeros((bn,), jnp.float32))
+
+        results = []
+        nxt = put(0)
+        for i in range(n_blocks):
+            cur, nxt = nxt, (put(i + 1) if i + 1 < n_blocks else None)
+            valid = min(n - i * bn, bn)
+            fn = self._block_fn(min(k, valid), bn, valid)
+            s, li = fn(qs_dev, *cur)
+            if s.shape[1] < k:      # tail block smaller than k: pad NEG
+                padw = k - s.shape[1]
+                s = jnp.pad(s, ((0, 0), (0, padw)), constant_values=NEG)
+                li = jnp.pad(li, ((0, 0), (0, padw)))
+            results.append((s, li + i * bn))
+
+        cat_s = jnp.concatenate([s for s, _ in results], axis=1)
+        cat_i = jnp.concatenate([i for _, i in results], axis=1)
+        top_s, pos = jax.lax.top_k(cat_s, k)                  # [Q, k]
+        top_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        top_s = np.asarray(top_s)
+        top_i = np.asarray(top_i)
+        # deferred per-query corrections (rank-preserving, so applied after
+        # selection): the sq8 affine base, and the l2 surrogate -> distance
+        if self.metric == "l2":
+            q_sq = (queries ** 2).sum(-1, keepdims=True)
+            surr = top_s + (2.0 * base[:, None] if base is not None else 0.0)
+            top_s = np.sqrt(np.maximum(q_sq - surr, 0.0))
+        elif base is not None:
+            top_s = top_s + base[:, None]
+        return top_s, top_i
+
+    # ------------------------------------------------------------- persist
+    def reconstruct(self, indices: np.ndarray) -> np.ndarray:
+        idx = np.asarray(indices)
+        codes = self._codes[idx]
+        if self.qtype == "sq8":
+            return self._vmin + self._scale * codes.astype(np.float32)
+        return codes.astype(np.float32)
+
+    def save(self, path: str):
+        if self._codes is None:
+            raise RuntimeError("nothing to save")
+        extra = {}
+        if self.qtype == "sq8":
+            extra = {"vmin": self._vmin, "scale": self._scale}
+        np.savez(path, codes=self._codes.view(
+                     np.uint16 if self._codes.dtype == _BF16
+                     and _BF16 != np.float32 else self._codes.dtype),
+                 qtype=self.qtype, items=self.items, dim=self.dim,
+                 metric=self.metric, block_items=self.block_items,
+                 query_block=self.query_block, host=True, **extra)
+
+    @classmethod
+    def load(cls, path: str) -> "StreamingSqSearcher":
+        data = np.load(path if path.endswith(".npz") else path + ".npz",
+                       allow_pickle=True)
+        s = cls(int(data["dim"]), str(data["metric"]),
+                qtype=str(data["qtype"]),
+                block_items=int(data["block_items"]),
+                query_block=int(data["query_block"]))
+        codes = data["codes"]
+        if s.qtype == "bf16" and codes.dtype == np.uint16:
+            codes = codes.view(_BF16)
+        s._codes = codes
+        s.num_items = len(codes)
+        s.items = data["items"]
+        if s.qtype == "sq8":
+            s._vmin = np.asarray(data["vmin"])
+            s._scale = np.asarray(data["scale"])
+        if s.metric == "l2":
+            s._xsq = np.empty((s.num_items,), np.float32)
+            for st in range(0, s.num_items, s.block_items):
+                e = min(st + s.block_items, s.num_items)
+                xhat = s.reconstruct(np.arange(st, e))
+                s._xsq[st:e] = (xhat ** 2).sum(-1)
+        return s

@@ -13,6 +13,7 @@ from recommendflow_tpu.retrieval import _kernels
 from recommendflow_tpu.retrieval._kernels import (
     NEG, _DISTANCE_METRICS, _FAISS_METRIC_INTS, _GROUP,
     _SUPERGROUP, _assign_blocks, _build_capped_lists, _l2_normalize,
+    _to_host,
     _make_pairwise_distance, _pq_decode_np, _pq_encode, _pq_train_codebooks,
     _tournament_select, kmeans, resolve_metric,
 )
@@ -96,7 +97,7 @@ class SqSearcher(TpuSearcher):
             raise ValueError(f"expected [N, {self.dim}] vectors, got {vectors.shape}")
         if self.metric == "cos":
             vectors = _l2_normalize(vectors)
-        old = np.asarray(self._codes)[:self.num_items]   # contiguous slice
+        old = _to_host(self._codes)[:self.num_items]   # contiguous slice
         new_items = np.asarray(items) if items is not None else \
             np.arange(self.num_items, self.num_items + len(vectors))
         self.items = np.concatenate([self.items, new_items])
@@ -251,7 +252,7 @@ class SqSearcher(TpuSearcher):
     def reconstruct(self, indices: np.ndarray) -> np.ndarray:
         """Dequantize items — FAISS Index.reconstruct parity."""
         idx = np.atleast_1d(np.asarray(indices))
-        codes = np.asarray(self._codes)[idx]
+        codes = _to_host(self._codes)[idx]
         if self.qtype == "sq8":
             return np.asarray(self._vmin) + \
                 np.asarray(self._scale) * codes.astype(np.float32)
@@ -266,7 +267,7 @@ class SqSearcher(TpuSearcher):
             extra = {"vmin": np.asarray(self._vmin),
                      "scale": np.asarray(self._scale)}
         np.savez_compressed(
-            path, codes=np.asarray(self._codes)[:self.num_items].astype(
+            path, codes=_to_host(self._codes)[:self.num_items].astype(
                 np.uint8 if self.qtype == "sq8" else np.float32),
             items=self.items, dim=self.dim, metric=self.metric, sq=True,
             qtype=self.qtype, item_block=self.item_block,
@@ -334,7 +335,7 @@ class SqSearcher(TpuSearcher):
 
     def __getstate__(self):
         state = self.__dict__.copy()
-        state["_codes"] = np.asarray(self._codes)[:self.num_items] \
+        state["_codes"] = _to_host(self._codes)[:self.num_items] \
             if self._codes is not None else None
         state["_vmin"] = np.asarray(self._vmin) \
             if self._vmin is not None else None

@@ -118,11 +118,44 @@ def main():
         assert set(np.asarray(ids)[r]) == set(golden[r]), \
             f"proc {idx}: sharded search row {r} wrong"
 
+    # quantized sharded tier across PROCESSES (VERDICT r2 item 5): codes
+    # row-sharded over both hosts; search merges via all_gather; the
+    # results must equal a process-LOCAL single-device SqSearcher trained
+    # on the same corpus (quantization is deterministic), and the
+    # save/load round-trip must cross the process boundary (save
+    # process_allgathers the process-spanning code matrix)
+    from recommendflow_tpu.retrieval import ShardedSqSearcher
+    from recommendflow_tpu.retrieval.searcher import SqSearcher
+    qcorpus = rng.randn(3333, 16).astype(np.float32)
+    qqueries = rng.randn(24, 16).astype(np.float32)
+    ssq = ShardedSqSearcher(dim=16, metric="ip", qtype="sq8")
+    ssq.train(qcorpus)
+    sq_scores, sq_ids = ssq.search(qqueries, topk=7, return_items=False)
+    ref = SqSearcher(dim=16, metric="ip", qtype="sq8").train(qcorpus)
+    ref_scores, ref_ids = ref.search(qqueries, topk=7, return_items=False)
+    np.testing.assert_allclose(np.sort(np.asarray(sq_scores), axis=1),
+                               np.sort(np.asarray(ref_scores), axis=1),
+                               rtol=1e-4, atol=1e-4)
+    for r in range(len(qqueries)):
+        assert len(set(np.asarray(sq_ids)[r]) &
+                   set(np.asarray(ref_ids)[r])) >= 6, \
+            f"proc {idx}: sharded SQ row {r} disagrees with local SqSearcher"
+    # save is a collective (process_allgather of the sharded codes): every
+    # process calls it, each writing its own file to avoid a write race
+    sq_path = os.path.join(out_dir, f"sq_idx_p{idx}.npz")
+    ssq.save(sq_path)
+    restored = ShardedSqSearcher.load(sq_path)
+    r_scores, r_ids = restored.search(qqueries, topk=7, return_items=False)
+    np.testing.assert_allclose(np.asarray(r_scores), np.asarray(sq_scores),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(r_ids), np.asarray(sq_ids)), \
+        f"proc {idx}: sharded SQ save/load round-trip changed results"
+
     if idx == 0:
         with open(os.path.join(out_dir, "digest.json"), "w") as f:
             json.dump({"losses": losses, "param_total": total,
                        "scan_loss": scan_loss, "val_auc": ev["val_auc"],
-                       "search_ok": True}, f)
+                       "search_ok": True, "sq_search_ok": True}, f)
 
 
 class _ListDataset:

@@ -15,6 +15,8 @@ from recommendflow_tpu.data.synthetic import generate_records, synthetic_batch
 from recommendflow_tpu.models.base import build_network
 from recommendflow_tpu.train import Trainer
 
+pytestmark = pytest.mark.slow  # heavy: deselect with -m 'not slow'
+
 DEALS = ["numeric", "discrete", "hashing", "lookup", "embedding"]
 POOLINGS = ["sum", "avg", "min", "max", "first", "last"]
 

@@ -1,0 +1,143 @@
+"""Host-RAM streaming tier (retrieval/host_tier.py): block-streamed search
+must agree with the device-resident searchers on every metric/qtype, across
+block boundaries, partial tail blocks, and save/load.
+
+Parity surface: FAISS's host-scale CPU indices
+(faiss_searcher.py:23-225) — the one regime VERDICT r2 flagged as missing.
+"""
+import numpy as np
+import pytest
+
+from recommendflow_tpu.retrieval import (SqSearcher, StreamingSqSearcher,
+                                         TpuSearcher, index_factory)
+
+
+def _corpus(n, d, seed=0):
+    return np.random.RandomState(seed).randn(n, d).astype(np.float32)
+
+
+# block_items must be a multiple of G*G2 = 256; 1024 gives a 5-block stream
+# over 5000 items with a partial tail block
+BLK = 1024
+
+
+@pytest.mark.parametrize("metric", ["ip", "cos", "l2"])
+def test_f32_streaming_matches_exact(metric):
+    n, d, k = 5000, 16, 9
+    v = _corpus(n, d, seed=1)
+    q = _corpus(23, d, seed=2)
+    exact = TpuSearcher(dim=d, metric=metric).train(v)
+    host = StreamingSqSearcher(dim=d, metric=metric, qtype="f32",
+                               block_items=BLK).train(v)
+    _, s1, i1 = exact.search(q, topk=k)
+    _, s2, i2 = host.search(q, topk=k)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-4, atol=1e-4)
+    for r in range(len(q)):
+        assert set(np.asarray(i2)[r]) == set(np.asarray(i1)[r]), r
+
+
+@pytest.mark.parametrize("qtype", ["bf16", "sq8"])
+@pytest.mark.parametrize("metric", ["ip", "cos", "l2"])
+def test_quantized_streaming_matches_device_sq(metric, qtype):
+    """Same quantizer (per-dim affine fit over the whole corpus), same
+    scores: the streamed searcher must agree with the HBM-resident
+    SqSearcher up to selection ties."""
+    n, d, k = 5000, 16, 9
+    v = _corpus(n, d, seed=3)
+    q = _corpus(17, d, seed=4)
+    dev = SqSearcher(dim=d, metric=metric, qtype=qtype).train(v)
+    host = StreamingSqSearcher(dim=d, metric=metric, qtype=qtype,
+                               block_items=BLK).train(v)
+    _, s1, i1 = dev.search(q, topk=k)
+    _, s2, i2 = host.search(q, topk=k)
+    # bf16-ulp tolerance: the device SqSearcher's scan computes its dots at
+    # bf16 precision while the streamed fallback accumulates f32 — the
+    # scores differ by bf16 rounding (~0.4% rel), not by selection logic
+    np.testing.assert_allclose(np.sort(np.asarray(s2), axis=1),
+                               np.sort(np.asarray(s1), axis=1),
+                               rtol=1e-2, atol=1e-2)
+    for r in range(len(q)):
+        assert len(set(np.asarray(i2)[r]) & set(np.asarray(i1)[r])) >= k - 1
+
+
+def test_blocked_train_and_add():
+    """train() from a list of blocks == train() from the whole matrix
+    (sq8's two-pass range fit must span all blocks); add() extends with the
+    frozen quantizer."""
+    n, d = 3000, 8
+    v = _corpus(n, d, seed=5)
+    whole = StreamingSqSearcher(dim=d, metric="ip", qtype="sq8",
+                                block_items=256).train(v)
+    blocks = StreamingSqSearcher(dim=d, metric="ip", qtype="sq8",
+                                 block_items=256).train(
+        [v[:1000], v[1000:1700], v[1700:]])
+    np.testing.assert_array_equal(whole._codes, blocks._codes)
+    np.testing.assert_array_equal(whole._vmin, blocks._vmin)
+
+    extra = _corpus(500, d, seed=6)
+    blocks.add(extra)
+    assert blocks.num_items == n + 500
+    q = _corpus(5, d, seed=7)
+    _, idx = blocks.search(q, topk=3, return_items=False)
+    assert np.asarray(idx).max() >= 0
+
+
+def test_topk_list_and_items():
+    v = _corpus(2000, 8, seed=8)
+    items = np.array([f"doc{i}" for i in range(2000)])
+    s = StreamingSqSearcher(dim=8, metric="cos", qtype="bf16",
+                            block_items=512).train(v, items=items)
+    it, sc, idx = s.search(_corpus(4, 8, seed=9), topk=[3, 7])
+    assert set(it.keys()) == {3, 7}
+    assert it[3].shape == (4, 3) and sc[7].shape == (4, 7)
+    assert it[3][0, 0].startswith("doc")
+
+
+def test_save_load_roundtrip(tmp_path):
+    for qtype in ("bf16", "sq8", "f32"):
+        v = _corpus(1500, 8, seed=10)
+        q = _corpus(6, 8, seed=11)
+        s = StreamingSqSearcher(dim=8, metric="l2", qtype=qtype,
+                                block_items=512).train(v)
+        s1, i1 = s.search(q, topk=5, return_items=False)
+        path = str(tmp_path / f"host_{qtype}.npz")
+        s.save(path)
+        r = StreamingSqSearcher.load(path)
+        s2, i2 = r.search(q, topk=5, return_items=False)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.array_equal(np.asarray(i2), np.asarray(i1)), qtype
+
+
+def test_index_factory_host_strings():
+    s = index_factory(16, "HostSQbf16", metric="ip")
+    assert isinstance(s, StreamingSqSearcher) and s.qtype == "bf16"
+    s = index_factory(16, "HostSQ8")
+    assert s.qtype == "sq8"
+    s = index_factory(16, "HostFlat", metric="l2")
+    assert s.qtype == "f32"
+    with pytest.raises(ValueError, match="host tier"):
+        import jax
+        from jax.sharding import Mesh
+        index_factory(16, "HostFlat",
+                      mesh=Mesh(np.asarray(jax.devices()), ("items",)))
+
+
+def test_reconstruct_and_recall_on_clustered():
+    """sq8 on clustered data: streamed search must find the planted nearest
+    cluster members (recall sanity beyond exact-match ties)."""
+    rng = np.random.RandomState(12)
+    centers = rng.randn(32, 16).astype(np.float32)
+    v = (centers[rng.randint(0, 32, 4000)] +
+         0.1 * rng.randn(4000, 16).astype(np.float32))
+    q = v[:50] + 0.05 * rng.randn(50, 16).astype(np.float32)
+    host = StreamingSqSearcher(dim=16, metric="ip", qtype="sq8",
+                               block_items=1024).train(v)
+    _, idx = host.search(q, topk=20, return_items=False)
+    golden = np.argsort(-(q @ v.T), axis=1)[:, :20]
+    hits = sum(len(set(np.asarray(idx)[r]) & set(golden[r]))
+               for r in range(50))
+    assert hits / (50 * 20) > 0.9
+    rec = host.reconstruct(np.arange(10))
+    assert np.abs(rec - v[:10]).max() < 0.05  # 8-bit grid error bound-ish

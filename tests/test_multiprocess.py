@@ -18,6 +18,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: deselect with -m 'not slow'
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -106,6 +108,9 @@ def test_two_process_cluster_matches_single_process(tmp_path):
 
     with open(tmp_path / "digest.json") as f:
         digest = json.load(f)
+    # the quantized sharded tier ran its in-worker equality + save/load
+    # assertions on the real 2-process cluster (VERDICT r2 item 5)
+    assert digest["sq_search_ok"] is True
 
     # single-process reference on the SAME global batches (this test process
     # already runs with 8 fake devices via conftest)
