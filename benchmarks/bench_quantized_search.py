@@ -56,8 +56,11 @@ def bench_one(name, make_searcher, corpus, queries, k, reps, gt=None):
     s = make_searcher()
     s.train(corpus)
     build_s = time.perf_counter() - t0
-    # warm (compile)
-    _, idx = s.search(queries[:64], topk=k, return_items=False)
+    if not name.startswith("Host"):
+        # warm (compile). Host-tier searchers skip this: ANY search streams
+        # the whole corpus from host RAM, so a warm-up pass would double the
+        # wall time for a few seconds of compile amortization
+        _, idx = s.search(queries[:64], topk=k, return_items=False)
     times = []
     idx = None
     for _ in range(reps):
@@ -97,7 +100,8 @@ def main():
     args = ap.parse_args()
 
     from recommendflow_tpu.retrieval import (
-        IvfPqSearcher, IvfSearcher, PqSearcher, SqSearcher, TpuSearcher)
+        IvfPqSearcher, IvfSearcher, PqSearcher, SqSearcher,
+        StreamingSqSearcher, TpuSearcher)
 
     print(f"# corpus {args.n} x {args.dim} "
           f"({'isotropic' if args.isotropic else 'clustered'}), "
@@ -116,17 +120,38 @@ def main():
     gt = None
     if args.gt and os.path.exists(args.gt):
         gt = np.load(args.gt)["gt"]
+    # beyond-HBM corpora can't host a device-resident Flat index: compute
+    # the exact ground truth with the host-streaming f32 tier instead
+    # (identical results, transfer-bound speed)
+    beyond_hbm = args.n * args.dim * 4 > 10e9
     if gt is None:
-        # exact ground truth first (also the Flat baseline timing)
-        row, gt = bench_one(
-            "Flat", lambda: TpuSearcher(args.dim, args.metric,
-                                        query_block=qb),
-            corpus, queries, args.k, args.reps)
+        if beyond_hbm:
+            row, gt = bench_one(
+                "HostFlat", lambda: StreamingSqSearcher(
+                    args.dim, args.metric, qtype="f32",
+                    query_block=max(qb, 2048)),
+                corpus, queries, args.k, max(1, args.reps // 2))
+        else:
+            row, gt = bench_one(
+                "Flat", lambda: TpuSearcher(args.dim, args.metric,
+                                            query_block=qb),
+                corpus, queries, args.k, args.reps)
         rows.append(row)
         if args.gt:
             np.savez(args.gt, gt=gt)
 
     configs = [
+        # host-RAM tier (beyond-HBM corpus streamed from host numpy):
+        # measured here so the qps/recall regime table covers the one FAISS
+        # capability the HBM-resident families can't reach
+        # host tier streams the WHOLE corpus once per query block — use the
+        # largest block the m1 buffers allow so the stream amortizes
+        ("HostSQbf16", lambda: StreamingSqSearcher(
+            args.dim, args.metric, qtype="bf16",
+            query_block=max(qb, 2048))),
+        ("HostSQ8", lambda: StreamingSqSearcher(
+            args.dim, args.metric, qtype="sq8",
+            query_block=max(qb, 2048))),
         ("SQ8", lambda: SqSearcher(args.dim, args.metric, qtype="sq8",
                                    query_block=qb)),
         ("SQbf16", lambda: SqSearcher(args.dim, args.metric, qtype="bf16",
@@ -147,6 +172,12 @@ def main():
 
     for name, maker in configs:
         if args.only and not re.search(args.only, name):
+            continue
+        if beyond_hbm and not name.startswith("Host"):
+            # a 10+ GB f32 corpus cannot be device-resident; don't stream
+            # gigabytes into a guaranteed OOM
+            print(json.dumps({"searcher": name,
+                              "skipped": "corpus exceeds device HBM"}))
             continue
         try:
             row, _ = bench_one(name, maker, corpus, queries, args.k,

@@ -49,7 +49,11 @@ def _kernel(q_ref, v_ref, sqn_ref, o_ref, *, group: int, num_items: int,
     # (8 significand bits), so the dequant-free SQ8 scoring identity holds
     v = v_ref[...]
     if v.dtype == jnp.uint8:
-        v = v.astype(q_ref.dtype)
+        # Mosaic rejects the direct uint8 -> bf16/f32 cast on real TPU
+        # ("Unsupported cast"; interpret mode accepts it — probed on v5e
+        # 2026-08-21); the int32 hop lowers fine and is exact for codes
+        # <= 255 in either target dtype
+        v = v.astype(jnp.int32).astype(q_ref.dtype)
     s = jax.lax.dot_general(v, q_ref[...], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)   # [C, QB]
     if l2:

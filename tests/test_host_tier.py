@@ -61,6 +61,32 @@ def test_quantized_streaming_matches_device_sq(metric, qtype):
         assert len(set(np.asarray(i2)[r]) & set(np.asarray(i1)[r])) >= k - 1
 
 
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_hier_block_path_is_exact(metric):
+    """Blocks large enough for the per-block grouped tournament
+    (block_items // 256 >= k): the streamed f32 search must still return
+    exactly the brute-force top-k (the tournament + cross-block merge is
+    exact, not approximate)."""
+    n, d, k = 20000, 16, 8
+    v = _corpus(n, d, seed=13)
+    q = _corpus(12, d, seed=14)
+    host = StreamingSqSearcher(dim=d, metric=metric, qtype="f32",
+                               block_items=4096).train(v)
+    # hier gate: 4096 // 256 = 16 supergroups >= k
+    _, s2, i2 = host.search(q, topk=k)
+    if metric == "l2":
+        d2 = ((q[:, None, :] - v[None, :, :]) ** 2).sum(-1)
+        golden = np.argsort(d2, axis=1)[:, :k]
+        gs = np.sqrt(np.take_along_axis(d2, golden, axis=1))
+    else:
+        sim = q @ v.T
+        golden = np.argsort(-sim, axis=1)[:, :k]
+        gs = np.take_along_axis(sim, golden, axis=1)
+    np.testing.assert_allclose(np.asarray(s2), gs, rtol=1e-4, atol=1e-4)
+    for r in range(len(q)):
+        assert set(np.asarray(i2)[r]) == set(golden[r]), r
+
+
 def test_blocked_train_and_add():
     """train() from a list of blocks == train() from the whole matrix
     (sq8's two-pass range fit must span all blocks); add() extends with the

@@ -397,42 +397,54 @@ def _fit_val_auc(conf, schema, paths, model, epochs=2, lr=3e-3):
     return result["history"][-1]["val_auc"]
 
 
-# (path, kwargs, auc_threshold, epochs, lr)
+# (path, kwargs, min_fraction_of_bayes_ceiling, epochs, lr)
+#
+# Ceiling-relative acceptance (VERDICT r2 item 4): thresholds are fractions
+# of the planted click model's Bayes-optimal AUC (~0.979,
+# data/synthetic.py:bayes_ceiling — the oracle score is a function of
+# OBSERVABLE features, so the ceiling is reachable; what keeps a model
+# below it is optimization/estimation, not hidden state). Epoch budgets are
+# set where each model's trajectory plateaus — post-compile epochs cost
+# ~0.2 s each on CPU, so generous budgets are nearly free. Fractions are
+# pinned ~2-3 points under the measured plateau (benchmarks/
+# measure_learn_auc.py, 2026-08-21) to absorb seed jitter while staying
+# far above the half-broken regime the old 0.62-0.70 bars let through.
 LEARN_RECALL = [
     ("recommendflow_tpu.models.matching.dssm.Dssm",
-     {"tower_units": [64]}, 0.65, 2, 3e-3),
+     {"tower_units": [64]}, 0.93, 6, 3e-3),
     ("recommendflow_tpu.models.matching.mobius.Mobius",
-     {"tower_units": [64]}, 0.60, 2, 3e-3),
-    # attention-pooled user tower warms up slowly then takes off
-    # (measured 0.55 .. 0.615 -> 0.76 over 7 epochs)
+     {"tower_units": [64]}, 0.93, 6, 3e-3),
+    # attention-pooled user tower warms slowly (0.55 at epoch 0, takeoff at
+    # epoch 6) and PLATEAUS at ~0.90 = 92% of ceiling (measured flat from
+    # epoch 17 through 26) — the model pools clicked-item signal through
+    # one soft-attention layer, which saturates below the cat-feature
+    # models; the bar reflects its own plateau, not the family's
     ("recommendflow_tpu.models.matching.pdm.Pdm",
-     {"tower_units": [64]}, 0.62, 7, 3e-3),
+     {"tower_units": [64]}, 0.87, 16, 3e-3),
 ]
 
 LEARN_RANKING = [
     ("recommendflow_tpu.models.ranking.dnn.Dnn",
-     {"hidden_units": [64, 32]}, 0.70, 2, 3e-3),
+     {"hidden_units": [64, 32]}, 0.95, 8, 3e-3),
     ("recommendflow_tpu.models.ranking.dcn.Dcn",
-     {"hidden_units": [64], "cross_layers": 2}, 0.70, 2, 3e-3),
+     {"hidden_units": [64], "cross_layers": 2}, 0.95, 8, 3e-3),
     ("recommendflow_tpu.models.ranking.deepfm.DeepFm",
-     {"hidden_units": [64]}, 0.70, 2, 3e-3),
+     {"hidden_units": [64]}, 0.95, 8, 3e-3),
     ("recommendflow_tpu.models.ranking.deepfm.XDeepFm",
-     {"hidden_units": [64], "cin_layers": (16,)}, 0.70, 2, 3e-3),
-    # multi-task models split capacity across heads: 4 epochs to converge
-    # (measured trajectory 0.57 -> 0.65 -> 0.77 -> 0.94)
+     {"hidden_units": [64], "cin_layers": (16,)}, 0.95, 8, 3e-3),
     ("recommendflow_tpu.models.ranking.mmoe.Mmoe",
      {"num_experts": 2, "num_tasks": 2, "expert_units": (64,),
-      "tower_units": (32,)}, 0.70, 4, 3e-3),
+      "tower_units": (32,)}, 0.95, 8, 3e-3),
     ("recommendflow_tpu.models.ranking.tabtransformer.TabTransformer",
-     {"num_blocks": 1, "hidden_units": (64,)}, 0.70, 2, 3e-3),
+     {"num_blocks": 1, "hidden_units": (64,)}, 0.95, 4, 3e-3),
     ("recommendflow_tpu.models.ranking.essm.Essm",
-     {"tower_units": (64,)}, 0.70, 4, 3e-3),
+     {"tower_units": (64,)}, 0.95, 8, 3e-3),
     ("recommendflow_tpu.models.preranking.cold.Cold",
-     {"hidden_units": (64,)}, 0.70, 2, 3e-3),
+     {"hidden_units": (64,)}, 0.95, 8, 3e-3),
     ("recommendflow_tpu.models.reranking.escm2.Escm2",
-     {"tower_units": (64,)}, 0.70, 4, 3e-3),
+     {"tower_units": (64,)}, 0.95, 8, 3e-3),
     ("recommendflow_tpu.models.ranking.esim.Esim",
-     {"model_dim": 32, "mlp_units": (32,), "vocab_size": 200}, 0.65, 2, 3e-3),
+     {"model_dim": 32, "mlp_units": (32,), "vocab_size": 200}, 0.95, 4, 3e-3),
 ]
 
 # token_id sequences carry no [CLS] token, so the encoders pool with
@@ -441,35 +453,44 @@ LEARN_RANKING = [
 # also want the gentler lr (3e-3 oscillates, 1e-3 converges).
 LEARN_ENCODER = [
     ("recommendflow_tpu.models.matching.siamese_encoder.SiameseEncoder",
-     {}, 0.70, 4, 1e-3),
+     {}, 0.95, 6, 1e-3),
     ("recommendflow_tpu.models.matching.dssm_encoder.DssmEncoder",
-     {}, 0.70, 4, 1e-3),
+     {}, 0.95, 6, 1e-3),
     ("recommendflow_tpu.models.matching.que2search.Que2Search",
      {"channel_dim": 32, "text_vocab_size": 200, "text_dim": 32,
-      "text_layers": 1}, 0.70, 4, 1e-3),
+      "text_layers": 1}, 0.95, 6, 1e-3),
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("path,kwargs,thresh,epochs,lr", LEARN_RECALL,
                          ids=[p.rsplit(".", 1)[1] for p, *_ in LEARN_RECALL])
 def test_recall_model_learns(learn_recall_world, path, kwargs, thresh,
                              epochs, lr):
+    from recommendflow_tpu.data.synthetic import bayes_ceiling
     conf, schema, paths = learn_recall_world
     model, _ = build_network(path, {"conf": conf, **kwargs})
     auc = _fit_val_auc(conf, schema, paths, model, epochs=epochs, lr=lr)
-    assert auc > thresh, f"{path}: val_auc {auc:.3f} <= {thresh}"
+    bar = thresh * bayes_ceiling(seed=5)
+    assert auc > bar, (f"{path}: val_auc {auc:.3f} <= {bar:.3f} "
+                       f"({thresh:.0%} of Bayes ceiling)")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("path,kwargs,thresh,epochs,lr", LEARN_RANKING,
                          ids=[p.rsplit(".", 1)[1] for p, *_ in LEARN_RANKING])
 def test_ranking_model_learns(learn_ranking_world, path, kwargs, thresh,
                               epochs, lr):
+    from recommendflow_tpu.data.synthetic import bayes_ceiling
     conf, schema, paths = learn_ranking_world
     model, _ = build_network(path, {"conf": conf, **kwargs})
     auc = _fit_val_auc(conf, schema, paths, model, epochs=epochs, lr=lr)
-    assert auc > thresh, f"{path}: val_auc {auc:.3f} <= {thresh}"
+    bar = thresh * bayes_ceiling(seed=6)
+    assert auc > bar, (f"{path}: val_auc {auc:.3f} <= {bar:.3f} "
+                       f"({thresh:.0%} of Bayes ceiling)")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("path,kwargs,thresh,epochs,lr", LEARN_ENCODER,
                          ids=[p.rsplit(".", 1)[1] for p, *_ in LEARN_ENCODER])
 def test_encoder_model_learns(learn_ranking_world, path, kwargs, thresh,
@@ -489,4 +510,7 @@ def test_encoder_model_learns(learn_ranking_world, path, kwargs, thresh,
                                    "model_dim": 32, "pooling": "avg"}
     model, _ = build_network(path, {"conf": conf, **kwargs})
     auc = _fit_val_auc(conf, schema, paths, model, epochs=epochs, lr=lr)
-    assert auc > thresh, f"{path}: val_auc {auc:.3f} <= {thresh}"
+    from recommendflow_tpu.data.synthetic import bayes_ceiling
+    bar = thresh * bayes_ceiling(seed=6)
+    assert auc > bar, (f"{path}: val_auc {auc:.3f} <= {bar:.3f} "
+                       f"({thresh:.0%} of Bayes ceiling)")
