@@ -2,7 +2,8 @@ from recommendflow_tpu.retrieval.searcher import (
     IvfPqSearcher, IvfSearcher, PqSearcher, SqSearcher, TpuSearcher,
     index_factory, kmeans, resolve_metric,
 )
-from recommendflow_tpu.retrieval.host_tier import StreamingSqSearcher
+from recommendflow_tpu.retrieval.host_tier import (HostIvfSearcher,
+                                                   StreamingSqSearcher)
 from recommendflow_tpu.retrieval.encoder_search import EncoderSearcher
 from recommendflow_tpu.retrieval.sharded import (
     ShardedSearcher, ShardedSqSearcher,

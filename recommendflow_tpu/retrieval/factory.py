@@ -39,6 +39,20 @@ def index_factory(dim: int, index_param: str = "Flat",
             raise ValueError("the host tier streams from one host — use "
                              "Sharded* (device-resident) for mesh scaling")
         return StreamingSqSearcher(dim, metric, qtype=qtype, **kwargs)
+    # host-RAM IVF: contiguous inverted lists on host, probed-cluster-only
+    # transfer — the online/low-latency host-scale tier
+    m = _re.match(r"^HostIVF(\d+)(?:,(Flat|SQ8|SQfp16|SQbf16))?$", spec,
+                  _re.IGNORECASE)
+    if m:
+        from recommendflow_tpu.retrieval.host_tier import HostIvfSearcher
+        if mesh is not None:
+            raise ValueError("the host tier streams from one host — use "
+                             "Sharded* (device-resident) for mesh scaling")
+        sub = (m.group(2) or "SQ8").lower()
+        qtype = {"flat": "f32", "sq8": "sq8",
+                 "sqfp16": "bf16", "sqbf16": "bf16"}[sub]
+        return HostIvfSearcher(dim, metric, qtype=qtype,
+                               nlist=int(m.group(1)), **kwargs)
     m = _re.match(r"^SQ(8|fp16|bf16)$", spec, _re.IGNORECASE)
     if m:
         qtype = "sq8" if m.group(1) == "8" else "bf16"

@@ -346,19 +346,319 @@ class StreamingSqSearcher:
                 qtype=str(data["qtype"]),
                 block_items=int(data["block_items"]),
                 query_block=int(data["query_block"]))
-        codes = data["codes"]
-        if s.qtype == "bf16" and codes.dtype == np.uint16:
-            codes = codes.view(_BF16)
-        s._codes = codes
-        s.num_items = len(codes)
-        s.items = data["items"]
-        if s.qtype == "sq8":
-            s._vmin = np.asarray(data["vmin"])
-            s._scale = np.asarray(data["scale"])
-        if s.metric == "l2":
-            s._xsq = np.empty((s.num_items,), np.float32)
-            for st in range(0, s.num_items, s.block_items):
-                e = min(st + s.block_items, s.num_items)
-                xhat = s.reconstruct(np.arange(st, e))
-                s._xsq[st:e] = (xhat ** 2).sum(-1)
+        s._load_common(data)
         return s
+
+    def _load_common(self, data):
+        codes = data["codes"]
+        if self.qtype == "bf16" and codes.dtype == np.uint16:
+            codes = codes.view(_BF16)
+        self._codes = codes
+        self.num_items = len(codes)
+        self.items = data["items"]
+        if self.qtype == "sq8":
+            self._vmin = np.asarray(data["vmin"])
+            self._scale = np.asarray(data["scale"])
+        if self.metric == "l2":
+            self._xsq = np.empty((self.num_items,), np.float32)
+            for st in range(0, self.num_items, self.block_items):
+                e = min(st + self.block_items, self.num_items)
+                xhat = self.reconstruct(np.arange(st, e))
+                self._xsq[st:e] = (xhat ** 2).sum(-1)
+
+
+class HostIvfSearcher(StreamingSqSearcher):
+    """Host-resident IVF: cluster-contiguous inverted lists in host RAM,
+    search transfers ONLY the probed clusters.
+
+    The complement of StreamingSqSearcher's bulk-throughput regime: instead
+    of streaming the whole corpus once per query block, train() reorders
+    the (quantized) corpus so each k-means cluster is one CONTIGUOUS host
+    slice (the measured 2.3x contiguous-read layout, CLAUDE.md "IVF future
+    lever"), and search() ships just the union of the probed clusters to
+    the device. At nlist=4096/nprobe=16 a single query touches ~0.4% of the
+    corpus — ~250x less transfer than a full stream — which is the regime
+    that matters for ONLINE host-scale serving (a few queries at a time,
+    latency-bound). For bulk query batches the probe union approaches the
+    whole corpus and the streaming scan wins; pick by workload. Recall is
+    IVF-approximate (probe misses), quantization per StreamingSqSearcher.
+
+    Scoring is exact over the shipped union: every query in the block is
+    scored against the WHOLE union (a superset of its own probed lists —
+    extra candidates only raise recall; the MXU flops are negligible next
+    to the transfer). Packed sizes are bucketed to powers of two so jit
+    recompiles stay bounded.
+
+    Parity surface: FAISS host-RAM 'IVF{n},SQ8'-style indices
+    (faiss_searcher.py:108-130).
+    """
+
+    def __init__(self, dim: int, metric: Union[str, int] = "cos",
+                 qtype: str = "sq8", nlist: int = 4096, nprobe: int = 16,
+                 block_items: int = 1 << 20, query_block: int = 64,
+                 train_sample: int = 1 << 20, kmeans_iters: int = 10,
+                 seed: int = 0):
+        super().__init__(dim, metric, qtype=qtype, block_items=block_items,
+                         query_block=query_block)
+        self.nlist = int(nlist)
+        self.nprobe = int(nprobe)
+        self.train_sample = int(train_sample)
+        self.kmeans_iters = int(kmeans_iters)
+        self.seed = int(seed)
+        self._centroids = None     # [nlist, D] f32 device
+        self._offsets = None       # [nlist+1] int64 host
+        self._order = None         # [N] int64: original index per stored pos
+        self._score_fns = {}
+
+    # --------------------------------------------------------------- build
+    def train(self, vectors, items: Optional[Sequence[Any]] = None):
+        blocks = self._as_blocks(vectors)
+        n = sum(len(b) for b in blocks)
+        if self.nlist > max(n, 1):
+            raise ValueError(f"nlist={self.nlist} exceeds corpus size {n}")
+        # a previous train()'s permutation must not leak into the
+        # original-order reconstruct calls below
+        self._order = None
+        self._inv_order = None
+        # 1) fit the scalar quantizer + encode in ORIGINAL order (parent)
+        super().train(blocks, items=items)
+        # 2) k-means centroids from a host sample (device Lloyd's); the
+        # sample sees the same normalization the codes got
+        rng = np.random.RandomState(self.seed)
+        take = min(self.train_sample, n)
+        sample_idx = np.sort(rng.choice(n, size=take, replace=False))
+        sample = self.reconstruct(sample_idx)     # normalized + dequantized
+        from recommendflow_tpu.retrieval._kernels import kmeans
+        cents = kmeans(jnp.asarray(sample), self.nlist,
+                       iters=self.kmeans_iters, seed=self.seed,
+                       spherical=self.metric == "cos")
+        self._centroids = cents
+        # 3) assign every row to its nearest centroid, streaming decoded
+        # blocks through the device once
+        assign = np.empty((n,), np.int64)
+        c_sq = jnp.sum(cents * cents, axis=1)
+
+        @jax.jit
+        def assign_block(x, c, csq):
+            return jnp.argmax(2.0 * (x @ c.T) - csq[None, :], axis=1)
+
+        for s in range(0, n, self.block_items):
+            e = min(s + self.block_items, n)
+            xb = jnp.asarray(self.reconstruct(np.arange(s, e)))
+            assign[s:e] = np.asarray(assign_block(xb, cents, c_sq))
+        # 4) reorder codes so each cluster is one contiguous host slice
+        order = np.argsort(assign, kind="stable")
+        self._order = order
+        self._inv_order = None
+        self._codes = np.ascontiguousarray(self._codes[order])
+        if self._xsq is not None:
+            self._xsq = np.ascontiguousarray(self._xsq[order])
+        counts = np.bincount(assign, minlength=self.nlist)
+        self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(
+            np.int64)
+        self._search_fns = {}
+        self._score_fns = {}
+        return self
+
+    def add(self, vectors, items=None):
+        raise NotImplementedError(
+            "HostIvfSearcher rebuilds its contiguous cluster layout on "
+            "train(); append-then-retrain, or use StreamingSqSearcher for "
+            "incremental host-scale corpora")
+
+    def reconstruct(self, indices: np.ndarray) -> np.ndarray:
+        idx = np.asarray(indices)
+        if self._order is not None:
+            # codes are stored cluster-sorted: map original -> stored pos
+            if not hasattr(self, "_inv_order") or self._inv_order is None:
+                inv = np.empty_like(self._order)
+                inv[self._order] = np.arange(len(self._order))
+                self._inv_order = inv
+            idx = self._inv_order[idx]
+        codes = self._codes[idx]
+        if self.qtype == "sq8":
+            return self._vmin + self._scale * codes.astype(np.float32)
+        return codes.astype(np.float32)
+
+    # -------------------------------------------------------------- search
+    def _score_fn(self, k: int, m_pad: int):
+        """Jitted union scorer: (qs [Q,D], codes [m_pad,D], xsq [m_pad],
+        valid) -> (scores [Q,k], positions [Q,k]). Chunked top-k so wide
+        rows never hit lax.top_k directly."""
+        key = (k, m_pad)
+        if key in self._score_fns:
+            return self._score_fns[key]
+        metric = self.metric
+        bs = min(1 << 16, m_pad)
+
+        def fn(qs, codes, xsq, valid):
+            nq = qs.shape[0]
+
+            def one(start):
+                blk = jax.lax.dynamic_slice(
+                    codes, (start, 0), (bs, codes.shape[1]))
+                s = jnp.einsum("nd,qd->nq", blk.astype(jnp.float32), qs,
+                               preferred_element_type=jnp.float32)
+                if metric == "l2":
+                    s = 2.0 * s - jax.lax.dynamic_slice(
+                        xsq, (start,), (bs,))[:, None]
+                row = start + jax.lax.broadcasted_iota(
+                    jnp.int32, (bs, 1), 0)
+                s = jnp.where(row < valid, s, NEG).T        # [Q, bs]
+                ts, ti = jax.lax.top_k(s, min(k, bs))
+                return ts, ti + start
+
+            starts = jnp.arange(m_pad // bs) * bs
+            ts, ti = jax.lax.map(one, starts)    # [nb, Q, k]
+            ts = jnp.swapaxes(ts, 0, 1).reshape(nq, -1)
+            ti = jnp.swapaxes(ti, 0, 1).reshape(nq, -1)
+            top, pos = jax.lax.top_k(ts, k)
+            return top, jnp.take_along_axis(ti, pos, axis=1)
+
+        jitted = jax.jit(fn)
+        self._score_fns[key] = jitted
+        return jitted
+
+    def _probe(self, queries: np.ndarray) -> np.ndarray:
+        """[Q, nprobe] cluster ids by centroid score (device)."""
+        qs = jnp.asarray(queries, jnp.float32)
+        c = self._centroids
+        if self.metric == "l2":
+            s = 2.0 * (qs @ c.T) - jnp.sum(c * c, axis=1)[None, :]
+        else:
+            s = qs @ c.T
+        _, idx = jax.lax.top_k(s, min(self.nprobe, self.nlist))
+        return np.asarray(idx)
+
+    def search(self, queries: np.ndarray,
+               topk: Union[int, Sequence[int]] = 10,
+               return_items: bool = True):
+        if self._codes is None:
+            raise RuntimeError("searcher is empty — call train() first")
+        ks = sorted({int(k) for k in
+                     (topk if isinstance(topk, (list, tuple)) else [topk])})
+        k_max = min(max(ks), self.num_items)
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if self.metric == "cos":
+            queries = _l2_normalize(queries)
+
+        out_s, out_i = [], []
+        for qstart in range(0, len(queries), self.query_block):
+            qblk = queries[qstart:qstart + self.query_block]
+            s, i = self._search_probed(qblk, k_max)
+            out_s.append(s)
+            out_i.append(i)
+        scores = np.concatenate(out_s, axis=0)
+        idx = np.concatenate(out_i, axis=0)
+
+        def slice_k(arr):
+            return arr if len(ks) == 1 else {k: arr[:, :k] for k in ks}
+
+        if return_items and self.items is not None:
+            return slice_k(self.items[idx]), slice_k(scores), slice_k(idx)
+        return slice_k(scores), slice_k(idx)
+
+    def _search_probed(self, queries: np.ndarray, k: int):
+        probes = self._probe(queries)                     # [Q, P]
+        clusters = np.unique(probes)
+        off = self._offsets
+        sizes = off[clusters + 1] - off[clusters]
+        m = int(sizes.sum())
+        if m == 0:                                        # degenerate
+            z = np.zeros((len(queries), k))
+            return z, z.astype(np.int64)
+        # pack the probed clusters' contiguous slices (host memcpy of only
+        # the rows that will travel) + the stored->original id map
+        packed = np.empty((m, self.dim), self._codes.dtype)
+        ids = np.empty((m,), np.int64)
+        xsq = np.empty((m,), np.float32) if self._xsq is not None else None
+        pos = 0
+        for c, sz in zip(clusters, sizes):
+            s, e = off[c], off[c + 1]
+            packed[pos:pos + sz] = self._codes[s:e]
+            ids[pos:pos + sz] = self._order[s:e]
+            if xsq is not None:
+                xsq[pos:pos + sz] = self._xsq[s:e]
+            pos += sz
+        # bucket to the next power of two (>=512) so distinct jit shapes
+        # stay logarithmic in corpus size
+        m_pad = max(512, 1 << int(np.ceil(np.log2(m))))
+        if m_pad > m:
+            pad = np.zeros((m_pad - m, self.dim), packed.dtype)
+            packed = np.concatenate([packed, pad])
+            if xsq is not None:
+                xsq = np.concatenate(
+                    [xsq, np.full((m_pad - m,), np.inf, np.float32)])
+        k_eff = min(k, m)
+        if self.qtype == "sq8":
+            qs = queries * self._scale[None, :]
+            base = queries @ self._vmin
+        else:
+            qs, base = queries, None
+        fn = self._score_fn(k_eff, m_pad)
+        top_s, top_pos = fn(jnp.asarray(qs, jnp.float32),
+                            jax.device_put(packed),
+                            jax.device_put(xsq) if xsq is not None
+                            else jnp.zeros((m_pad,), jnp.float32),
+                            jnp.int32(m))
+        top_s = np.asarray(top_s)
+        top_i = ids[np.asarray(top_pos)]
+        if top_s.shape[1] < k:                            # union smaller than k
+            padw = k - top_s.shape[1]
+            top_s = np.pad(top_s, ((0, 0), (0, padw)),
+                           constant_values=NEG)
+            top_i = np.pad(top_i, ((0, 0), (0, padw)))
+        if self.metric == "l2":
+            q_sq = (queries ** 2).sum(-1, keepdims=True)
+            surr = top_s + (2.0 * base[:, None] if base is not None else 0.0)
+            top_s = np.sqrt(np.maximum(q_sq - surr, 0.0))
+        elif base is not None:
+            top_s = top_s + base[:, None]
+        return top_s, top_i
+
+    # ------------------------------------------------------------- persist
+    def save(self, path: str):
+        if self._codes is None:
+            raise RuntimeError("nothing to save")
+        extra = {}
+        if self.qtype == "sq8":
+            extra = {"vmin": self._vmin, "scale": self._scale}
+        np.savez(path, codes=self._codes.view(
+                     np.uint16 if self._codes.dtype == _BF16
+                     and _BF16 != np.float32 else self._codes.dtype),
+                 qtype=self.qtype, items=self.items, dim=self.dim,
+                 metric=self.metric, block_items=self.block_items,
+                 query_block=self.query_block, host_ivf=True,
+                 nlist=self.nlist, nprobe=self.nprobe,
+                 centroids=np.asarray(self._centroids),
+                 offsets=self._offsets, order=self._order, **extra)
+
+    @classmethod
+    def load(cls, path: str) -> "HostIvfSearcher":
+        data = np.load(path if path.endswith(".npz") else path + ".npz",
+                       allow_pickle=True)
+        s = cls(int(data["dim"]), str(data["metric"]),
+                qtype=str(data["qtype"]), nlist=int(data["nlist"]),
+                nprobe=int(data["nprobe"]),
+                block_items=int(data["block_items"]),
+                query_block=int(data["query_block"]))
+        s._centroids = jnp.asarray(data["centroids"])
+        s._offsets = np.asarray(data["offsets"])
+        s._order = np.asarray(data["order"])
+        s._load_common(data)
+        return s
+
+    def _load_common(self, data):
+        super()._load_common(data)
+        if self.metric == "l2":
+            # the parent recomputed _xsq by ORIGINAL index but wrote it at
+            # STORED positions — recompute directly from the cluster-sorted
+            # code layout (what _search_probed slices by stored offsets)
+            for st in range(0, self.num_items, self.block_items):
+                e = min(st + self.block_items, self.num_items)
+                codes = self._codes[st:e]
+                xhat = (self._vmin + self._scale * codes.astype(np.float32)
+                        if self.qtype == "sq8" else codes.astype(np.float32))
+                self._xsq[st:e] = (xhat ** 2).sum(-1)
