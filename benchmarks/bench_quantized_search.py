@@ -100,7 +100,7 @@ def main():
     args = ap.parse_args()
 
     from recommendflow_tpu.retrieval import (
-        IvfPqSearcher, IvfSearcher, PqSearcher, SqSearcher,
+        HostIvfSearcher, IvfPqSearcher, IvfSearcher, PqSearcher, SqSearcher,
         StreamingSqSearcher, TpuSearcher)
 
     print(f"# corpus {args.n} x {args.dim} "
@@ -170,6 +170,19 @@ def main():
                             args.dim, args.metric, nlist=4096,
                             num_subspaces=16, nprobe=np_)))
 
+    # host-IVF online-latency regime: transfers only the probed clusters,
+    # so its sweet spot is SMALL query batches (online serving) — measure
+    # at Q=64 so the probe-union stays a small corpus fraction; recall is
+    # vs the same exact ground truth (row-aligned subset)
+    host_ivf_q = min(64, args.q)
+    for nprobe in (8, 32):
+        for hq in ("SQbf16", "SQ8"):
+            configs.append((
+                f"HostIVF4096,{hq},np{nprobe}@q{host_ivf_q}",
+                lambda np_=nprobe, hq_=hq: HostIvfSearcher(
+                    args.dim, args.metric, qtype=hq_.lower(),
+                    nlist=4096, nprobe=np_, query_block=host_ivf_q)))
+
     for name, maker in configs:
         if args.only and not re.search(args.only, name):
             continue
@@ -179,9 +192,14 @@ def main():
             print(json.dumps({"searcher": name,
                               "skipped": "corpus exceeds device HBM"}))
             continue
+        q_use, gt_use = queries, gt
+        if "@q" in name:  # latency-regime entry: row-aligned query subset
+            nq = int(name.rsplit("@q", 1)[1])
+            q_use = queries[:nq]
+            gt_use = gt[:nq] if gt is not None else None
         try:
-            row, _ = bench_one(name, maker, corpus, queries, args.k,
-                               args.reps, gt=gt)
+            row, _ = bench_one(name, maker, corpus, q_use, args.k,
+                               args.reps, gt=gt_use)
             rows.append(row)
         except Exception as e:  # record OOM/unsupported rather than abort
             print(json.dumps({"searcher": name, "error": str(e)[:200]}))

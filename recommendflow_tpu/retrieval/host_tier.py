@@ -427,25 +427,49 @@ class HostIvfSearcher(StreamingSqSearcher):
         rng = np.random.RandomState(self.seed)
         take = min(self.train_sample, n)
         sample_idx = np.sort(rng.choice(n, size=take, replace=False))
-        sample = self.reconstruct(sample_idx)     # normalized + dequantized
+        # ship QUANTIZED codes and dequantize on device — 2x (bf16) / 4x
+        # (sq8) less host->device traffic than reconstructing to f32 on
+        # host (the link is the build bottleneck: 0.04 GB/s on the dev
+        # tunnel, PCIe-bound on co-located hosts)
+        if self.qtype == "sq8":
+            vmin_d = jnp.asarray(self._vmin)
+            scale_d = jnp.asarray(self._scale)
+
+            def _dequant(cb):
+                return vmin_d + scale_d * cb.astype(jnp.float32)
+        else:
+            def _dequant(cb):
+                return cb.astype(jnp.float32)
+
+        sample = _dequant(jax.device_put(self._codes[sample_idx]))
         from recommendflow_tpu.retrieval._kernels import kmeans
-        cents = kmeans(jnp.asarray(sample), self.nlist,
+        cents = kmeans(sample, self.nlist,
                        iters=self.kmeans_iters, seed=self.seed,
                        spherical=self.metric == "cos")
         self._centroids = cents
-        # 3) assign every row to its nearest centroid, streaming decoded
-        # blocks through the device once
+        # 3) assign every row to its nearest centroid, streaming the code
+        # blocks through the device once (double-buffered: block i+1's
+        # device_put is in flight while block i computes)
         assign = np.empty((n,), np.int64)
         c_sq = jnp.sum(cents * cents, axis=1)
 
         @jax.jit
-        def assign_block(x, c, csq):
+        def assign_block(cb, c, csq):
+            x = _dequant(cb)
             return jnp.argmax(2.0 * (x @ c.T) - csq[None, :], axis=1)
 
-        for s in range(0, n, self.block_items):
+        starts = list(range(0, n, self.block_items))
+
+        def put(s):
+            return jax.device_put(
+                self._codes[s:min(s + self.block_items, n)])
+
+        nxt = put(starts[0])
+        for bi, s in enumerate(starts):
+            cur = nxt
+            nxt = put(starts[bi + 1]) if bi + 1 < len(starts) else None
             e = min(s + self.block_items, n)
-            xb = jnp.asarray(self.reconstruct(np.arange(s, e)))
-            assign[s:e] = np.asarray(assign_block(xb, cents, c_sq))
+            assign[s:e] = np.asarray(assign_block(cur, cents, c_sq))
         # 4) reorder codes so each cluster is one contiguous host slice
         order = np.argsort(assign, kind="stable")
         self._order = order
@@ -483,37 +507,55 @@ class HostIvfSearcher(StreamingSqSearcher):
     # -------------------------------------------------------------- search
     def _score_fn(self, k: int, m_pad: int):
         """Jitted union scorer: (qs [Q,D], codes [m_pad,D], xsq [m_pad],
-        valid) -> (scores [Q,k], positions [Q,k]). Chunked top-k so wide
-        rows never hit lax.top_k directly."""
+        valid) -> (scores [Q,k], positions [Q,k]).
+
+        Large unions go through the same two-level grouped tournament as
+        the block scans (lax.top_k cost is ~linear in row width — never
+        top_k wide rows, CLAUDE.md); m1 is built by a chunked TRANSPOSED
+        dot so groups lie on sublanes. `valid` is traced, so the
+        power-of-two bucket is the only compile axis."""
         key = (k, m_pad)
         if key in self._score_fns:
             return self._score_fns[key]
-        metric = self.metric
+        metric, dim = self.metric, self.dim
+        G, G2 = _GROUP, _SUPERGROUP
         bs = min(1 << 16, m_pad)
+        hier = m_pad // (G * G2) >= max(k, 2)
 
         def fn(qs, codes, xsq, valid):
             nq = qs.shape[0]
+            if hier:
+                def group_max(start):
+                    blk = jax.lax.dynamic_slice(codes, (start, 0),
+                                                (bs, dim))
+                    s = jnp.einsum("nd,qd->nq", blk.astype(jnp.float32),
+                                   qs, preferred_element_type=jnp.float32)
+                    if metric == "l2":
+                        s = 2.0 * s - jax.lax.dynamic_slice(
+                            xsq, (start,), (bs,))[:, None]
+                    row = start + jax.lax.broadcasted_iota(
+                        jnp.int32, (bs, 1), 0)
+                    s = jnp.where(row < valid, s, NEG)
+                    return jnp.max(s.reshape(bs // G, G, nq), axis=1)
 
-            def one(start):
-                blk = jax.lax.dynamic_slice(
-                    codes, (start, 0), (bs, codes.shape[1]))
-                s = jnp.einsum("nd,qd->nq", blk.astype(jnp.float32), qs,
-                               preferred_element_type=jnp.float32)
-                if metric == "l2":
-                    s = 2.0 * s - jax.lax.dynamic_slice(
-                        xsq, (start,), (bs,))[:, None]
-                row = start + jax.lax.broadcasted_iota(
-                    jnp.int32, (bs, 1), 0)
-                s = jnp.where(row < valid, s, NEG).T        # [Q, bs]
-                ts, ti = jax.lax.top_k(s, min(k, bs))
-                return ts, ti + start
+                starts = jnp.arange(m_pad // bs) * bs
+                m1 = jax.lax.map(group_max, starts) \
+                    .reshape(m_pad // G, nq).T          # [Q, m_pad/G]
+                codes_g = codes.reshape(m_pad // G, G, dim)
+                xsq_g = xsq.reshape(m_pad // G, G) if metric == "l2" \
+                    else jnp.zeros((1, G), jnp.float32)
+                return _tournament_select(
+                    qs, m1, codes_g, xsq_g, k,
+                    min(k, m_pad // (G * G2)), valid, metric)
 
-            starts = jnp.arange(m_pad // bs) * bs
-            ts, ti = jax.lax.map(one, starts)    # [nb, Q, k]
-            ts = jnp.swapaxes(ts, 0, 1).reshape(nq, -1)
-            ti = jnp.swapaxes(ti, 0, 1).reshape(nq, -1)
-            top, pos = jax.lax.top_k(ts, k)
-            return top, jnp.take_along_axis(ti, pos, axis=1)
+            # small-union fallback: full scores + top_k (width <= 32k)
+            s = jnp.einsum("nd,qd->nq", codes.astype(jnp.float32), qs,
+                           preferred_element_type=jnp.float32)
+            if metric == "l2":
+                s = 2.0 * s - xsq[:, None]
+            row = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
+            s = jnp.where(row < valid, s, NEG).T            # [Q, m_pad]
+            return jax.lax.top_k(s, k)
 
         jitted = jax.jit(fn)
         self._score_fns[key] = jitted

@@ -254,3 +254,43 @@ def test_reconstruct_and_recall_on_clustered():
     assert hits / (50 * 20) > 0.9
     rec = host.reconstruct(np.arange(10))
     assert np.abs(rec - v[:10]).max() < 0.05  # 8-bit grid error bound-ish
+
+def test_host_ivf_hier_union_tournament_is_exact():
+    """nprobe=nlist ships the whole corpus as one union, so f32 results
+    must EXACTLY match brute force — with n large enough that the union
+    scorer takes the hierarchical tournament path (m_pad >= 256*k), not
+    the small-union top_k fallback."""
+    from recommendflow_tpu.retrieval import HostIvfSearcher
+    n, d, k = 8192, 16, 10
+    v = _clustered(n, d, n_cent=64, seed=24)
+    rng = np.random.RandomState(25)
+    q = v[:32] + 0.02 * rng.randn(32, d).astype(np.float32)
+    s = HostIvfSearcher(dim=d, metric="ip", qtype="f32", nlist=32,
+                        nprobe=32, train_sample=4000,
+                        query_block=8).train(v)
+    sc, idx = s.search(q, topk=k, return_items=False)
+    assert any(mp >= 256 * k for (_, mp) in s._score_fns), \
+        "union never reached the hier tournament path"
+    golden = -np.sort(-(q @ v.T), axis=1)[:, :k]
+    np.testing.assert_allclose(np.asarray(sc), golden, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_host_ivf_hier_union_l2():
+    """Same whole-corpus union through the hier path under l2: distances
+    must match brute force (covers the xsq inf-padding + masked group-max
+    interaction)."""
+    from recommendflow_tpu.retrieval import HostIvfSearcher
+    n, d, k = 8192, 16, 10
+    v = _clustered(n, d, n_cent=64, seed=26)
+    rng = np.random.RandomState(27)
+    q = v[:16] + 0.02 * rng.randn(16, d).astype(np.float32)
+    s = HostIvfSearcher(dim=d, metric="l2", qtype="f32", nlist=32,
+                        nprobe=32, train_sample=4000,
+                        query_block=16).train(v)
+    sc, idx = s.search(q, topk=k, return_items=False)
+    assert any(mp >= 256 * k for (_, mp) in s._score_fns)
+    d2 = ((q[:, None] - v[None]) ** 2).sum(-1)
+    golden = np.sqrt(np.sort(d2, axis=1)[:, :k])
+    np.testing.assert_allclose(np.asarray(sc), golden, rtol=1e-3,
+                               atol=1e-3)
