@@ -246,7 +246,7 @@ class StreamingSqSearcher:
         out_scores, out_idx = [], []
         for qstart in range(0, len(queries), self.query_block):
             qblk = queries[qstart:qstart + self.query_block]
-            s, i = self._search_block_of_queries(qblk, k_max)
+            s, i = self._search_impl(qblk, k_max)
             out_scores.append(s)
             out_idx.append(i)
         scores = np.concatenate(out_scores, axis=0)
@@ -258,6 +258,11 @@ class StreamingSqSearcher:
         if return_items and self.items is not None:
             return slice_k(self.items[idx]), slice_k(scores), slice_k(idx)
         return slice_k(scores), slice_k(idx)
+
+    def _search_impl(self, queries: np.ndarray, k: int):
+        """Per-query-block search body; HostIvfSearcher overrides this to
+        score only the probed-cluster union (search() stays shared)."""
+        return self._search_block_of_queries(queries, k)
 
     def _search_block_of_queries(self, queries: np.ndarray, k: int):
         n, bn = self.num_items, self.block_items
@@ -318,6 +323,14 @@ class StreamingSqSearcher:
         return top_s, top_i
 
     # ------------------------------------------------------------- persist
+    def _dequant_stored(self, lo: int, hi: int) -> np.ndarray:
+        """Dequantize codes[lo:hi] in STORED order (for HostIvfSearcher
+        storage is cluster-sorted; reconstruct() maps original ids)."""
+        codes = self._codes[lo:hi]
+        if self.qtype == "sq8":
+            return self._vmin + self._scale * codes.astype(np.float32)
+        return codes.astype(np.float32)
+
     def reconstruct(self, indices: np.ndarray) -> np.ndarray:
         idx = np.asarray(indices)
         codes = self._codes[idx]
@@ -325,12 +338,18 @@ class StreamingSqSearcher:
             return self._vmin + self._scale * codes.astype(np.float32)
         return codes.astype(np.float32)
 
+    def _save_extra(self) -> dict:
+        """Subclass hook: extra arrays to persist alongside the codes."""
+        return {}
+
     def save(self, path: str):
         if self._codes is None:
             raise RuntimeError("nothing to save")
-        extra = {}
+        extra = self._save_extra()
         if self.qtype == "sq8":
-            extra = {"vmin": self._vmin, "scale": self._scale}
+            extra.update(vmin=self._vmin, scale=self._scale)
+        if self._xsq is not None:
+            extra["xsq"] = self._xsq          # 4 B/row beats a reload pass
         np.savez(path, codes=self._codes.view(
                      np.uint16 if self._codes.dtype == _BF16
                      and _BF16 != np.float32 else self._codes.dtype),
@@ -342,6 +361,11 @@ class StreamingSqSearcher:
     def load(cls, path: str) -> "StreamingSqSearcher":
         data = np.load(path if path.endswith(".npz") else path + ".npz",
                        allow_pickle=True)
+        if "host_ivf" in getattr(data, "files", ()) \
+                and cls is StreamingSqSearcher:
+            # a HostIvf file's codes are cluster-permuted — loading it as
+            # the streaming tier would silently return wrong item ids
+            return HostIvfSearcher.load(path)
         s = cls(int(data["dim"]), str(data["metric"]),
                 qtype=str(data["qtype"]),
                 block_items=int(data["block_items"]),
@@ -360,11 +384,14 @@ class StreamingSqSearcher:
             self._vmin = np.asarray(data["vmin"])
             self._scale = np.asarray(data["scale"])
         if self.metric == "l2":
-            self._xsq = np.empty((self.num_items,), np.float32)
-            for st in range(0, self.num_items, self.block_items):
-                e = min(st + self.block_items, self.num_items)
-                xhat = self.reconstruct(np.arange(st, e))
-                self._xsq[st:e] = (xhat ** 2).sum(-1)
+            if "xsq" in getattr(data, "files", ()):
+                self._xsq = np.asarray(data["xsq"], np.float32)
+            else:  # pre-sidecar file: one host pass over the stored codes
+                self._xsq = np.empty((self.num_items,), np.float32)
+                for st in range(0, self.num_items, self.block_items):
+                    e = min(st + self.block_items, self.num_items)
+                    xhat = self._dequant_stored(st, e)
+                    self._xsq[st:e] = (xhat ** 2).sum(-1)
 
 
 class HostIvfSearcher(StreamingSqSearcher):
@@ -386,8 +413,9 @@ class HostIvfSearcher(StreamingSqSearcher):
     Scoring is exact over the shipped union: every query in the block is
     scored against the WHOLE union (a superset of its own probed lists —
     extra candidates only raise recall; the MXU flops are negligible next
-    to the transfer). Packed sizes are bucketed to powers of two so jit
-    recompiles stay bounded.
+    to the transfer). Packed sizes are bucketed to {1, 1.5}x powers of two
+    so jit recompiles stay logarithmic while shipped zero-padding stays
+    <= 33%.
 
     Parity surface: FAISS host-RAM 'IVF{n},SQ8'-style indices
     (faiss_searcher.py:108-130).
@@ -409,13 +437,21 @@ class HostIvfSearcher(StreamingSqSearcher):
         self._offsets = None       # [nlist+1] int64 host
         self._order = None         # [N] int64: original index per stored pos
         self._score_fns = {}
+        self._probe_fn = None
+        self._c_sq = None
 
     # --------------------------------------------------------------- build
     def train(self, vectors, items: Optional[Sequence[Any]] = None):
         blocks = self._as_blocks(vectors)
         n = sum(len(b) for b in blocks)
-        if self.nlist > max(n, 1):
-            raise ValueError(f"nlist={self.nlist} exceeds corpus size {n}")
+        if n < max(self.nlist, 1):
+            raise ValueError(f"corpus size {n} < nlist={self.nlist}")
+        if min(self.train_sample, n) < self.nlist:
+            # kmeans would init with replacement -> silent duplicate
+            # centroids, empty clusters, degraded recall
+            raise ValueError(
+                f"train_sample={self.train_sample} < nlist={self.nlist}: "
+                "raise train_sample (kmeans needs >= nlist sample rows)")
         # a previous train()'s permutation must not leak into the
         # original-order reconstruct calls below
         self._order = None
@@ -482,6 +518,7 @@ class HostIvfSearcher(StreamingSqSearcher):
             np.int64)
         self._search_fns = {}
         self._score_fns = {}
+        self._probe_fn = None
         return self
 
     def add(self, vectors, items=None):
@@ -519,7 +556,15 @@ class HostIvfSearcher(StreamingSqSearcher):
             return self._score_fns[key]
         metric, dim = self.metric, self.dim
         G, G2 = _GROUP, _SUPERGROUP
-        bs = min(1 << 16, m_pad)
+
+        def chunk_size(limit):
+            # largest chunk <= limit that DIVIDES m_pad (buckets are
+            # {1, 1.5} x powers of two, so limit or limit/2 always works)
+            if m_pad <= limit:
+                return m_pad
+            return limit if m_pad % limit == 0 else limit // 2
+
+        bs = chunk_size(1 << 16)
         hier = m_pad // (G * G2) >= max(k, 2)
 
         def fn(qs, codes, xsq, valid):
@@ -548,59 +593,56 @@ class HostIvfSearcher(StreamingSqSearcher):
                     qs, m1, codes_g, xsq_g, k,
                     min(k, m_pad // (G * G2)), valid, metric)
 
-            # small-union fallback: full scores + top_k (width <= 32k)
-            s = jnp.einsum("nd,qd->nq", codes.astype(jnp.float32), qs,
-                           preferred_element_type=jnp.float32)
-            if metric == "l2":
-                s = 2.0 * s - xsq[:, None]
-            row = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
-            s = jnp.where(row < valid, s, NEG).T            # [Q, m_pad]
-            return jax.lax.top_k(s, k)
+            # small-union fallback: chunked top_k + merge (keeps every
+            # lax.top_k row <= 32k wide even when k is large — hier only
+            # engages at m_pad >= 256*k, so m_pad here can reach 256*k/2)
+            bs_fb = chunk_size(1 << 15)
+
+            def chunk_topk(start):
+                blk = jax.lax.dynamic_slice(codes, (start, 0), (bs_fb, dim))
+                s = jnp.einsum("nd,qd->nq", blk.astype(jnp.float32), qs,
+                               preferred_element_type=jnp.float32)
+                if metric == "l2":
+                    s = 2.0 * s - jax.lax.dynamic_slice(
+                        xsq, (start,), (bs_fb,))[:, None]
+                row = start + jax.lax.broadcasted_iota(
+                    jnp.int32, (bs_fb, 1), 0)
+                s = jnp.where(row < valid, s, NEG).T        # [Q, bs_fb]
+                ts, ti = jax.lax.top_k(s, min(k, bs_fb))
+                return ts, ti + start
+
+            starts = jnp.arange(m_pad // bs_fb) * bs_fb
+            ts, ti = jax.lax.map(chunk_topk, starts)        # [nb, Q, k]
+            ts = jnp.swapaxes(ts, 0, 1).reshape(nq, -1)
+            ti = jnp.swapaxes(ti, 0, 1).reshape(nq, -1)
+            top, pos = jax.lax.top_k(ts, k)
+            return top, jnp.take_along_axis(ti, pos, axis=1)
 
         jitted = jax.jit(fn)
         self._score_fns[key] = jitted
         return jitted
 
     def _probe(self, queries: np.ndarray) -> np.ndarray:
-        """[Q, nprobe] cluster ids by centroid score (device)."""
-        qs = jnp.asarray(queries, jnp.float32)
-        c = self._centroids
-        if self.metric == "l2":
-            s = 2.0 * (qs @ c.T) - jnp.sum(c * c, axis=1)[None, :]
-        else:
-            s = qs @ c.T
-        _, idx = jax.lax.top_k(s, min(self.nprobe, self.nlist))
-        return np.asarray(idx)
+        """[Q, nprobe] cluster ids by centroid score (jitted + cached —
+        this sits on the latency-critical online path; eager dispatch over
+        the dev tunnel costs ~0.3 s per op)."""
+        if self._probe_fn is None:
+            metric = self.metric
+            np_k = min(self.nprobe, self.nlist)
+            self._c_sq = jnp.sum(self._centroids * self._centroids, axis=1)
 
-    def search(self, queries: np.ndarray,
-               topk: Union[int, Sequence[int]] = 10,
-               return_items: bool = True):
-        if self._codes is None:
-            raise RuntimeError("searcher is empty — call train() first")
-        ks = sorted({int(k) for k in
-                     (topk if isinstance(topk, (list, tuple)) else [topk])})
-        k_max = min(max(ks), self.num_items)
-        queries = np.asarray(queries, np.float32)
-        if queries.ndim == 1:
-            queries = queries[None, :]
-        if self.metric == "cos":
-            queries = _l2_normalize(queries)
+            @jax.jit
+            def probe(qs, c, csq):
+                s = 2.0 * (qs @ c.T) - csq[None, :] if metric == "l2" \
+                    else qs @ c.T
+                return jax.lax.top_k(s, np_k)[1]
 
-        out_s, out_i = [], []
-        for qstart in range(0, len(queries), self.query_block):
-            qblk = queries[qstart:qstart + self.query_block]
-            s, i = self._search_probed(qblk, k_max)
-            out_s.append(s)
-            out_i.append(i)
-        scores = np.concatenate(out_s, axis=0)
-        idx = np.concatenate(out_i, axis=0)
+            self._probe_fn = probe
+        return np.asarray(self._probe_fn(
+            jnp.asarray(queries, jnp.float32), self._centroids, self._c_sq))
 
-        def slice_k(arr):
-            return arr if len(ks) == 1 else {k: arr[:, :k] for k in ks}
-
-        if return_items and self.items is not None:
-            return slice_k(self.items[idx]), slice_k(scores), slice_k(idx)
-        return slice_k(scores), slice_k(idx)
+    def _search_impl(self, queries: np.ndarray, k: int):
+        return self._search_probed(queries, k)
 
     def _search_probed(self, queries: np.ndarray, k: int):
         probes = self._probe(queries)                     # [Q, P]
@@ -608,9 +650,11 @@ class HostIvfSearcher(StreamingSqSearcher):
         off = self._offsets
         sizes = off[clusters + 1] - off[clusters]
         m = int(sizes.sum())
-        if m == 0:                                        # degenerate
-            z = np.zeros((len(queries), k))
-            return z, z.astype(np.int64)
+        if m == 0:  # all probed clusters empty: worst score, not a
+            # phantom 0.0 (a perfect l2 match); f32 like every other block
+            fill = np.float32(np.inf if self.metric == "l2" else NEG)
+            return (np.full((len(queries), k), fill, np.float32),
+                    np.zeros((len(queries), k), np.int64))
         # pack the probed clusters' contiguous slices (host memcpy of only
         # the rows that will travel) + the stored->original id map
         packed = np.empty((m, self.dim), self._codes.dtype)
@@ -624,9 +668,12 @@ class HostIvfSearcher(StreamingSqSearcher):
             if xsq is not None:
                 xsq[pos:pos + sz] = self._xsq[s:e]
             pos += sz
-        # bucket to the next power of two (>=512) so distinct jit shapes
-        # stay logarithmic in corpus size
-        m_pad = max(512, 1 << int(np.ceil(np.log2(m))))
+        # bucket to {1, 1.5}x powers of two (>=512, multiples of 256 so
+        # the group reshapes hold): distinct jit shapes stay logarithmic
+        # in corpus size while the zero rows shipped over the link — the
+        # stated bottleneck — stay <= 33% instead of <= 100%
+        p = max(512, 1 << int(np.ceil(np.log2(m))))
+        m_pad = p if (p < 1024 or m > (p * 3) // 4) else (p * 3) // 4
         if m_pad > m:
             pad = np.zeros((m_pad - m, self.dim), packed.dtype)
             packed = np.concatenate([packed, pad])
@@ -661,26 +708,20 @@ class HostIvfSearcher(StreamingSqSearcher):
         return top_s, top_i
 
     # ------------------------------------------------------------- persist
-    def save(self, path: str):
-        if self._codes is None:
-            raise RuntimeError("nothing to save")
-        extra = {}
-        if self.qtype == "sq8":
-            extra = {"vmin": self._vmin, "scale": self._scale}
-        np.savez(path, codes=self._codes.view(
-                     np.uint16 if self._codes.dtype == _BF16
-                     and _BF16 != np.float32 else self._codes.dtype),
-                 qtype=self.qtype, items=self.items, dim=self.dim,
-                 metric=self.metric, block_items=self.block_items,
-                 query_block=self.query_block, host_ivf=True,
-                 nlist=self.nlist, nprobe=self.nprobe,
-                 centroids=np.asarray(self._centroids),
-                 offsets=self._offsets, order=self._order, **extra)
+    def _save_extra(self) -> dict:
+        return {"host_ivf": True, "nlist": self.nlist,
+                "nprobe": self.nprobe,
+                "centroids": np.asarray(self._centroids),
+                "offsets": self._offsets, "order": self._order}
 
     @classmethod
     def load(cls, path: str) -> "HostIvfSearcher":
         data = np.load(path if path.endswith(".npz") else path + ".npz",
                        allow_pickle=True)
+        if "host_ivf" not in getattr(data, "files", ()):
+            raise ValueError(
+                "not a HostIvfSearcher file (no cluster layout) — load it "
+                "with StreamingSqSearcher.load")
         s = cls(int(data["dim"]), str(data["metric"]),
                 qtype=str(data["qtype"]), nlist=int(data["nlist"]),
                 nprobe=int(data["nprobe"]),
@@ -689,18 +730,8 @@ class HostIvfSearcher(StreamingSqSearcher):
         s._centroids = jnp.asarray(data["centroids"])
         s._offsets = np.asarray(data["offsets"])
         s._order = np.asarray(data["order"])
+        # parent _load_common reads xsq from the sidecar (stored order) or
+        # recomputes from the stored-order codes via _dequant_stored —
+        # correct for the cluster-sorted layout too
         s._load_common(data)
         return s
-
-    def _load_common(self, data):
-        super()._load_common(data)
-        if self.metric == "l2":
-            # the parent recomputed _xsq by ORIGINAL index but wrote it at
-            # STORED positions — recompute directly from the cluster-sorted
-            # code layout (what _search_probed slices by stored offsets)
-            for st in range(0, self.num_items, self.block_items):
-                e = min(st + self.block_items, self.num_items)
-                codes = self._codes[st:e]
-                xhat = (self._vmin + self._scale * codes.astype(np.float32)
-                        if self.qtype == "sq8" else codes.astype(np.float32))
-                self._xsq[st:e] = (xhat ** 2).sum(-1)

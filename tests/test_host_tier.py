@@ -294,3 +294,46 @@ def test_host_ivf_hier_union_l2():
     golden = np.sqrt(np.sort(d2, axis=1)[:, :k])
     np.testing.assert_allclose(np.asarray(sc), golden, rtol=1e-3,
                                atol=1e-3)
+
+def test_streaming_load_dispatches_host_ivf_file(tmp_path):
+    """A HostIvf file's codes are cluster-permuted; loading it through
+    StreamingSqSearcher.load must NOT silently misinterpret them (it
+    dispatches to HostIvfSearcher.load), and HostIvfSearcher.load must
+    reject a plain streaming file."""
+    from recommendflow_tpu.retrieval import HostIvfSearcher
+    v = _clustered(3000, 8, seed=30)
+    q = v[:5]
+    s = HostIvfSearcher(dim=8, metric="ip", qtype="f32", nlist=16,
+                        nprobe=16, train_sample=1500).train(v)
+    p = str(tmp_path / "ivf.npz")
+    s.save(p)
+    r = StreamingSqSearcher.load(p)
+    assert isinstance(r, HostIvfSearcher)
+    s1, i1 = s.search(q, topk=4, return_items=False)
+    s2, i2 = r.search(q, topk=4, return_items=False)
+    assert np.array_equal(np.asarray(i2), np.asarray(i1))
+    flat = StreamingSqSearcher(dim=8, metric="ip", qtype="f32").train(v)
+    pf = str(tmp_path / "flat.npz")
+    flat.save(pf)
+    with pytest.raises(ValueError):
+        HostIvfSearcher.load(pf)
+
+
+def test_l2_xsq_sidecar_roundtrip(tmp_path):
+    """save() persists _xsq; load must use it (and stay correct for the
+    cluster-permuted HostIvf layout)."""
+    from recommendflow_tpu.retrieval import HostIvfSearcher
+    v = _clustered(3000, 8, seed=31)
+    q = v[:8]
+    s = HostIvfSearcher(dim=8, metric="l2", qtype="sq8", nlist=16,
+                        nprobe=16, train_sample=1500).train(v)
+    p = str(tmp_path / "l2.npz")
+    s.save(p)
+    r = HostIvfSearcher.load(p)
+    assert "xsq" in np.load(p, allow_pickle=True).files
+    np.testing.assert_array_equal(r._xsq, s._xsq)
+    s1, i1 = s.search(q, topk=5, return_items=False)
+    s2, i2 = r.search(q, topk=5, return_items=False)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(i2), np.asarray(i1))
