@@ -14,16 +14,15 @@ import numpy as np
 from recommendflow_tpu.encoder.tokenizer import Tokenizer
 
 
-def pair_batches(queries: Sequence[str], docs: Sequence[str],
-                 labels: Sequence[float], tokenizer: Tokenizer,
-                 batch_size: int, max_len: int,
-                 weights: Optional[Sequence[float]] = None,
-                 shuffle: bool = True, seed: int = 0,
-                 drop_remainder: bool = True) -> Iterator[dict]:
-    """Yield {'query_tok','query_seg','doc_tok','doc_seg','label'[,'weight']}
-    fixed-shape batches for two-tower encoder training."""
-    n = len(queries)
-    assert len(docs) == n and len(labels) == n
+def _batch_indices(n: int, batch_size: int, shuffle: bool,
+                   seed: Optional[int],
+                   drop_remainder: bool = True) -> Iterator[np.ndarray]:
+    """Shared epoch order + fixed-size slicing for every generator.
+
+    seed=None (the default) reshuffles from fresh OS entropy on EVERY
+    call — re-creating the exhausted iterator each epoch gives a new
+    order and new in-batch negative sets, like the reference generators'
+    per-epoch reshuffle; pass an int for reproducible order."""
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
@@ -31,6 +30,23 @@ def pair_batches(queries: Sequence[str], docs: Sequence[str],
         idx = order[start:start + batch_size]
         if len(idx) < batch_size and drop_remainder:
             return
+        yield idx
+
+
+def pair_batches(queries: Sequence[str], docs: Sequence[str],
+                 labels: Sequence[float], tokenizer: Tokenizer,
+                 batch_size: int, max_len: int,
+                 weights: Optional[Sequence[float]] = None,
+                 shuffle: bool = True, seed: Optional[int] = None,
+                 drop_remainder: bool = True) -> Iterator[dict]:
+    """Yield {'query_tok','query_seg','doc_tok','doc_seg','label'[,'weight']}
+    fixed-shape batches for two-tower encoder training. seed=None
+    reshuffles every call/epoch; pass an int for reproducible order."""
+    n = len(queries)
+    assert len(docs) == n and len(labels) == n
+    assert weights is None or len(weights) == n, \
+        f"weights length {len(weights)} != {n} examples"
+    for idx in _batch_indices(n, batch_size, shuffle, seed, drop_remainder):
         q_tok, q_seg = tokenizer.encode_batch([queries[i] for i in idx], max_len)
         d_tok, d_seg = tokenizer.encode_batch([docs[i] for i in idx], max_len)
         batch = {"query_tok": q_tok, "query_seg": q_seg,
@@ -44,7 +60,8 @@ def pair_batches(queries: Sequence[str], docs: Sequence[str],
 def zipped_batches(queries: Sequence[str], docs: Sequence[str],
                    labels: Sequence[float], tokenizer: Tokenizer,
                    batch_size: int, max_len: int,
-                   shuffle: bool = True, seed: int = 0) -> Iterator[dict]:
+                   shuffle: bool = True,
+                   seed: Optional[int] = None) -> Iterator[dict]:
     """Stride-2 interleaved [q0; d0; q1; d1; ...] token batches — the layout
     the reference's zipped losses consume (match_zipped_losses.py:18-28 /
     generator.py interleave)."""
@@ -61,26 +78,31 @@ def zipped_batches(queries: Sequence[str], docs: Sequence[str],
 def interact_batches(queries: Sequence[str], docs: Sequence[str],
                      labels: Sequence[float], tokenizer: Tokenizer,
                      batch_size: int, max_len: int,
-                     shuffle: bool = True, seed: int = 0) -> Iterator[dict]:
+                     weights: Optional[Sequence[float]] = None,
+                     shuffle: bool = True,
+                     seed: Optional[int] = None) -> Iterator[dict]:
     """Single-encoder cross-interaction batches: [CLS] q [SEP] d [SEP] with
-    segment ids (generator.py interact mode)."""
+    segment ids (generator.py interact mode); optional per-sample
+    'weight' column for the weighted losses."""
     n = len(queries)
-    order = np.arange(n)
-    if shuffle:
-        np.random.RandomState(seed).shuffle(order)
-    for start in range(0, n, batch_size):
-        idx = order[start:start + batch_size]
-        if len(idx) < batch_size:
-            return
+    assert len(docs) == n and len(labels) == n
+    assert weights is None or len(weights) == n, \
+        f"weights length {len(weights)} != {n} examples"
+    for idx in _batch_indices(n, batch_size, shuffle, seed):
         tok, seg = tokenizer.encode_batch([queries[i] for i in idx], max_len,
                                           pairs=[docs[i] for i in idx])
-        yield {"tok": tok, "seg": seg,
-               "label": np.asarray([labels[i] for i in idx], np.float32)}
+        batch = {"tok": tok, "seg": seg,
+                 "label": np.asarray([labels[i] for i in idx], np.float32)}
+        if weights is not None:
+            batch["weight"] = np.asarray([weights[i] for i in idx],
+                                         np.float32)
+        yield batch
 
 
 def simbert_batches(pairs: Sequence[Sequence[str]], tokenizer: Tokenizer,
                     batch_size: int, max_len: int,
-                    shuffle: bool = True, seed: int = 0) -> Iterator[dict]:
+                    shuffle: bool = True,
+                    seed: Optional[int] = None) -> Iterator[dict]:
     """SimBERT/UniLM seq2seq batches from similar-sentence pairs (parity:
     generator.py:136-178 SimbertDataGenerator): each (t1, t2) contributes
     BOTH orders — [CLS] t1 [SEP] t2 [SEP] and [CLS] t2 [SEP] t1 [SEP] —
@@ -96,15 +118,9 @@ def simbert_batches(pairs: Sequence[Sequence[str]], tokenizer: Tokenizer,
     mutual positives), see encoder/simbert.py.
     """
     good = [p for p in pairs if len(p) == 2]
-    order = np.arange(len(good))
-    if shuffle:
-        np.random.RandomState(seed).shuffle(order)
     half = max(1, batch_size // 2)
     width = 2 * max_len
-    for start in range(0, len(good), half):
-        idx = order[start:start + half]
-        if len(idx) < half:
-            return
+    for idx in _batch_indices(len(good), half, shuffle, seed):
         texts, pair_texts = [], []
         for i in idx:
             t1, t2 = good[i]

@@ -52,6 +52,8 @@ def simbert_similarity_loss(cls_vecs: jnp.ndarray,
     softmax-CE toward the partner row (SimBERT's retrieval objective).
     cls_vecs: [2B, D].
     """
+    assert cls_vecs.shape[0] % 2 == 0, \
+        "simbert similarity needs paired rows [2B, D] (2i <-> 2i+1)"
     v = cls_vecs / jnp.maximum(
         jnp.linalg.norm(cls_vecs, axis=-1, keepdims=True), 1e-12)
     sims = (v @ v.T) * scale
@@ -69,17 +71,21 @@ def simbert_loss(model, variables, batch: Dict[str, jnp.ndarray],
     """Combined SimBERT objective for one simbert_batches batch.
 
     Returns (loss, aux) following the framework's model contract. The CLS
-    similarity vectors come from a SECOND, bidirectionally-masked pass
-    (seq2seq masking would let the target sentence leak into [CLS] only
-    from one side) — XLA shares the embedding lookups between the passes.
+    similarity vectors are hidden[:, 0] of the SAME UniLM-masked pass:
+    under the seq2seq mask every segment-0 position (including [CLS])
+    attends ONLY segment-0 keys (ops/transformer.py UniLM mask;
+    tests/test_simbert.py:test_unilm_mask_causality), so row 2i's CLS
+    encodes exactly t1 and row 2i+1's exactly t2 — true per-sentence
+    embeddings, matching the distribution single-sentence serving encodes
+    see. (A bidirectional pass over the concatenated pair would let both
+    sentences into every CLS, making the in-batch objective trivially
+    satisfiable by content hashing — and would cost a second forward.)
     """
     tok, seg = batch["tok"], batch["seg"]
     hidden = model.apply(variables, tok, seg, training=training,
                          seq2seq=True, return_sequence=True, rngs=rngs)
     emb = variables["params"]["tok_emb"]["embedding"]
     lm = unilm_lm_loss(hidden, emb, tok, seg)
-    cls = model.apply(variables, tok, jnp.zeros_like(seg), training=training,
-                      rngs=rngs)
-    sim = simbert_similarity_loss(cls)
+    sim = simbert_similarity_loss(hidden[:, 0])
     loss = lm_weight * lm + sim_weight * sim
     return loss, {"lm_loss": lm, "sim_loss": sim}

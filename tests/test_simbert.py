@@ -137,3 +137,29 @@ def test_unilm_lm_loss_masks_segment0():
     tok2 = jnp.where(seg == 0, 5, tokb)  # rewrite every segment-0 token
     l2 = unilm_lm_loss(hidden, emb, tok2, seg)
     assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+
+def test_similarity_cls_blind_to_target_sentence(tok):
+    """The similarity vectors must encode ONLY the source sentence: under
+    the UniLM mask hidden[:, 0] (what simbert_loss uses) is invariant to
+    segment-1 edits — a bidirectional pass over the concatenated pair
+    would leak the target into [CLS] and make the in-batch objective
+    trivially satisfiable by content matching."""
+    pairs = [("red cat", "blue cat"), ("fast dog", "slow dog")]
+    batch = next(simbert_batches(pairs, tok, batch_size=4, max_len=8,
+                                 shuffle=False))
+    ids, seg = jnp.asarray(batch["tok"]), jnp.asarray(batch["seg"])
+    m = TextEncoder(vocab_size=len(tok.vocab), num_layers=2, model_dim=32,
+                    num_heads=2, ffn_hidden=64, max_len=16, dropout=0.0,
+                    pos_type="learned")
+    v = m.init(jax.random.PRNGKey(0), ids, seg)
+    h1 = m.apply(v, ids, seg, seq2seq=True, return_sequence=True)
+    # mutate a segment-1 token of row 0
+    pos = int(np.argmax(np.asarray(seg[0]) == 1))
+    ids2 = ids.at[0, pos].set((int(ids[0, pos]) % (len(tok.vocab) - 5)) + 5)
+    h2 = m.apply(v, ids2, seg, seq2seq=True, return_sequence=True)
+    np.testing.assert_allclose(np.asarray(h1[0, 0]), np.asarray(h2[0, 0]),
+                               atol=1e-6)
+    # and it DOES depend on the source sentence
+    ids3 = ids.at[0, 1].set((int(ids[0, 1]) % (len(tok.vocab) - 5)) + 5)
+    h3 = m.apply(v, ids3, seg, seq2seq=True, return_sequence=True)
+    assert np.abs(np.asarray(h1[0, 0]) - np.asarray(h3[0, 0])).max() > 1e-4
