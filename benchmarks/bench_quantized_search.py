@@ -176,11 +176,11 @@ def main():
     # vs the same exact ground truth (row-aligned subset)
     host_ivf_q = min(64, args.q)
     for nprobe in (8, 32):
-        for hq in ("SQbf16", "SQ8"):
+        for hq, hq_qtype in (("SQbf16", "bf16"), ("SQ8", "sq8")):
             configs.append((
                 f"HostIVF4096,{hq},np{nprobe}@q{host_ivf_q}",
-                lambda np_=nprobe, hq_=hq: HostIvfSearcher(
-                    args.dim, args.metric, qtype=hq_.lower(),
+                lambda np_=nprobe, qt_=hq_qtype: HostIvfSearcher(
+                    args.dim, args.metric, qtype=qt_,
                     nlist=4096, nprobe=np_, query_block=host_ivf_q)))
 
     for name, maker in configs:

@@ -40,6 +40,7 @@ def test_tokenizer_truncation(tokenizer):
     assert len(ids) == 12
 
 
+@pytest.mark.slow
 def test_encoder_service_cache_and_whitening(tokenizer, tmp_path):
     service = TextEncoderService(tokenizer, max_len=12, batch_size=4,
                                  model_dim=32, num_layers=1, num_heads=2,
@@ -98,6 +99,7 @@ def test_export_roundtrip(demo_conf_path, tmp_path):
         serving.predict(bad2)
 
 
+@pytest.mark.slow
 def test_savedmodel_export_serves_under_pure_tf(demo_conf_path, tmp_path):
     """jax2tf SavedModel export (VERDICT r1 item 5): the artifact must
     predict in a subprocess that imports ONLY TensorFlow — no JAX — and its

@@ -150,6 +150,7 @@ def test_train_step_with_image_feature(conf, records):
     assert losses[-1] < losses[0]      # learns through the image channel too
 
 
+@pytest.mark.slow
 def test_train_step_with_vit_image_encoder(conf, records, tmp_path_factory):
     """Networks image_encoder: vit routes the image slot through the full
     ViT ImageEncoder (patch + CLS + transformer blocks) instead of the

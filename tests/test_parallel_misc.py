@@ -17,6 +17,7 @@ from recommendflow_tpu.parallel.sharded_embedding import (
 )
 
 
+@pytest.mark.slow
 def test_sharded_gather_matches_replicated(demo_conf_path):
     conf = Configuration(demo_conf_path)
     schema = compile_schema(conf.features)
@@ -225,6 +226,7 @@ def test_sharded_gather_bf16_packed(demo_conf_path):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_shard_tables_opt_state_row_sharded(demo_conf_path, tmp_path):
     from jax.sharding import PartitionSpec as P
     from recommendflow_tpu.data.synthetic import generate_records
@@ -288,6 +290,7 @@ def test_shard_tables_leaves_non_table_params_replicated():
     assert sharded["img_pic"].sharding.spec in (P(), P(None, None))
 
 
+@pytest.mark.slow
 def test_expert_parallel_mmoe_matches_replicated():
     """Expert parallelism: Mmoe under a 2-D (dp, ep) mesh with
     Trainer(shard_experts=True) places the ExpertsMLP [E, ...] parameters

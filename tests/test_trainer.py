@@ -32,6 +32,7 @@ def world(demo_conf_path, tmp_path_factory):
     return conf, schema, paths, model
 
 
+@pytest.mark.slow
 def test_fit_reduces_loss_and_auc_above_chance(world):
     conf, schema, paths, model = world
     train = Dataset(schema, paths, batch_size=256, shuffle=True, seed=0)
@@ -66,6 +67,7 @@ def test_early_stopping_and_plateau(world):
     assert trainer.control["lr_scale"] < 1.0  # plateau fired
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore(world, tmp_path):
     conf, schema, paths, model = world
     train = Dataset(schema, paths, batch_size=256, take_batches=2)
@@ -274,6 +276,7 @@ def test_auto_table_update_gates_by_cost(world):
     assert state.table_acc                  # accumulators live on the state
 
 
+@pytest.mark.slow
 def test_sparse_table_update_under_mesh(world):
     """sparse table updates must be exact under a dp mesh too (batch is
     dp-sharded; ids all-gather implicitly, tables stay replicated)."""
@@ -323,6 +326,7 @@ Task:
 """
 
 
+@pytest.mark.slow
 def test_sparse_update_composes_with_sharded_tables(tmp_path):
     """table_update='sparse' + shard_tables=True (VERDICT r1 item 2): the
     touched-row Adagrad must run on row-sharded tables under the mesh,
