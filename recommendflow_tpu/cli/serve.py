@@ -37,6 +37,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     print_args(args)
 
+    if args.weights and not args.vocab:
+        p.error("--weights requires --vocab (it loads encoder weights)")
     encoder = None
     if args.vocab:
         from recommendflow_tpu.encoder import TextEncoderService, Tokenizer
@@ -46,7 +48,10 @@ def main(argv=None):
             num_layers=args.num_layers, pooling=args.pooling)
         if args.weights:
             encoder.load_weights(args.weights)
-        encoder.encode(["warmup"])  # compile before accepting traffic
+        # compile before accepting traffic; must NOT auto-fit whitening on
+        # the warmup dummy (that would crash on np.cov of 1 sample — or
+        # worse, silently poison every embedding with junk statistics)
+        encoder.warmup()
 
     serving_model = None
     if args.model:
@@ -65,6 +70,8 @@ def main(argv=None):
     except KeyboardInterrupt:
         print("shutting down")
         httpd.shutdown()
+    finally:
+        backend.close()  # stop the micro-batcher worker thread
 
 
 if __name__ == "__main__":

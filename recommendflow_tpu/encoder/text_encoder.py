@@ -128,6 +128,12 @@ class TextEncoderService:
         return np.concatenate(
             [np.asarray(emb)[:n] for emb, n in pending], axis=0)
 
+    def warmup(self) -> None:
+        """Compile the encode path before accepting traffic WITHOUT
+        touching the LRU cache or triggering the whitening auto-fit (a
+        warmup dummy must never become the whitening statistics)."""
+        self._encode_raw(["warmup"])
+
     def encode(self, texts: Sequence[str], normalize: bool = True) -> np.ndarray:
         """LRU-cached batch encode (OnnxEncoder.encode parity:
         onnx_utils.py:123-137). Whitening auto-fits on the first call when
@@ -151,6 +157,15 @@ class TextEncoderService:
             embs = self._encode_raw(uniq)
             if self.use_whitening:
                 if not self._whitening_fit:
+                    if len(embs) < 2:
+                        # np.cov of one sample is NaN -> SVD crash; and a
+                        # tiny fit batch would silently poison every later
+                        # embedding with junk statistics
+                        raise ValueError(
+                            "whitening auto-fit needs >= 2 texts on the "
+                            "first encode call (got "
+                            f"{len(embs)}); encode a representative batch "
+                            "first, load fitted stats, or use warmup()")
                     self.whitening.fit(embs)
                     self._whitening_fit = True
                 embs = self.whitening.transform(embs, normalize=False)

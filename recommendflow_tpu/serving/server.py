@@ -209,8 +209,9 @@ class EncodeServer:
             with self._lock:
                 emb = self.encoder.encode(texts, normalize=normalize)
                 self.requests_served += 1
-        return {"embeddings": np.asarray(emb).tolist(),
-                "dim": int(emb.shape[1]) if len(emb) else 0}
+        emb = np.asarray(emb)
+        return {"embeddings": emb.tolist(),
+                "dim": int(emb.shape[1]) if emb.ndim == 2 else 0}
 
     def handle_predict(self, payload) -> Dict[str, Any]:
         if self.serving_model is None:
@@ -235,7 +236,16 @@ class EncodeServer:
                  "/predict": self.handle_predict}
         if path not in table:
             raise LookupError(f"unknown endpoint {path}")
+        if not isinstance(payload, dict):
+            # a top-level JSON list/string/number is the client's mistake
+            # (AttributeError from payload.get would 500 instead of 400)
+            raise ValueError("request body must be a JSON object")
         return table[path](payload)
+
+    def close(self):
+        """Stop the micro-batcher worker thread (idempotent)."""
+        if self._batcher is not None:
+            self._batcher.close()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -246,20 +256,30 @@ class _Handler(BaseHTTPRequestHandler):
         from recommendflow_tpu.utils.logger import get_logger
         get_logger("recflow.serve").debug(fmt % args)
 
+    # one request may not buffer more than this before validation runs
+    # (max_batch is only checkable after parse; an uncapped read lets a
+    # single Content-Length: 8G request OOM the serving host)
+    MAX_BODY_BYTES = 64 * 1024 * 1024
+
     def _reply(self, code: int, obj: Dict[str, Any]):
-        body = json.dumps(obj).encode("utf-8")
+        try:
+            # non-finite floats in model outputs would serialize as bare
+            # NaN/Infinity tokens — not legal JSON; surface a server error
+            body = json.dumps(obj, allow_nan=False).encode("utf-8")
+        except ValueError:
+            code = 500
+            body = json.dumps(
+                {"error": "non-finite value in response"}).encode("utf-8")
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
 
-    def do_GET(self):
-        # query strings are allowed (load-balancer health probes append
-        # cache-busters); bad requests are the client's fault, not a 500
-        path = self.path.split("?", 1)[0]
+    def _dispatch_and_reply(self, path: str, payload):
+        # bad requests are the client's fault, not a 500
         try:
-            self._reply(200, self.backend.dispatch(path, {}))
+            self._reply(200, self.backend.dispatch(path, payload))
         except LookupError as e:
             self._reply(404, {"error": str(e)})
         except (ValueError, KeyError, TypeError) as e:
@@ -267,18 +287,24 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 — serving must not die
             self._reply(500, {"error": str(e)})
 
+    def do_GET(self):
+        # query strings are allowed (load-balancer health probes append
+        # cache-busters)
+        self._dispatch_and_reply(self.path.split("?", 1)[0], {})
+
     def do_POST(self):
         path = self.path.split("?", 1)[0]
         try:
             n = int(self.headers.get("Content-Length", 0))
+            if n > self.MAX_BODY_BYTES:
+                self._reply(413, {"error": f"body {n} bytes exceeds "
+                                           f"{self.MAX_BODY_BYTES}"})
+                return
             payload = json.loads(self.rfile.read(n) or b"{}")
-            self._reply(200, self.backend.dispatch(path, payload))
-        except LookupError as e:
-            self._reply(404, {"error": str(e)})
-        except (ValueError, KeyError, TypeError) as e:
+        except ValueError as e:
             self._reply(400, {"error": str(e)})
-        except Exception as e:  # noqa: BLE001
-            self._reply(500, {"error": str(e)})
+            return
+        self._dispatch_and_reply(path, payload)
 
 
 def make_server(backend: EncodeServer, host: str = "0.0.0.0",

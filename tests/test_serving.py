@@ -20,6 +20,8 @@ class FakeEncoder:
     dim = 8
 
     def encode(self, texts, normalize=True):
+        if not texts:  # real TextEncoderService returns (0, dim) too
+            return np.zeros((0, self.dim), np.float32)
         out = np.stack([np.full(self.dim, float(len(t)) + 1.0) for t in texts])
         if normalize:
             out = out / np.linalg.norm(out, axis=1, keepdims=True)
@@ -263,3 +265,68 @@ def test_concurrent_load_through_http():
     print(f"\nserve load test: {total} reqs, {qps:.0f} req/s, "
           f"{enc.calls} device batches (coalesce x{total / enc.calls:.1f})")
     assert enc.calls < total, "micro-batching never coalesced under load"
+
+def test_client_mistakes_are_400_not_500(server):
+    """Top-level JSON list/string bodies and oversized Content-Length are
+    the client's fault: 400/413, never 500."""
+    import urllib.error
+    for bad in (b"[]", b'"hello"', b"42"):
+        req = urllib.request.Request(
+            server + "/encode", data=bad,
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=5)
+        assert e.value.code == 400, bad
+    # a huge declared body is rejected before being buffered
+    req = urllib.request.Request(
+        server + "/encode", data=b"{}",
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str(1 << 34)}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=5)
+    assert e.value.code == 413
+
+
+def test_empty_texts_reports_true_dim(server):
+    out = _post(server, "/encode", {"texts": []})
+    assert out["embeddings"] == []
+    assert out["dim"] == FakeEncoder.dim
+
+
+def test_nonfinite_output_is_500_not_invalid_json():
+    class NanModel:
+        def predict(self, batch):
+            return {"score": np.asarray([float("nan")])}
+
+    import urllib.error
+    backend = EncodeServer(serving_model=NanModel(), max_batch=16)
+    httpd = make_server(backend, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url, "/predict", {"batch": {"x": [[1.0]]}})
+        assert e.value.code == 500
+        body = json.loads(e.value.read())
+        assert "non-finite" in body["error"]
+    finally:
+        httpd.shutdown()
+        backend.close()
+
+
+def test_warmup_does_not_fit_whitening():
+    """cli/serve warms up via warmup(): it must compile without claiming
+    the whitening statistics, and a 1-text first encode with whitening
+    enabled fails fast with a clear message instead of an SVD crash."""
+    from recommendflow_tpu.encoder import TextEncoderService, Tokenizer, \
+        build_demo_vocab
+    svc = TextEncoderService(Tokenizer(build_demo_vocab(["hello", "there"])),
+                             max_len=8, model_dim=16, num_layers=1,
+                             use_whitening=True, whitening_dim=8)
+    svc.warmup()
+    assert not svc._whitening_fit
+    with pytest.raises(ValueError, match="whitening auto-fit"):
+        svc.encode(["hello"])
+    out = svc.encode(["hello there", "there hello", "hello", "there"])
+    assert svc._whitening_fit and out.shape == (4, 8)
