@@ -20,6 +20,9 @@ def main(argv=None):
     p.add_argument("conf")
     p.add_argument("--data", required=True)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--exp_id", type=int, default=None,
+                   help="activate experiment row (must match the "
+                        "checkpoint's training run)")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--topk", default="5,10,50,100,200,300")
     p.add_argument("--dayno", default=None)
@@ -30,7 +33,6 @@ def main(argv=None):
     from recommendflow_tpu.config import Configuration
     from recommendflow_tpu.data.pipeline import make_dataset
     from recommendflow_tpu.models.base import build_network
-    from recommendflow_tpu.parallel.mesh import make_mesh
     from recommendflow_tpu.retrieval import (
         TpuSearcher, batch_compute_recall_score, recall_report,
     )
@@ -39,28 +41,36 @@ def main(argv=None):
     from recommendflow_tpu.train.metrics import average_precision, recall_at_precision, roc_auc
 
     conf = Configuration(args.conf)
+    if args.exp_id is not None:
+        conf.active_experiment(args.exp_id)  # ±feature toggles change the
+        # working feature set, hence the checkpoint's param tree
     batch_size = args.batch_size or int(conf.get_conf_value_or("batch_size", 1024))
+    # offline eval must see every example — a dropped tail would silently
+    # exclude up to batch_size-1 rows (or ALL rows for sets < batch_size);
+    # the one short tail batch just costs predict a second compile
     ds, _ = make_dataset(conf, args.data, batch_size, dayno=args.dayno,
-                         shuffle=False, valid_ratio=0.0, seed=args.seed)
+                         shuffle=False, valid_ratio=0.0, seed=args.seed,
+                         drop_remainder=False)
     model, _ = build_network(conf.networks["class"], {"conf": conf})
-    trainer = Trainer(model, mesh=make_mesh())
+    # single-device jit: the short tail batch need not divide a dp mesh
+    # (offline eval is one-chip work; the library API still offers
+    # mesh-sharded predict for multi-host jobs)
+    trainer = Trainer(model)
     state = trainer.init_state(trainer._put(next(iter(ds))))
     if args.checkpoint:
         state = restore_checkpoint(args.checkpoint, state)
+    else:
+        print("WARNING: no --checkpoint given — evaluating RANDOMLY "
+              "INITIALIZED weights (baseline numbers, not a trained model)")
     out = trainer.predict(state, ds)
 
     if "user" in out and "ad" in out:
+        from recommendflow_tpu.retrieval.eval import build_eval_corpus
         q, d, y = out["user"], out["ad"], out.get("label")
-        pos = np.asarray(y) > 0.5 if y is not None else np.ones(len(q), bool)
-        d_pos = d[pos]
-        keys = np.ascontiguousarray(np.round(d_pos, 5)).view(
-            [("", d_pos.dtype)] * d_pos.shape[1]).ravel()
-        _, first_idx, inverse = np.unique(keys, return_index=True,
-                                          return_inverse=True)
-        if not pos.any():
+        corpus, inverse, pos = build_eval_corpus(q, d, y)
+        if corpus is None:
             print("no positive rows in the eval set — recall metrics skipped")
             return
-        corpus = d_pos[first_idx]
         searcher = TpuSearcher(dim=q.shape[1], metric="cos").train(corpus)
         topk_list = str2list(args.topk, trans_type=int)
         # tiny corpora: keep at least the smallest K (clamped in-searcher)

@@ -37,6 +37,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--exp_id", type=int, default=None, help="activate experiment row")
     p.add_argument("--model_save_root", default=None)
     p.add_argument("--load_checkpoint", default=None)
+    p.add_argument("--warm_start", action="store_true",
+                   help="with --load_checkpoint: restore weights but train "
+                        "FRESH epochs (no data fast-forward / epoch skip "
+                        "from the restored step count)")
     p.add_argument("--patience", type=int, default=3)
     p.add_argument("--monitor", default="val_auc")
     p.add_argument("--seed", type=int, default=0)
@@ -93,15 +97,33 @@ def main(argv=None):
 
     topk = str2list(args.topk, trans_type=int)
     eval_source = valid_ds or train_ds
+    monitor = args.monitor
+    if valid_ds is None and monitor == "val_auc":
+        # val_auc only comes from trainer.evaluate(valid_ds), which fit()
+        # skips without a validation split (e.g. the pattern resolved to a
+        # single file) — EarlyStopping/Plateau/best-model would be
+        # silently inert; the recall evaluator's hit@K exists either way
+        monitor = f"val_hit@{max(topk)}"
+        print(f"WARNING: no validation split — '{args.monitor}' is never "
+              f"produced; monitoring '{monitor}' (train-set retrieval "
+              f"eval) instead. Pass >= 2 files + --valid_ratio for a true "
+              f"validation monitor.")
     callbacks = [
         EvalCallback(make_recall_evaluator(conf, eval_source, topk_list=topk)),
-        EarlyStopping(monitor=args.monitor, patience=args.patience),
-        ReduceLROnPlateau(monitor=args.monitor, patience=max(args.patience - 1, 1)),
+        EarlyStopping(monitor=monitor, patience=args.patience),
     ]
+    if args.lr_schedule:
+        # a schedule re-derives the LR every step; set_learning_rate (what
+        # the plateau callback uses) has no effect while one is active —
+        # adding it anyway would log LR cuts that never happen
+        print("note: --lr_schedule active; ReduceLROnPlateau disabled")
+    else:
+        callbacks.append(ReduceLROnPlateau(monitor=monitor,
+                                           patience=max(args.patience - 1, 1)))
     save_root = args.model_save_root or conf.get_conf_value_or("model_save_root")
     if save_root and not debug:
         callbacks.append(ModelCheckpoint(os.path.join(save_root, "ckpt"),
-                                         monitor=args.monitor))
+                                         monitor=monitor))
 
     state = None
     if args.load_checkpoint:
@@ -118,7 +140,8 @@ def main(argv=None):
     result = trainer.fit(train_ds, epochs=epochs, valid_ds=valid_ds,
                          callbacks=callbacks, state=state,
                          log_every=5 if debug else 100,
-                         preempt_dir=preempt_dir)
+                         preempt_dir=preempt_dir,
+                         resume_data=not args.warm_start)
     final = result["history"][-1] if result["history"] else {}
     print("final:", {k: round(v, 5) for k, v in final.items()})
     return result

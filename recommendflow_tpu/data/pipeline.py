@@ -490,7 +490,9 @@ def make_dataset(conf: Configuration,
                  debug: bool = False,
                  host_id: int = 0,
                  num_hosts: int = 1,
-                 repeat: int = 1) -> Tuple[Dataset, Optional[Dataset]]:
+                 repeat: int = 1,
+                 drop_remainder: bool = True
+                 ) -> Tuple[Dataset, Optional[Dataset]]:
     """Build (train, valid) Datasets from a config + data pattern.
 
     Parity surface: load_tfrecord_dayno_patten_split (dataloader.py:416-479)
@@ -503,11 +505,12 @@ def make_dataset(conf: Configuration,
     train_files, valid_files = split_files(files, valid_ratio, seed=seed)
     take = 10 if debug else None
     train = Dataset(schema, train_files, batch_size, shuffle=shuffle, seed=seed,
-                    take_batches=take, repeat=repeat)
+                    take_batches=take, repeat=repeat,
+                    drop_remainder=drop_remainder)
     valid = None
     if valid_files:
         valid = Dataset(schema, valid_files, batch_size, shuffle=False, seed=seed,
-                        take_batches=take)
+                        take_batches=take, drop_remainder=drop_remainder)
     return train, valid
 
 

@@ -15,6 +15,29 @@ from recommendflow_tpu.retrieval.searcher import TpuSearcher
 MISS = 10 ** 14  # rank sentinel for "label not retrieved" (eval_utils.py:85-99)
 
 
+def build_eval_corpus(q, d, y=None):
+    """Dedup positive item vectors into an eval corpus.
+
+    Rows are deduplicated by rounded item vector (byte-view np.unique);
+    returns (corpus, labels, pos_mask) where labels[i] is the corpus index
+    of the i-th POSITIVE row's item (aligned with q[pos_mask]) and
+    pos_mask selects label > 0.5 rows (all rows when y is None).
+    corpus is None when the eval set has no positives. Shared by
+    make_recall_evaluator and cli/evaluate so the dedup semantics cannot
+    drift between the in-fit and offline evaluations.
+    """
+    q = np.asarray(q)
+    pos = (np.asarray(y) > 0.5) if y is not None else np.ones(len(q), bool)
+    if pos.sum() == 0:
+        return None, None, pos
+    d_pos = np.asarray(d)[pos]
+    keys = np.ascontiguousarray(np.round(d_pos, 5)).view(
+        [("", d_pos.dtype)] * d_pos.shape[1]).ravel()
+    _, first_idx, inverse = np.unique(keys, return_index=True,
+                                      return_inverse=True)
+    return d_pos[first_idx], inverse, pos
+
+
 def click_ranks(recommended: np.ndarray, labels: np.ndarray) -> np.ndarray:
     """Rank (0-based) of each row's true label inside its recommendation list;
     MISS when absent (parity: get_click_index, eval_utils.py:85-99)."""
@@ -135,16 +158,9 @@ def make_recall_evaluator(conf,
             # val_auc comes from trainer.evaluate instead
             return {}
         q, d, y = out[query_key], out[item_key], out.get("label")
-        pos = (np.asarray(y) > 0.5) if y is not None else np.ones(len(q), bool)
-        if pos.sum() == 0:
+        corpus, labels, pos = build_eval_corpus(q, d, y)
+        if corpus is None:
             return {}
-        # corpus: unique item vectors (dedupe via byte-view of rounded vecs)
-        d_pos = d[pos]
-        keys = np.ascontiguousarray(np.round(d_pos, 5)).view(
-            [("", d_pos.dtype)] * d_pos.shape[1]).ravel()
-        _, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
-        corpus = d_pos[first_idx]
-        labels = inverse  # row i's true item = corpus index
         searcher = TpuSearcher(dim=q.shape[1], metric=metric).train(
             corpus, items=np.arange(len(corpus)))
         ks = [k for k in topk_list if k <= len(corpus)] or [min(topk_list)]
