@@ -6,6 +6,7 @@ LRU-cached encode path.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -37,13 +38,18 @@ def main(argv=None):
     if args.weights:
         service.load_weights(args.weights)
 
-    lines = (sys.stdin if args.input == "-" else open(args.input)).read().splitlines()
+    if args.input == "-":
+        lines = sys.stdin.read().splitlines()
+    else:
+        with open(args.input) as f:
+            lines = f.read().splitlines()
     texts = [l for l in lines if l.strip()]
     emb = service.encode(texts)
     # np.savez appends .npz when absent — report the REAL path written
     out = args.out if args.out.endswith(".npz") else args.out + ".npz"
-    np.savez_compressed(out, texts=np.asarray(texts, dtype=object),
-                        embeddings=emb)
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    # unicode '<U' dtype (NOT object): loads without allow_pickle
+    np.savez_compressed(out, texts=np.asarray(texts), embeddings=emb)
     print(f"encoded {len(texts)} texts -> {out} {emb.shape}")
 
 

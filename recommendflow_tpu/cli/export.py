@@ -44,6 +44,9 @@ def main(argv=None):
     state = trainer.init_state(trainer._put(sample))
     if args.checkpoint:
         state = restore_checkpoint(args.checkpoint, state)
+    else:
+        print("WARNING: no --checkpoint given — exporting RANDOMLY "
+              "INITIALIZED weights into the serving artifact")
     variables = trainer._variables(state)
     # serving requests carry no labels: bake label columns in as zeroed
     # constants (their output echoes are dropped) instead of making them

@@ -31,6 +31,11 @@ def main(argv=None):
 
     conf = Configuration(args.conf)
     out_dir = args.out_flag or args.out_dir
+    if args.synthetic and not out_dir and args.src_pattern:
+        # `make_records CONF out_dir --synthetic N`: the lone positional
+        # binds to src_pattern (which synthetic mode ignores) — treat it
+        # as the output directory instead of erroring
+        out_dir, args.src_pattern = args.src_pattern, None
     if not out_dir:
         p.error("output directory required (positional or --out)")
 

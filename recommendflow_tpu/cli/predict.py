@@ -29,19 +29,26 @@ def main(argv=None):
     from recommendflow_tpu.config import Configuration
     from recommendflow_tpu.data.pipeline import make_dataset
     from recommendflow_tpu.models.base import build_network
-    from recommendflow_tpu.parallel.mesh import make_mesh
     from recommendflow_tpu.train import Trainer
     from recommendflow_tpu.train.checkpoint import restore_checkpoint
 
     conf = Configuration(args.conf)
     batch_size = args.batch_size or int(conf.get_conf_value_or("batch_size", 2048))
+    # drop_remainder=False + single-device jit, like evaluate.py: a dropped
+    # tail would silently omit up to batch_size-1 embeddings from the npz
+    # (or ALL rows for sets < batch_size); the short tail batch need not
+    # divide a dp mesh
     ds, _ = make_dataset(conf, args.data, batch_size, dayno=args.dayno,
-                         shuffle=False, valid_ratio=0.0, seed=args.seed)
+                         shuffle=False, valid_ratio=0.0, seed=args.seed,
+                         drop_remainder=False)
     model, _ = build_network(conf.networks["class"], {"conf": conf})
-    trainer = Trainer(model, mesh=make_mesh())
+    trainer = Trainer(model)
     state = trainer.init_state(trainer._put(next(iter(ds))))
     if args.checkpoint:
         state = restore_checkpoint(args.checkpoint, state)
+    else:
+        print("WARNING: no --checkpoint given — predicting with RANDOMLY "
+              "INITIALIZED weights (the npz will hold garbage embeddings)")
     outputs = trainer.predict(state, ds)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     # np.savez appends .npz when absent — report the REAL path written

@@ -32,7 +32,10 @@ def main(argv=None):
     print_table([[c.name, c.vtype] for c in read_schema(files[0])],
                 headers=["column", "vtype"], title="Record schema")
 
-    nrows, block = next(iter_blocks(files[0]))
+    try:
+        nrows, block = next(iter_blocks(files[0]))
+    except StopIteration:
+        raise SystemExit(f"{files[0]} holds no record blocks")
     rows = []
     for i in range(min(args.rows, nrows)):
         for name, (vals, splits) in block.items():
@@ -43,7 +46,10 @@ def main(argv=None):
     print_table(rows, headers=["row", "column", "values"], title="Raw rows")
 
     schema = compile_schema(conf.features)
-    batch = next(iter(Dataset(schema, files, batch_size=args.batch_size, shuffle=False)))
+    # drop_remainder=False: a file smaller than --batch_size must still
+    # show its (short) encoded batch instead of crashing on StopIteration
+    batch = next(iter(Dataset(schema, files, batch_size=args.batch_size,
+                              shuffle=False, drop_remainder=False)))
     brows = []
     for k, v in batch.items():
         brows.append([k, "x".join(map(str, v.shape)), str(v.dtype),
