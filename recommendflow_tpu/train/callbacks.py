@@ -61,6 +61,14 @@ class EarlyStopping(Callback):
         self.best_state = None
         self.wait = 0
 
+    def on_train_begin(self, trainer):
+        # a reused callback object must not carry a previous fit()'s
+        # exhausted patience or stale best_state into this run (the trainer
+        # resets control['stop'] for the same reason)
+        self.best = -math.inf if self.mode == "max" else math.inf
+        self.best_state = None
+        self.wait = 0
+
     def on_epoch_end(self, trainer, state, epoch, logs):
         value = logs.get(self.monitor)
         if value is None:
@@ -70,9 +78,11 @@ class EarlyStopping(Callback):
             self.wait = 0
             if self.restore_best:
                 # copy to host: the live state's device buffers are DONATED
-                # (and deleted) by the next train_step (trainer donate_argnums)
-                import jax
-                self.best_state = jax.device_get(state)
+                # (and deleted) by the next train_step (trainer
+                # donate_argnums). tree_to_host (not jax.device_get) so
+                # process-spanning shards allgather instead of raising
+                from recommendflow_tpu.train.checkpoint import tree_to_host
+                self.best_state = tree_to_host(state)
         else:
             self.wait += 1
             if self.wait >= self.patience:
@@ -93,6 +103,10 @@ class ReduceLROnPlateau(Callback):
         self.min_lr_scale = min_lr_scale
         self.mode = _auto_mode(monitor, mode)
         self.min_delta = min_delta
+        self.best = -math.inf if self.mode == "max" else math.inf
+        self.wait = 0
+
+    def on_train_begin(self, trainer):
         self.best = -math.inf if self.mode == "max" else math.inf
         self.wait = 0
 
@@ -130,12 +144,23 @@ class ModelCheckpoint(Callback):
         from recommendflow_tpu.train.checkpoint import save_checkpoint, save_pytree
         save_checkpoint(self.root, state, step=epoch, keep=self.keep)
         value = logs.get(self.monitor)
-        if self.save_best and value is not None and \
-                _improved(value, self.best, self.mode, 0.0):
-            self.best = value
-            save_pytree(os.path.join(self.root, "best"), state)
-            log.info("epoch %d: new best %s=%.6f -> %s/best",
-                     epoch, self.monitor, value, self.root)
+        if self.save_best and value is not None:
+            import jax
+            if jax.process_count() > 1:
+                # save_pytree allgathers process-spanning shards — a
+                # COLLECTIVE. Per-host metrics can diverge (e.g. an eval fn
+                # that didn't allgather), so the improved-decision must be
+                # agreed or the non-improving hosts skip the collective and
+                # the cluster deadlocks: process 0's value decides.
+                import numpy as np
+                from jax.experimental import multihost_utils
+                value = float(multihost_utils.broadcast_one_to_all(
+                    np.asarray(value, np.float64)))
+            if _improved(value, self.best, self.mode, 0.0):
+                self.best = value
+                save_pytree(os.path.join(self.root, "best"), state)
+                log.info("epoch %d: new best %s=%.6f -> %s/best",
+                         epoch, self.monitor, value, self.root)
 
 
 class EvalCallback(Callback):

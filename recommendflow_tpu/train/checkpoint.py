@@ -19,11 +19,10 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_pytree(path: str, tree: Any, force: bool = True):
-    # save device-agnostic host arrays: checkpoints written from a sharded
-    # mesh must stay restorable in processes with a different device count.
-    # Arrays row-sharded ACROSS processes (multi-host shard_tables) are not
-    # np.asarray-able — gather their remote shards first.
+def tree_to_host(tree: Any) -> Any:
+    """Device -> host numpy for a whole pytree. Arrays row-sharded ACROSS
+    processes (multi-host shard_tables) are not np.asarray-able — gather
+    their remote shards first (a COLLECTIVE: every process must call)."""
     def to_host(x):
         if not hasattr(x, "shape"):
             return x
@@ -33,7 +32,13 @@ def save_pytree(path: str, tree: Any, force: bool = True):
                 x, tiled=True))
         return np.asarray(x)
 
-    tree = jax.tree.map(to_host, tree)
+    return jax.tree.map(to_host, tree)
+
+
+def save_pytree(path: str, tree: Any, force: bool = True):
+    # save device-agnostic host arrays: checkpoints written from a sharded
+    # mesh must stay restorable in processes with a different device count
+    tree = tree_to_host(tree)
     path = os.path.abspath(path)
     _checkpointer().save(path, tree, force=force)
 

@@ -37,7 +37,12 @@ def model_online_monitor(old_metrics: Dict[str, float],
             violations.append(f"metric '{metric}' missing from metrics")
             continue
         old, new = float(old_metrics[metric]), float(new_metrics[metric])
-        rel = (new - old) / abs(old) if old != 0 else (0.0 if new == 0 else float("inf"))
+        # eps floor instead of an inf sentinel: old==0 used to map ANY
+        # nonzero change to +inf, which fails open 'inf)' upper bounds on
+        # strict improvements AND loses the sign (a regression from 0
+        # passed closed 'inf]' bounds); a signed finite magnitude does
+        # the right thing against every interval form
+        rel = (new - old) / max(abs(old), 1e-12)
         changes[metric] = rel
         if not str2scale(interval)(rel):
             violations.append(

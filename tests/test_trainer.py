@@ -592,3 +592,27 @@ def test_lr_schedule_warmup_cosine(world):
     assert max(lrs) <= 1e-2 + 1e-9
     # decay engaged after warmup
     assert lrs[-1] < max(lrs)
+
+def test_promotion_gate_zero_baseline():
+    """old==0 must not map changes to an inf sentinel: a strict
+    improvement from 0 passes open 'inf)' upper bounds and a regression
+    from 0 is blocked (the sign used to be lost)."""
+    constraints = {"auc": "[-0.05, inf)"}
+    changes = model_online_monitor({"auc": 0.0}, {"auc": 0.5}, constraints)
+    assert changes["auc"] > 0
+    with pytest.raises(PromotionBlocked, match="auc"):
+        model_online_monitor({"auc": 0.0}, {"auc": -0.5}, constraints)
+
+
+def test_early_stopping_resets_between_fits():
+    """A reused EarlyStopping/Plateau callback must not carry exhausted
+    patience or a stale best_state into the next fit() (on_train_begin
+    resets, like the trainer resets control['stop'])."""
+    es = EarlyStopping(monitor="val_auc", patience=1)
+    es.wait, es.best, es.best_state = 5, 0.99, {"stale": True}
+    es.on_train_begin(trainer=None)
+    assert es.wait == 0 and es.best_state is None and es.best == -np.inf
+    pl = ReduceLROnPlateau(monitor="val_auc", patience=1)
+    pl.wait, pl.best = 5, 0.99
+    pl.on_train_begin(trainer=None)
+    assert pl.wait == 0 and pl.best == -np.inf
