@@ -65,18 +65,15 @@ def main(argv=None):
     out = trainer.predict(state, ds)
 
     if "user" in out and "ad" in out:
-        from recommendflow_tpu.retrieval.eval import build_eval_corpus
+        from recommendflow_tpu.retrieval.eval import (build_eval_corpus,
+                                                       clamp_topk)
         q, d, y = out["user"], out["ad"], out.get("label")
         corpus, inverse, pos = build_eval_corpus(q, d, y)
         if corpus is None:
             print("no positive rows in the eval set — recall metrics skipped")
             return
         searcher = TpuSearcher(dim=q.shape[1], metric="cos").train(corpus)
-        topk_list = str2list(args.topk, trans_type=int)
-        # tiny corpora: keep at least the smallest K (clamped in-searcher)
-        # instead of crashing on max() of an empty filter
-        topk = [k for k in topk_list if k <= len(corpus)] or \
-            [min(topk_list)]
+        topk = clamp_topk(str2list(args.topk, trans_type=int), len(corpus))
         metrics = batch_compute_recall_score(searcher, q[pos], inverse, topk)
         print(f"corpus items: {len(corpus)}, queries: {int(pos.sum())}")
         print(recall_report(metrics, topk))

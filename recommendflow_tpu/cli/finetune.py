@@ -70,7 +70,7 @@ def main(argv=None):
     # must win or the daily finetune silently trains at the old run's LR
     state = set_learning_rate(state, args.lr)
 
-    eval_cb = EvalCallback(make_recall_evaluator(conf, valid_ds or train_ds))
+    eval_cb = EvalCallback(make_recall_evaluator(valid_ds or train_ds))
     base_logs: dict = {}
     base_logs.update(eval_cb.eval_fn(trainer, state))
     base_logs.update(trainer.evaluate(state, valid_ds or train_ds))

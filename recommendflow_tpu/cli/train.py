@@ -109,7 +109,7 @@ def main(argv=None):
               f"eval) instead. Pass >= 2 files + --valid_ratio for a true "
               f"validation monitor.")
     callbacks = [
-        EvalCallback(make_recall_evaluator(conf, eval_source, topk_list=topk)),
+        EvalCallback(make_recall_evaluator(eval_source, topk_list=topk)),
         EarlyStopping(monitor=monitor, patience=args.patience),
     ]
     if args.lr_schedule:

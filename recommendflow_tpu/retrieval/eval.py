@@ -38,6 +38,14 @@ def build_eval_corpus(q, d, y=None):
     return d_pos[first_idx], inverse, pos
 
 
+def clamp_topk(topk_list: Sequence[int], num_items: int) -> List[int]:
+    """Ks that fit the corpus; tiny corpora keep at least the smallest K
+    (the searcher clamps internally) instead of crashing on an empty
+    list. One definition shared by the in-fit evaluator and
+    cli/evaluate so the degenerate-case semantics cannot drift."""
+    return [k for k in topk_list if k <= num_items] or [min(topk_list)]
+
+
 def click_ranks(recommended: np.ndarray, labels: np.ndarray) -> np.ndarray:
     """Rank (0-based) of each row's true label inside its recommendation list;
     MISS when absent (parity: get_click_index, eval_utils.py:85-99)."""
@@ -47,22 +55,27 @@ def click_ranks(recommended: np.ndarray, labels: np.ndarray) -> np.ndarray:
     return ranks.astype(np.int64)
 
 
+def _weighted_mean(vals: np.ndarray, weights: Optional[np.ndarray]) -> float:
+    """NaN (deliberately, not a 0/0 RuntimeWarning) when the total weight
+    is zero — e.g. a group whose rows were all down-weighted to 0."""
+    w = np.ones_like(vals, np.float64) if weights is None \
+        else np.asarray(weights, np.float64)
+    denom = np.sum(w)
+    return float(np.sum(vals * w) / denom) if denom > 0 else float("nan")
+
+
 def hit_at_k(ranks: np.ndarray, k: int, weights: Optional[np.ndarray] = None) -> float:
-    w = np.ones_like(ranks, np.float64) if weights is None else np.asarray(weights, np.float64)
-    return float(np.sum((ranks < k) * w) / np.sum(w))
+    return _weighted_mean((ranks < k).astype(np.float64), weights)
 
 
 def mrr_at_k(ranks: np.ndarray, k: int, weights: Optional[np.ndarray] = None) -> float:
-    w = np.ones_like(ranks, np.float64) if weights is None else np.asarray(weights, np.float64)
-    rr = np.where(ranks < k, 1.0 / (ranks + 1.0), 0.0)
-    return float(np.sum(rr * w) / np.sum(w))
+    return _weighted_mean(np.where(ranks < k, 1.0 / (ranks + 1.0), 0.0), weights)
 
 
 def ndcg_at_k(ranks: np.ndarray, k: int, weights: Optional[np.ndarray] = None) -> float:
     """Single-relevant-item NDCG: DCG = 1/log2(rank+2), IDCG = 1."""
-    w = np.ones_like(ranks, np.float64) if weights is None else np.asarray(weights, np.float64)
-    gain = np.where(ranks < k, 1.0 / np.log2(ranks + 2.0), 0.0)
-    return float(np.sum(gain * w) / np.sum(w))
+    return _weighted_mean(
+        np.where(ranks < k, 1.0 / np.log2(ranks + 2.0), 0.0), weights)
 
 
 def recall_metrics(ranks: np.ndarray,
@@ -137,8 +150,7 @@ def recall_report(metrics: Dict[str, float],
     return "\n".join(lines)
 
 
-def make_recall_evaluator(conf,
-                          eval_dataset,
+def make_recall_evaluator(eval_dataset,
                           topk_list: Sequence[int] = (5, 10, 50, 100),
                           metric: str = "cos",
                           query_key: str = "user",
@@ -163,7 +175,7 @@ def make_recall_evaluator(conf,
             return {}
         searcher = TpuSearcher(dim=q.shape[1], metric=metric).train(
             corpus, items=np.arange(len(corpus)))
-        ks = [k for k in topk_list if k <= len(corpus)] or [min(topk_list)]
+        ks = clamp_topk(topk_list, len(corpus))
         metrics = batch_compute_recall_score(searcher, q[pos], labels, ks)
         logs = {f"val_{k}": v for k, v in metrics.items()}
         logs["val_num_items"] = float(len(corpus))

@@ -40,6 +40,10 @@ def _thresholds(n: int) -> jnp.ndarray:
 def auc_update(state: AucState, y_true: jnp.ndarray, y_score: jnp.ndarray,
                axis_name: Optional[str] = None) -> AucState:
     """Accumulate one batch; y_score in [0,1] (sigmoid/cosine rescaled)."""
+    # [B,1]-shaped model outputs must not broadcast against [T,1]
+    # thresholds (a shape error — or silent garbage when B == T)
+    y_true = jnp.ravel(y_true)
+    y_score = jnp.ravel(y_score)
     n = state.tp.shape[0]
     thr = _thresholds(n)[:, None]                       # [T, 1]
     pred_pos = y_score[None, :] > thr                   # [T, B]
@@ -54,11 +58,18 @@ def auc_update(state: AucState, y_true: jnp.ndarray, y_score: jnp.ndarray,
 
 
 def auc_result(state: AucState) -> jnp.ndarray:
-    """ROC-AUC by trapezoidal interpolation over the threshold bins."""
+    """ROC-AUC by trapezoidal interpolation over the threshold bins.
+
+    NaN when the stream held only one class (roc_auc parity) — 0.0 would
+    read as a perfectly inverted model instead of 'undefined'; consumers
+    already isfinite-gate (trainer.evaluate)."""
     tpr = state.tp / jnp.maximum(state.tp + state.fn, 1e-7)
     fpr = state.fp / jnp.maximum(state.fp + state.tn, 1e-7)
     # thresholds ascend -> fpr/tpr descend; integrate over fpr
-    return jnp.sum((fpr[:-1] - fpr[1:]) * (tpr[:-1] + tpr[1:]) / 2.0)
+    auc = jnp.sum((fpr[:-1] - fpr[1:]) * (tpr[:-1] + tpr[1:]) / 2.0)
+    # tp+fn == total positives (constant across thresholds); idx 0 = -eps
+    defined = (state.tp[0] + state.fn[0] > 0) & (state.fp[0] + state.tn[0] > 0)
+    return jnp.where(defined, auc, jnp.nan)
 
 
 # ------------------------------------------------------------ exact offline
@@ -91,18 +102,31 @@ def _average_ranks(x: np.ndarray) -> np.ndarray:
 
 
 def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
-    """AUPR (average precision)."""
+    """AUPR (average precision), computed over distinct score THRESHOLDS.
+
+    Tied scores are one atomic operating point (sklearn semantics): the
+    naive per-item cumsum credited positives by their arbitrary row order
+    inside a tied run, so the same (label, score) multiset scored
+    differently depending on eval-set row order — common in practice with
+    float32 sigmoid saturation at 0.0/1.0."""
     # binarize like roc_auc: raw label VALUES in the cumsum would yield
     # precision/AP > 1 for weighted or soft labels
     y_true = (np.asarray(y_true).ravel() > 0.5).astype(np.float64)
-    order = np.argsort(-np.asarray(y_score).ravel(), kind="mergesort")
+    scores = np.asarray(y_score).ravel()
+    order = np.argsort(-scores, kind="mergesort")
     y = y_true[order]
-    cum_pos = np.cumsum(y)
-    precision = cum_pos / np.arange(1, len(y) + 1)
+    s = scores[order]
     total_pos = y.sum()
     if total_pos == 0:
         return float("nan")
-    return float(np.sum(precision * y) / total_pos)
+    cum_pos = np.cumsum(y)
+    k = np.arange(1, len(y) + 1)
+    last = np.empty(len(y), bool)            # last index of each tied run
+    last[:-1] = s[:-1] > s[1:]
+    last[-1] = True
+    p_end = cum_pos[last] / k[last]          # precision at each threshold
+    pos_in_run = np.diff(np.concatenate([[0.0], cum_pos[last]]))
+    return float(np.sum(p_end * pos_in_run) / total_pos)
 
 
 def recall_at_precision(y_true: np.ndarray, y_score: np.ndarray,

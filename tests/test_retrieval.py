@@ -671,3 +671,37 @@ def test_sq_grouped_tournament_matches_flat_scan(metric, qtype, monkeypatch):
     s2, i2 = hier2.search(q, topk=k, return_items=False)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s_hier),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_average_precision_tie_invariant():
+    """Tied scores are one atomic operating point: the same (label, score)
+    multiset must yield the same AP regardless of row order (float32
+    sigmoid saturation makes exact ties common)."""
+    from recommendflow_tpu.train.metrics import average_precision
+    a = average_precision([1, 0], [0.5, 0.5])
+    b = average_precision([0, 1], [0.5, 0.5])
+    assert a == b == pytest.approx(0.5)
+    y, s = [1, 1, 0, 0], [1.0, 1.0, 1.0, 0.0]
+    assert average_precision(y, s) == pytest.approx(
+        average_precision(y[::-1], s[::-1]))
+
+
+def test_streaming_auc_degenerate_and_shapes():
+    """Single-class streams are NaN (not a 'perfectly inverted' 0.0), and
+    [B,1]-shaped outputs ravel instead of broadcasting into garbage."""
+    import jax.numpy as jnp
+    from recommendflow_tpu.train.metrics import (auc_init, auc_result,
+                                                 auc_update)
+    st = auc_update(auc_init(50), jnp.zeros((100,)), jnp.linspace(0, 1, 100))
+    assert np.isnan(float(auc_result(st)))
+    st2 = auc_update(auc_init(50), jnp.ones((4, 1)), 0.5 * jnp.ones((4, 1)))
+    st2 = auc_update(st2, jnp.zeros((4, 1)), 0.1 * jnp.ones((4, 1)))
+    assert float(auc_result(st2)) > 0.9
+
+
+def test_zero_weight_group_is_nan_not_warning():
+    from recommendflow_tpu.retrieval.eval import hit_at_k
+    ranks = np.array([0, 1, 2])
+    with np.errstate(all="raise"):  # a 0/0 would raise here
+        assert np.isnan(hit_at_k(ranks, 5, weights=np.zeros(3)))
+    assert hit_at_k(ranks, 5) == 1.0
