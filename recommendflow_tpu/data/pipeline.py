@@ -567,8 +567,12 @@ def load_csv_dataset(conf, csv_pattern: str, batch_size: int,
     srcs = sorted(globlib.glob(csv_pattern))
     if not srcs:
         raise FileNotFoundError(f"no CSVs match {csv_pattern}")
-    expected = [os.path.join(cache_dir, os.path.splitext(os.path.basename(s))[0] + ".rfb")
-                for s in srcs]
+    # the writer's collision-free naming (duplicate basenames from
+    # different directories become base-1, ...) — predicting bare
+    # basenames here would silently read one duplicate twice forever
+    from recommendflow_tpu.data.writer import output_names
+    expected = [os.path.join(cache_dir, name + ".rfb")
+                for name in output_names(srcs)]
     if not all(os.path.exists(e) and os.path.getmtime(e) >= os.path.getmtime(s)
                for e, s in zip(expected, srcs)):
         if not getattr(conf, "_source_path", None):

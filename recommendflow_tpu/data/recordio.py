@@ -138,12 +138,15 @@ class BlockBuilder:
                 vals = []
             elif not isinstance(vals, (list, tuple, np.ndarray)):
                 vals = [vals]
+            if c.vtype in ("str", "bytes"):
+                # encode NOW so the byte budget counts utf-8 BYTES (a char
+                # count under-measures multibyte text up to 4x and the
+                # int32 offset limit could be blown before the auto-flush)
+                vals = [v if isinstance(v, bytes) else str(v).encode("utf-8")
+                        for v in vals]
+                self._col_bytes[c.name] += sum(len(v) for v in vals)
             self._values[c.name].extend(vals)
             self._splits[c.name].append(len(self._values[c.name]))
-            if c.vtype in ("str", "bytes"):
-                self._col_bytes[c.name] += sum(
-                    len(v) if isinstance(v, bytes) else len(str(v))
-                    for v in vals)
         self.nrows += 1
 
     def serialize(self) -> bytes:
@@ -214,6 +217,11 @@ class RecordWriter:
 
     def write_columns(self, columns: Dict[str, List[Any]]):
         """Columnar bulk write: {name: list of per-row lists/scalars}."""
+        if not columns:
+            raise ValueError("write_columns: empty column dict")
+        lens = {k: len(v) for k, v in columns.items()}
+        if len(set(lens.values())) > 1:
+            raise ValueError(f"write_columns: unequal column lengths {lens}")
         n = len(next(iter(columns.values())))
         for i in range(n):
             self.write_row({k: v[i] for k, v in columns.items()})
@@ -235,7 +243,17 @@ class RecordWriter:
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            # do NOT flush/keep a half-written file: a valid-looking
+            # partial .rfb would pass the CSV cache's mtime freshness
+            # check forever and silently train on truncated data
+            self._f.close()
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+            return False
         self.close()
 
 
@@ -258,6 +276,10 @@ def iter_raw_blocks(path: str) -> Iterator[Tuple[int, bytes, int]]:
         while True:
             header = f.read(16)
             if len(header) < 16:
+                if header:  # 1-15 bytes: a torn write, not a clean EOF
+                    raise ValueError(
+                        f"{path}: truncated block header ({len(header)} "
+                        "bytes) — file was cut mid-write")
                 break
             magic, nrows, comp_size, raw_size = struct.unpack("<IIII", header)
             if magic != BLOCK_MAGIC:
@@ -337,6 +359,10 @@ def iter_block_nrows(path: str):
         while True:
             header = f.read(16)
             if len(header) < 16:
+                if header:  # torn write, not clean EOF
+                    raise ValueError(
+                        f"{path}: truncated block header ({len(header)} "
+                        "bytes) — file was cut mid-write")
                 break
             magic, nrows, comp_size, _ = struct.unpack("<IIII", header)
             if magic != BLOCK_MAGIC:

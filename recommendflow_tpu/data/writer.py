@@ -10,6 +10,7 @@ from __future__ import annotations
 import glob
 import multiprocessing as mp
 import os
+import re
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -61,13 +62,36 @@ def parse_cell(raw: Any, vtype: str, deal: FeatureDeal) -> List[Any]:
     # the hashing/lookup paths).
     id_like = deal in (FeatureDeal.Hashing, FeatureDeal.Lookup,
                        FeatureDeal.Discrete, FeatureDeal.TokenId)
-    if s == "" or (s == "-1" and (vtype == "str" or id_like)):
+    # pandas to_csv renders an integer -1 sentinel as '-1.0' in float
+    # columns — both spellings are the missing marker for id-like deals
+    sentinels = ("-1", "-1.0") if id_like else ("-1",)
+    if s == "" or (s in sentinels and (vtype == "str" or id_like)):
         return []
-    parts = [p for p in s.split(",") if p != ""]
+    if deal == FeatureDeal.BertEncode:
+        # raw free text: commas are CONTENT, not separators — splitting
+        # would silently truncate the text at its first comma (the reader
+        # tokenizes the whole cell)
+        return [s]
+    if deal == FeatureDeal.Embedding:
+        # serialized-embedding cells flatten the reference's ','/';'/'|'
+        # 1/2/3-dim nesting (make_tfrecord.py:50-67) — the declared
+        # max_len/dim reshapes at read time
+        parts = [p for p in re.split(r"[,;|]", s) if p != ""]
+    else:
+        parts = [p for p in s.split(",") if p != ""]
     if id_like:
-        parts = [p for p in parts if p != "-1"]   # per-element sentinel
+        parts = [p for p in parts if p not in sentinels]  # per-element
     if vtype == "int":
-        return [int(float(p)) for p in parts]
+        # int(p) FIRST: the float round-trip silently corrupts 64-bit ids
+        # above 2^53 (597305344234567891 -> ...936); fall back to
+        # int(float(p)) only for decimal-formatted cells like '3.0'
+        out = []
+        for p in parts:
+            try:
+                out.append(int(p))
+            except ValueError:
+                out.append(int(float(p)))
+        return out
     if vtype == "float":
         return [float(p) for p in parts]
     return parts
@@ -111,6 +135,25 @@ def _convert_csv_file(args):
     return src, out_path, n
 
 
+def output_names(srcs: Sequence[str]) -> List[str]:
+    """Collision-free output basenames for a source list — deterministic,
+    so the CSV-cache reader can predict them without re-running the
+    writer. Dedup checks the ASSIGNED set (a bare counter could hand
+    'base-1' to a duplicate while a real source named base-1 also claims
+    it, interleaving two Pool workers into one corrupt file)."""
+    assigned: List[str] = []
+    taken = set()
+    for src in srcs:
+        base = os.path.splitext(os.path.basename(src))[0]
+        name, n = base, 0
+        while name in taken:
+            n += 1
+            name = f"{base}-{n}"
+        taken.add(name)
+        assigned.append(name)
+    return assigned
+
+
 def build_records(conf_path: str, src_pattern: str, out_dir: str,
                   num_procs: Optional[int] = None) -> List[str]:
     """Convert every CSV matching src_pattern into out_dir/*.rfb in parallel
@@ -120,14 +163,7 @@ def build_records(conf_path: str, src_pattern: str, out_dir: str,
         raise FileNotFoundError(f"no source files match {src_pattern}")
     os.makedirs(out_dir, exist_ok=True)
     jobs = []
-    used: Dict[str, int] = {}
-    for src in srcs:
-        base = os.path.splitext(os.path.basename(src))[0]
-        # same basename from different directories must not clobber one
-        # output file (under mp.Pool the writes would interleave)
-        n = used.get(base, 0)
-        used[base] = n + 1
-        name = base if n == 0 else f"{base}-{n}"
+    for src, name in zip(srcs, output_names(srcs)):
         jobs.append((conf_path, src, os.path.join(out_dir, name + ".rfb")))
     procs = min(num_procs or mp.cpu_count(), MAX_PROCS, len(jobs))
     if procs <= 1:

@@ -1,5 +1,6 @@
 """Data layer tests: record codec round-trip, schema compilation, CSR padding,
 host-side hashing/lookup/discretize, pipeline batching."""
+import os
 import numpy as np
 import pytest
 
@@ -412,3 +413,62 @@ def test_normalize_seeds_empty_list_falls_back():
     from recommendflow_tpu.data.hashing import normalize_seeds
     assert normalize_seeds([], 2) == normalize_seeds(0, 2) == [0, 7]
     assert normalize_seeds([5], 2) == [5, 12]
+
+
+def test_parse_cell_fixes():
+    """Review-fix pins: bert text keeps commas; embedding flattens the
+    reference's nested separators; 64-bit ids survive exactly; the
+    float-rendered '-1.0' sentinel is missing, not a real bucket."""
+    from recommendflow_tpu.config.proto import FeatureDeal
+    from recommendflow_tpu.data.writer import parse_cell
+    assert parse_cell("great price, fast shipping", "str",
+                      FeatureDeal.BertEncode) == \
+        ["great price, fast shipping"]
+    assert parse_cell("0.1;0.2|0.3,0.4", "float", FeatureDeal.Embedding) == \
+        [0.1, 0.2, 0.3, 0.4]
+    big = 597305344234567891  # > 2^53: int(float()) corrupts it
+    assert parse_cell(str(big), "int", FeatureDeal.Lookup) == [big]
+    assert parse_cell("-1.0", "float", FeatureDeal.Discrete) == []
+    assert parse_cell("3,-1.0,5", "float", FeatureDeal.Discrete) == [3.0, 5.0]
+    # but -1.0 stays a REAL value for numeric columns
+    assert parse_cell("-1.0", "float", FeatureDeal.Numeric) == [-1.0]
+
+
+def test_output_names_collision_free():
+    from recommendflow_tpu.data.writer import output_names
+    names = output_names(["a/x.csv", "b/x.csv", "c/x-1.csv"])
+    assert len(set(names)) == 3 and names[0] == "x"
+
+
+def test_writer_exception_removes_partial_file(tmp_path):
+    """A crash mid-conversion must not leave a valid-looking partial .rfb
+    (it would pass the CSV cache's mtime freshness check forever)."""
+    from recommendflow_tpu.data.recordio import ColumnSpec, RecordWriter
+    path = str(tmp_path / "partial.rfb")
+    with pytest.raises(RuntimeError):
+        with RecordWriter(path, [ColumnSpec("a", "int")]) as w:
+            w.write_row({"a": [1]})
+            raise RuntimeError("mid-conversion crash")
+    assert not os.path.exists(path)
+
+
+def test_truncated_block_header_raises(tmp_path):
+    from recommendflow_tpu.data.recordio import (ColumnSpec, RecordWriter,
+                                                 count_rows)
+    path = str(tmp_path / "trunc.rfb")
+    with RecordWriter(path, [ColumnSpec("a", "int")]) as w:
+        w.write_rows([{"a": [i]} for i in range(5)])
+    with open(path, "ab") as f:
+        f.write(b"\x01\x02\x03")  # torn trailing header bytes
+    with pytest.raises(ValueError, match="truncated"):
+        count_rows(path)
+
+
+def test_write_columns_validates(tmp_path):
+    from recommendflow_tpu.data.recordio import ColumnSpec, RecordWriter
+    path = str(tmp_path / "cols.rfb")
+    w = RecordWriter(path, [ColumnSpec("a", "int"), ColumnSpec("b", "int")])
+    with pytest.raises(ValueError, match="unequal"):
+        w.write_columns({"a": [[1], [2]], "b": [[3]]})
+    with pytest.raises(ValueError, match="empty"):
+        w.write_columns({})
