@@ -56,8 +56,19 @@ def hash_bucket(value: Union[str, bytes], seed: int, num_bins: int) -> int:
 def _to_byte_matrix(values: Sequence[Union[str, bytes]]):
     """Encode strings into a padded uint8 matrix + lengths (shared by the
     numpy and native paths)."""
-    encoded = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
-               for v in values]
+    encoded = []
+    for v in values:
+        if isinstance(v, str):
+            encoded.append(v.encode("utf-8"))
+        elif isinstance(v, bytes):
+            encoded.append(v)
+        else:
+            # bytes(int) is n ZERO bytes — stable-looking but heavily
+            # colliding garbage; match scalar hash64's contract instead
+            raise TypeError(
+                f"hash input must be str/bytes, got {type(v).__name__} "
+                f"({v!r}) — stringify id columns before hashing")
+
     lengths = np.fromiter((len(e) for e in encoded), count=len(encoded),
                           dtype=np.int32)
     max_len = int(lengths.max()) if len(encoded) else 0
@@ -112,9 +123,18 @@ def normalize_seeds(seeds: Union[int, Sequence[int], None],
     """
     if seeds is None:
         seeds = 0
+    if isinstance(seeds, str):
+        # a YAML-quoted scalar ('seeds: "2022"') would otherwise iterate
+        # as CHARACTERS -> salts [2, 0] instead of [2022, 2029], silently
+        # hashing every feature differently from the unquoted config
+        parts = [s for s in seeds.replace(",", " ").split() if s]
+        if len(parts) == 1:
+            seeds = int(parts[0])
+        else:
+            seeds = [int(s) for s in parts]
     if isinstance(seeds, int):
         return [seeds + 7 * i for i in range(num_hashes)]
-    seeds = list(seeds)
+    seeds = [int(s) for s in seeds]  # string entries from quoted YAML lists
     if not seeds:
         return normalize_seeds(0, num_hashes)   # [] -> documented default
     if len(seeds) < num_hashes:

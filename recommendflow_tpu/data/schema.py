@@ -120,9 +120,10 @@ class BatchSchema:
     table_dtype: str = "float32"         # stored table dtype (bf16 halves HBM traffic)
 
     def tower_slots(self, tower: str) -> List[FeatureSlot]:
+        # label features never reach slots (compile_schema routes them to
+        # label_names), so no kind filter is needed here
         t = FeatureTower(tower)
-        return [self.slots[n] for n in self.order
-                if self.slots[n].tower == t and self.slots[n].kind != "label"]
+        return [self.slots[n] for n in self.order if self.slots[n].tower == t]
 
     def sparse_slots(self) -> List[FeatureSlot]:
         return [self.slots[n] for n in self.order if self.slots[n].kind == "sparse"]
@@ -151,6 +152,13 @@ class BatchSchema:
 
 def _slot_for(feature: Feature) -> FeatureSlot:
     deal = feature.deal
+    if deal in (FeatureDeal.Hashing, FeatureDeal.Lookup,
+                FeatureDeal.Discrete) and feature.embedding_dim <= 0:
+        # a -1/0 dim would flow into TableSpec -> jnp.zeros((rows, -1))
+        # failing deep in model init with no pointer to the feature
+        raise ValueError(
+            f"feature '{feature.name}': embedding_dim must be > 0 for "
+            f"deal '{deal.value}' (got {feature.embedding_dim})")
     if deal == FeatureDeal.Hashing:
         seeds = tuple(normalize_seeds(feature.hash_seeds, num_hashes=2))
         return FeatureSlot(
@@ -160,6 +168,18 @@ def _slot_for(feature: Feature) -> FeatureSlot:
             dim=feature.embedding_dim, seeds=seeds)
     if deal == FeatureDeal.Lookup:
         vocab = tuple(feature.vocabs) if isinstance(feature.vocabs, list) else None
+        if vocab is not None:
+            # file-backed vocabs always read as strings (features.py
+            # _read_vocab_file) but int-typed record columns decode to
+            # int64 — un-coerced, every value would miss the mapping and
+            # silently embed as the pad row
+            caster = {"int": int, "float": float, "str": str}[feature.type]
+            try:
+                vocab = tuple(caster(v) for v in vocab)
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    f"feature '{feature.name}': vocab entry not castable "
+                    f"to declared type '{feature.type}': {e}") from None
         rows = (len(vocab) if vocab else feature.vocab_size) + 1
         return FeatureSlot(
             name=feature.name, kind="sparse", deal=deal, tower=feature.tower,
@@ -167,6 +187,12 @@ def _slot_for(feature: Feature) -> FeatureSlot:
             num_hashes=1, num_rows=rows, dim=feature.embedding_dim, vocab=vocab)
     if deal == FeatureDeal.Discrete:
         bounds = tuple(float(b) for b in feature.vocabs)
+        if list(bounds) != sorted(bounds):
+            # np.searchsorted on unsorted boundaries returns meaningless
+            # bin ids SILENTLY — fail at compile time, naming the feature
+            raise ValueError(
+                f"feature '{feature.name}': discrete boundaries must be "
+                f"ascending, got {bounds}")
         # bins = len(bounds)+1, shifted +1 to keep slot 0 pad-only (fixes the
         # reference's masked-bin-0 defect, preprocess_layers.py:172-174)
         return FeatureSlot(
@@ -222,6 +248,16 @@ def compile_schema(features: Features) -> BatchSchema:
     for f in features.train_features:
         if f.tower == FeatureTower.Label or (
                 f.deal == FeatureDeal.Numeric and f.tower == FeatureTower.Null):
+            if f.tower != FeatureTower.Label:
+                # legacy convention: a working numeric feature with NO
+                # tower is treated as a label column — loudly, because a
+                # user who merely forgot the tower would otherwise lose
+                # the feature from every tower with no signal
+                from recommendflow_tpu.utils.logger import get_logger
+                get_logger("recflow.schema").warning(
+                    "feature '%s' (numeric, tower=null) is treated as a "
+                    "LABEL column; set a tower if it was meant as an "
+                    "input feature", f.name)
             label_names.append(f.name)
             continue
         slot = _slot_for(f)

@@ -472,3 +472,58 @@ def test_write_columns_validates(tmp_path):
         w.write_columns({"a": [[1], [2]], "b": [[3]]})
     with pytest.raises(ValueError, match="empty"):
         w.write_columns({})
+
+
+def test_schema_compile_time_validation():
+    """Review-fix pins: unsorted discrete boundaries, non-positive
+    embedding_dim, and int-typed file vocabs fail/cast at COMPILE time
+    instead of silently corrupting training."""
+    import yaml
+    from recommendflow_tpu.data.schema import compile_schema
+
+    def conf_for(feature_line, vocabs=None):
+        text = f"""
+Features:
+  feature_group: {{}}
+  feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+  features: |
+    {feature_line}
+    label,float,label,numeric,null,-1,null,true
+Variables:
+  seeds: 1
+"""
+        d = yaml.safe_load(text)
+        if vocabs:
+            d["Variables"]["vocabs"] = vocabs
+        return Configuration(conf=d)
+
+    with pytest.raises(ValueError, match="ascending"):
+        compile_schema(conf_for(
+            "price_bin,float,ad,discrete,$bins,8,sum,true",
+            vocabs={"bins": [0.5, 0.1, 2.0]}).features)
+    with pytest.raises(ValueError, match="embedding_dim"):
+        compile_schema(conf_for(
+            "cat,str,ad,hashing,100,-1,sum,true").features)
+    # int-typed vocab given as strings must cast (the file-backed
+    # vocab path always yields strings)
+    schema = compile_schema(conf_for(
+        "iid,int,ad,lookup,$ids,8,sum,true",
+        vocabs={"ids": ["10", "20", "30"]}).features)
+    from recommendflow_tpu.data.schema import encode_lookup
+    ids = encode_lookup(np.asarray([20, 99], np.int64),
+                        schema.slots["iid"].vocab)
+    assert list(ids) == [2, 0]  # 20 -> second row, unknown -> pad
+
+
+def test_seed_normalization_accepts_strings():
+    from recommendflow_tpu.data.hashing import normalize_seeds
+    assert normalize_seeds("2022") == [2022, 2029]
+    assert normalize_seeds("2022, 2023") == [2022, 2023]
+    assert normalize_seeds(["2022", "2023"]) == [2022, 2023]
+    assert normalize_seeds(2022) == [2022, 2029]
+
+
+def test_hash_array_rejects_non_string():
+    from recommendflow_tpu.data.hashing import hash_bucket_array
+    with pytest.raises(TypeError, match="str/bytes"):
+        hash_bucket_array([5, 7], seed=1, num_bins=100)
