@@ -68,7 +68,9 @@ def resolve_paths(pattern: str,
         if os.path.isdir(pat):
             pat = os.path.join(pat, "*")
         files.extend(sorted(globlib.glob(pat)))
-    files = [f for f in files if os.path.isfile(f)]
+    # one file can match several brace alternatives ('part{0,00}*') —
+    # without dedup its rows would be counted and trained TWICE per epoch
+    files = list(dict.fromkeys(f for f in files if os.path.isfile(f)))
     rng = random.Random(seed)
     if sample_ratio < 1.0:
         k = max(1, int(len(files) * sample_ratio))
@@ -294,7 +296,7 @@ class Dataset:
                 # one header walk decides whole-file skip AND provides the
                 # block sizes for the permutation burn (count_rows + a second
                 # _iter_block_sizes pass would walk the headers twice)
-                sizes = [nrows for nrows, _ in _iter_block_sizes(path)]
+                sizes = list(recordio.iter_block_nrows(path))
                 total = sum(sizes)
                 if remaining_skip >= total:
                     remaining_skip -= total
@@ -314,15 +316,27 @@ class Dataset:
                 perm = rng.permutation(nrows) if self.shuffle else None
                 head = remaining_skip
                 remaining_skip = 0
-                yield file_schema, nrows, comp, raw_size, perm, head
+                yield path, file_schema, nrows, comp, raw_size, perm, head
 
     def _decode_task(self, task) -> Batch:
-        file_schema, nrows, comp, raw_size, perm, head = task
+        path, file_schema, nrows, comp, raw_size, perm, head = task
         # decode only config-required columns; extras (toggled-off features,
         # surplus ETL columns) are skipped cheaply by the parser
         want = set(self.schema.order) | set(self.schema.label_names)
         block = recordio.decode_raw_block(comp, raw_size, file_schema, nrows, want)
         encoded = encode_block(self.schema, block, perm)
+        # label columns are OPTIONAL (prediction files legitimately lack
+        # them) but must be consistent ACROSS a dataset: a batch slicing
+        # one labeled and one unlabeled block would misalign rows
+        keys = frozenset(encoded)
+        prev = getattr(self, "_block_keys", None)
+        if prev is None:
+            self._block_keys = keys
+        elif keys != prev:
+            raise ValueError(
+                f"{path}: block columns {sorted(keys ^ prev)} inconsistent "
+                "with earlier files — mixed labeled/unlabeled data in one "
+                "pattern")
         if head > 0:
             encoded = {k: v[head:] for k, v in encoded.items()}
         return encoded
@@ -561,7 +575,12 @@ def load_csv_dataset(conf, csv_pattern: str, batch_size: int,
     from recommendflow_tpu.data.writer import build_records
     schema = compile_schema(conf.features)
     from recommendflow_tpu.data.writer import columns_for as _cols
-    spec_sig = ",".join(f"{c.name}:{c.vtype}" for c in _cols(conf))
+    # the deal is part of the signature: parse_cell's splitting/sentinel
+    # behavior depends on it, so changing Lookup->BertEncode (same vtype)
+    # must invalidate the cached parse
+    deals = {f.name: f.deal.value for f in conf.features.train_features}
+    spec_sig = ",".join(f"{c.name}:{c.vtype}:{deals.get(c.name, '')}"
+                        for c in _cols(conf))
     cache_key = _hashlib.md5(f"{csv_pattern}|{spec_sig}".encode()).hexdigest()[:12]
     cache_dir = os.path.join("/tmp/recflow_csv_cache", cache_key)
     srcs = sorted(globlib.glob(csv_pattern))

@@ -173,7 +173,11 @@ def _slot_for(feature: Feature) -> FeatureSlot:
             # _read_vocab_file) but int-typed record columns decode to
             # int64 — un-coerced, every value would miss the mapping and
             # silently embed as the pad row
-            caster = {"int": int, "float": float, "str": str}[feature.type]
+            # float32 ROUND-TRIP for float vocabs: record columns decode
+            # as float32, so a float64 key like 1.1 would never equal the
+            # decoded np.float32(1.1) and every value would miss -> pad
+            caster = {"int": int, "str": str,
+                      "float": lambda v: float(np.float32(v))}[feature.type]
             try:
                 vocab = tuple(caster(v) for v in vocab)
             except (TypeError, ValueError) as e:

@@ -654,6 +654,28 @@ class Trainer:
         # throttling dispatch to that depth)
         psync = _PreemptSync(window=preempt_window) \
             if jax.process_count() > 1 else None
+        # per-host file sharding can hand hosts UNEQUAL batch counts; a
+        # host that exhausts its local dataset first would issue epoch-top
+        # collectives while the others still dispatch train-step
+        # collectives — a straggler deadlock. Agree (once, a collective
+        # every process reaches) on the cluster-min batches per epoch and
+        # cap every host's epoch there.
+        epoch_batch_cap = None
+        if psync is not None and hasattr(train_ds, "__len__"):
+            try:
+                local_n = len(train_ds)
+            except TypeError:
+                local_n = -1
+            from jax.experimental import multihost_utils
+            counts = np.asarray(multihost_utils.process_allgather(
+                np.asarray(local_n, np.int64)))
+            if (counts >= 0).all():
+                epoch_batch_cap = int(counts.min())
+                if counts.min() != counts.max():
+                    log.warning(
+                        "per-host batch counts differ %s; capping each "
+                        "epoch at the cluster min %d to keep collectives "
+                        "synchronized", counts.tolist(), epoch_batch_cap)
         for epoch in range(start_epoch, epochs):
             if psync is not None:
                 # agree on the epoch-top flags: a SIGTERM (or an
@@ -696,6 +718,11 @@ class Trainer:
                         jax.profiler.stop_trace()
                         trace_active = False
                         log.info("profiler trace written to %s", profile_dir)
+                if epoch_batch_cap is not None:
+                    done_this_epoch = n_batches + (
+                        skip_batches if epoch == start_epoch else 0)
+                    if done_this_epoch >= epoch_batch_cap:
+                        break  # cluster-min reached: stay in collective sync
                 if psync is not None:
                     if psync.should_stop():
                         self.control["preempt"] = True

@@ -101,6 +101,23 @@ def main():
     # both processes, so save must process_allgather them
     save_pytree(os.path.join(out_dir, "mp_ckpt"), state.params)
 
+    # UNEQUAL per-host batch counts (file sharding can hand hosts
+    # different counts): fit must agree on the cluster-min batches per
+    # epoch — without the cap the shorter host would leave its step loop
+    # and issue epoch-top collectives against the other's train-step
+    # collectives (deadlock). proc0 gets 3 local batches, proc1 gets 4;
+    # both must train exactly min=3 steps and return. Runs LAST among the
+    # state-digest stages: fit donates the state's buffers.
+    uneq = [{k: v[idx * half:(idx + 1) * half] for k, v in
+             synthetic_batch(schema, B, seed=300 + s).items()}
+            for s in range(3 + idx)]
+    step_before = int(state.step)
+    r_uneq = trainer.fit(_ListDataset(uneq), epochs=1, state=state,
+                         resume_data=False, verbose=False)
+    assert int(r_uneq["state"].step) - step_before == 3, \
+        f"proc {idx}: unequal-count fit trained " \
+        f"{int(r_uneq['state'].step) - step_before} steps, want cluster-min 3"
+
     # sharded retrieval across PROCESSES: corpus rows split over all 8
     # devices (4 per process), per-shard tournament + cross-process
     # all_gather merge; every process must see the identical global top-k

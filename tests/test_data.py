@@ -527,3 +527,61 @@ def test_hash_array_rejects_non_string():
     from recommendflow_tpu.data.hashing import hash_bucket_array
     with pytest.raises(TypeError, match="str/bytes"):
         hash_bucket_array([5, 7], seed=1, num_bins=100)
+
+
+def test_float_lookup_round_trips_float32():
+    """Record columns decode as float32; float64 vocab keys would never
+    match and every value embedded as pad (review-fix pin)."""
+    import yaml
+    from recommendflow_tpu.data.schema import compile_schema, encode_lookup
+    text = """
+Features:
+  feature_group: {}
+  feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+  features: |
+    lvl,float,ad,lookup,$lv,8,sum,true
+    label,float,label,numeric,null,-1,null,true
+Variables:
+  seeds: 1
+"""
+    d = yaml.safe_load(text)
+    d["Variables"]["vocabs"] = {"lv": [1.1, 2.2, 3.5]}
+    schema = compile_schema(Configuration(conf=d).features)
+    ids = encode_lookup(np.asarray([1.1, 2.2, 9.9], np.float32),
+                        schema.slots["lvl"].vocab)
+    assert list(ids) == [1, 2, 0]
+
+
+def test_resolve_paths_dedups_brace_overlap(tmp_path):
+    f = tmp_path / "part001.rfb"
+    f.write_bytes(b"x")
+    files = resolve_paths(str(tmp_path / "part{0,00}*.rfb"))
+    assert files == [str(f)]
+
+
+def test_mixed_labeled_unlabeled_files_fail_loudly(tmp_path):
+    """One pattern mixing label-bearing and label-less files must raise
+    (a batch slicing both would silently misalign rows)."""
+    import yaml
+    from recommendflow_tpu.data.pipeline import Dataset
+    from recommendflow_tpu.data.recordio import ColumnSpec, RecordWriter
+    conf = Configuration(os.path.join(os.path.dirname(__file__), "..",
+                                      "conf", "demo_recall.yaml"))
+    from recommendflow_tpu.data.synthetic import generate_records
+    paths = generate_records(conf, str(tmp_path), num_rows=64, num_files=1,
+                             seed=3)
+    schema = compile_schema(conf.features)
+    # clone the file's schema WITHOUT the label column
+    from recommendflow_tpu.data.recordio import iter_blocks, read_schema
+    specs = [c for c in read_schema(paths[0]) if c.name != "label"]
+    nolabel = str(tmp_path / "nolabel.rfb")
+    with RecordWriter(nolabel, specs) as w:
+        nrows, block = next(iter_blocks(paths[0]))
+        for i in range(nrows):
+            w.write_row({c.name: list(
+                block[c.name][0][block[c.name][1][i]:block[c.name][1][i + 1]])
+                for c in specs})
+    ds = Dataset(schema, [paths[0], nolabel], batch_size=16, shuffle=False,
+                 drop_remainder=False)
+    with pytest.raises(ValueError, match="inconsistent"):
+        list(ds)
