@@ -36,6 +36,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     print_args(args)
 
+    from recommendflow_tpu.parallel import init_distributed
+    init_distributed()  # no-op single-host; must precede jax backend use
+    import jax
+
     from recommendflow_tpu.config import Configuration
     from recommendflow_tpu.data.pipeline import make_dataset
     from recommendflow_tpu.models.base import build_network
@@ -56,7 +60,9 @@ def main(argv=None):
     debug = str2debug(args.train_mode)
     train_ds, valid_ds = make_dataset(conf, args.data, batch_size,
                                       dayno=args.dayno, valid_ratio=0.1,
-                                      seed=args.seed, debug=debug)
+                                      seed=args.seed, debug=debug,
+                                      host_id=jax.process_index(),
+                                      num_hosts=jax.process_count())
     model, _ = build_network(conf.networks["class"],
                              {"conf": conf, "loss": loss_name})
     trainer = Trainer(model, learning_rate=args.lr, mesh=make_mesh(),

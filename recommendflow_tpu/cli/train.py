@@ -57,6 +57,12 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     print_args(args)
 
+    from recommendflow_tpu.parallel import init_distributed
+    init_distributed()  # no-op single-host; MUST precede any jax backend
+    # touch or a multi-host launch degrades to N independent jobs racing
+    # shared checkpoint writes
+    import jax
+
     from recommendflow_tpu.config import Configuration
     from recommendflow_tpu.data.pipeline import make_dataset
     from recommendflow_tpu.models.base import build_network
@@ -83,7 +89,8 @@ def main(argv=None):
 
     train_ds, valid_ds = make_dataset(
         conf, data_pattern, batch_size, dayno=args.dayno,
-        valid_ratio=args.valid_ratio, seed=args.seed, debug=debug)
+        valid_ratio=args.valid_ratio, seed=args.seed, debug=debug,
+        host_id=jax.process_index(), num_hosts=jax.process_count())
 
     model, _ = build_network(conf.networks["class"],
                              {"conf": conf, "loss": loss_name})

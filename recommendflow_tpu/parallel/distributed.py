@@ -6,9 +6,9 @@ The reference's parallelism tops out at single-host MirroredStrategy
     (no-op on single host / when already initialized),
   * host identity helpers feeding the pipeline's per-host file sharding
     (data/pipeline.py:shard_for_host),
-  * `global_mesh()` — mesh over all chips of the slice; with dp over the
-    full mesh, gradient all-reduce rides ICI within a slice and DCN across
-    slices automatically (XLA picks the collective topology).
+  * `make_mesh()` (parallel/mesh.py) — mesh over all chips of the slice;
+    with dp over the full mesh, gradient all-reduce rides ICI within a
+    slice and DCN across slices automatically (XLA picks the topology).
 
 Scaling contract (BASELINE.md): examples/s should scale >=80% from 1 to N
 hosts — per-host input sharding keeps the host decode path embarrassingly
@@ -45,13 +45,26 @@ def init_distributed(coordinator_address: Optional[str] = None,
     requested multi-host init that fails RAISES: swallowing it would let
     one host fall back to an independent single-host job that races the
     rest of the cluster's writes to shared checkpoint roots."""
+    # TPU_WORKER_HOSTNAMES is set even on SINGLE-worker slices (e.g.
+    # 'localhost' on a v5e-1) — it only implies multihost when it lists
+    # more than one hostname
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     env_says_multihost = any(v in os.environ for v in (
         "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS",
-        "TPU_WORKER_HOSTNAMES", "MEGASCALE_NUM_SLICES"))
+        "MEGASCALE_COORDINATOR_ADDRESS", "MEGASCALE_NUM_SLICES")) \
+        or len([w for w in workers.split(",") if w.strip()]) > 1
     if coordinator_address is None and num_processes is None \
             and not env_says_multihost:
         return
+    # already-initialized guard (the docstring's promised no-op): the
+    # client handle is set iff initialize() ran in this process; checking
+    # it does NOT touch the backend
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
+    except Exception:  # pragma: no cover - private-API drift
+        pass
     coordinator_address = coordinator_address or os.environ.get(
         "COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS")
     jax.distributed.initialize(coordinator_address=coordinator_address,
@@ -70,6 +83,3 @@ def num_hosts() -> int:
     return jax.process_count()
 
 
-def global_mesh(axis_names=("dp",)):
-    from recommendflow_tpu.parallel.mesh import make_mesh
-    return make_mesh(jax.devices(), axis_names=axis_names)

@@ -17,6 +17,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def is_table_param(name: str) -> bool:
+    """THE shared 'is this an embedding-table param' predicate.
+
+    Linen modules name stacked tables '...table_dim{d}...'; the
+    functional engine keys them 'dim{d}' at the path tail. Three divergent
+    copies of this check (here, sharded_embedding.shard_tables,
+    optimizers.label) once disagreed — a functional-engine params dict
+    got zero tables sharded under the linen-only substring match."""
+    tail = name.rsplit("/", 1)[-1]
+    return "table_dim" in name or tail.startswith("dim")
+
+
 def make_mesh(devices=None, axis_names: Sequence[str] = ("dp",),
               shape: Optional[Sequence[int]] = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -55,15 +67,18 @@ def shard_batch(mesh: Mesh, batch: Dict, axis: str = "dp") -> Dict:
 
 def table_sharding_rules(params, mesh: Mesh, axis: str = "dp",
                          min_rows: int = 8192):
-    """PartitionSpec tree for model variables: embedding tables with at least
-    `min_rows` rows are row-sharded over `axis`; everything else replicated.
+    """PartitionSpec tree for model variables: embedding tables with at
+    least `min_rows` PHYSICAL (packed, 512-byte) rows are row-sharded over
+    `axis`; everything else replicated. The threshold is in stored rows —
+    8192 x 512 B = 4 MB — because that is what the leaf shape exposes;
+    logical rows are P (the pack factor) times more.
 
     Row-sharding the stacked per-dim tables spreads HBM across the mesh; the
     forward gather and backward scatter-add become XLA collectives over ICI.
     """
     def spec_for(path: Tuple, leaf):
         name = "/".join(str(getattr(p, "key", p)) for p in path)
-        if "table_dim" in name and hasattr(leaf, "shape") and leaf.ndim == 2 \
+        if is_table_param(name) and hasattr(leaf, "shape") and leaf.ndim == 2 \
                 and leaf.shape[0] >= min_rows and leaf.shape[0] % mesh.shape[axis] == 0:
             return P(axis, None)
         return P()
@@ -83,8 +98,11 @@ def expert_sharding_rules(params, mesh: Mesh, axis: str = "ep"):
     if axis not in mesh.shape:
         raise ValueError(
             f"expert_sharding_rules needs a '{axis}' mesh axis but the mesh "
-            f"has {tuple(mesh.axis_names)} — build it with e.g. "
-            f"make_mesh(axis_names=('dp', '{axis}'))")
+            f"has {tuple(mesh.axis_names)} — build it with an EXPLICIT "
+            f"shape, e.g. make_mesh(axis_names=('dp', '{axis}'), "
+            f"shape=(n_devices // n_experts, n_experts)) — the default "
+            f"shape puts every device on the first axis, leaving "
+            f"'{axis}' size 1 (expert sharding would be a silent no-op)")
     n = mesh.shape[axis]
 
     def spec_for(path: Tuple, leaf):

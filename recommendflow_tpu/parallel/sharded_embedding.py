@@ -33,11 +33,15 @@ from recommendflow_tpu.ops.embedding import take_rows
 
 
 def local_gather_psum(table_shard: jnp.ndarray, flat_wide_ids: jnp.ndarray,
-                      axis_name: str) -> jnp.ndarray:
+                      seg_onehot, axis_name: str) -> jnp.ndarray:
     """Per-device body: gather locally-owned wide rows, psum across shards.
 
     table_shard [S, W] — this device's contiguous row block;
-    flat_wide_ids [N] — GLOBAL wide row ids (replicated).
+    flat_wide_ids [N] — GLOBAL wide row ids (replicated);
+    seg_onehot [N, P] — sub-row selector for packed tables (None at P=1).
+    The sub-row selection runs BEFORE the psum: the collective then moves
+    N*dim floats, not N*P*dim (the packed row width) — the docstring's
+    stated traffic, P=4-8x less than psumming the wide rows.
     """
     shard = jax.lax.axis_index(axis_name)
     s = table_shard.shape[0]
@@ -46,6 +50,10 @@ def local_gather_psum(table_shard: jnp.ndarray, flat_wide_ids: jnp.ndarray,
     safe = jnp.where(mine, local, 0)
     rows = take_rows(table_shard, safe)  # sorted-scatter backward
     rows = rows * mine[:, None].astype(rows.dtype)
+    if seg_onehot is not None:
+        p = seg_onehot.shape[1]
+        rows = jnp.einsum("npd,np->nd",
+                          rows.reshape(rows.shape[0], p, -1), seg_onehot)
     return jax.lax.psum(rows, axis_name)
 
 
@@ -61,22 +69,23 @@ def sharded_gather_group(mesh: Mesh, axis: str, table: jnp.ndarray,
     p = table.shape[1] // dim  # infer stored packing (bf16 packs 4x at dim 64)
     flat = global_ids.reshape(-1)
     wide = flat // p if p > 1 else flat
+    seg = jax.nn.one_hot(flat % p, p, dtype=table.dtype) if p > 1 else None
 
-    gathered = shard_map(
-        partial(local_gather_psum, axis_name=axis),
-        mesh=mesh,
-        in_specs=(P(axis, None), P()),
-        out_specs=P(),
-    )(table, wide.astype(jnp.int32))
+    if seg is None:
+        gathered = shard_map(
+            partial(local_gather_psum, seg_onehot=None, axis_name=axis),
+            mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P(),
+        )(table, wide.astype(jnp.int32))
+    else:
+        gathered = shard_map(
+            partial(local_gather_psum, axis_name=axis),
+            mesh=mesh, in_specs=(P(axis, None), P(), P()), out_specs=P(),
+        )(table, wide.astype(jnp.int32), seg)
 
     # compute dtype is f32 regardless of table storage dtype, matching
     # gather_group (bf16 tables are a STORAGE win; bf16 tower math is a
     # measured regression — see CLAUDE.md)
-    if p == 1:
-        return gathered.reshape(global_ids.shape + (dim,)).astype(jnp.float32)
-    seg = jax.nn.one_hot(flat % p, p, dtype=table.dtype)
-    out = jnp.einsum("npd,np->nd", gathered.reshape(-1, p, dim), seg)
-    return out.reshape(global_ids.shape + (dim,)).astype(jnp.float32)
+    return gathered.reshape(global_ids.shape + (dim,)).astype(jnp.float32)
 
 
 def shard_tables(params: Dict[str, jnp.ndarray], mesh: Mesh,
@@ -87,9 +96,10 @@ def shard_tables(params: Dict[str, jnp.ndarray], mesh: Mesh,
     sharded; other 2-D params that happen to have divisible rows — e.g. the
     tiny 'img_{name}' patch-projection matrices — stay replicated (sharding
     a small dense matmul operand just buys an all-gather per use)."""
+    from recommendflow_tpu.parallel.mesh import is_table_param
     out = {}
     for name, t in params.items():
-        if t.ndim == 2 and name.startswith("dim") \
+        if t.ndim == 2 and is_table_param(name) \
                 and t.shape[0] % mesh.shape[axis] == 0:
             out[name] = jax.device_put(t, NamedSharding(mesh, P(axis, None)))
         else:

@@ -79,7 +79,8 @@ def _label_params(params, frozen_table_dims=None) -> Any:
         name = "/".join(keys)
         if keys and keys[-1] in frozen:
             return "frozen"
-        return "table" if "table_dim" in name or name.startswith("dim") else "dense"
+        from recommendflow_tpu.parallel.mesh import is_table_param
+        return "table" if is_table_param(name) else "dense"
     return jax.tree_util.tree_map_with_path(label, params)
 
 
