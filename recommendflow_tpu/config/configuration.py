@@ -23,23 +23,32 @@ from recommendflow_tpu.config.features import Features
 from recommendflow_tpu.config.proto import FeatureDeal
 from recommendflow_tpu.utils.str_parser import str2dict, str2list
 
-_PUNCT = set(string.punctuation + string.whitespace) - {"_"}
-
-
 def is_punctuation(ch: str, except_chars: str = "_") -> bool:
     return (ch in string.punctuation or ch.isspace()) and ch not in except_chars
 
 
+_MISSING = object()  # sentinel: distinguishes 'key absent' from 'key: null'
+
+
 def _find_key(tree: Any, key: str) -> Any:
-    """Depth-first search for the first value stored under `key`."""
+    """Depth-first search for the first value stored under `key` — lists
+    included (substitution recurses into lists, so resolution must reach
+    the same places), and the FIRST occurrence wins even when its value
+    is an explicit null (falling through to a deeper same-named key
+    silently picked the wrong value)."""
     if isinstance(tree, dict):
         if key in tree:
             return tree[key]
         for v in tree.values():
             found = _find_key(v, key)
-            if found is not None:
+            if found is not _MISSING:
                 return found
-    return None
+    elif isinstance(tree, (list, tuple)):
+        for v in tree:
+            found = _find_key(v, key)
+            if found is not _MISSING:
+                return found
+    return _MISSING
 
 
 class Configuration:
@@ -106,24 +115,49 @@ class Configuration:
 
     def get_conf_value(self, key: str, dtype: Optional[type] = None) -> Any:
         found = _find_key(self.conf, key)
-        if found is None:
+        if found is _MISSING or found is None:
             raise KeyError(f"could not find key '{key}' in configuration")
         return dtype(found) if dtype else found
 
     def get_conf_value_or(self, key: str, default: Any = None) -> Any:
         found = _find_key(self.conf, key)
-        return default if found is None else found
+        return default if found is _MISSING or found is None else found
 
     def _sub_value(self, v: Any) -> Any:
         """Whole-token `$name` keeps native type; embedded `$name` stringifies."""
         if not isinstance(v, str):
             return v
         bare = all(not is_punctuation(c, "_$") for c in v)
-        if bare and v.startswith("$"):
-            return self._sub_value(self.get_conf_value(v[1:]))
+        # '$' in the tail means ADJACENT tokens ('$a$b') — string path,
+        # never one whole-token name 'a$b'
+        if bare and v.startswith("$") and "$" not in v[1:]:
+            name = v[1:]
+            with self._resolving_guard(name):
+                return self._sub_value(self.get_conf_value(name))
         if "$" in v:
             return self._sub_str(v)
         return v
+
+    def _resolving_guard(self, name: str):
+        """Context manager catching cyclic $references with a clear error
+        (Variables: {a: $b, b: $a} used to die in RecursionError)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def guard():
+            stack = getattr(self, "_resolving", None)
+            if stack is None:
+                stack = self._resolving = []
+            if name in stack:
+                raise ValueError(
+                    "cyclic $variable reference: "
+                    + " -> ".join([*stack, name]))
+            stack.append(name)
+            try:
+                yield
+            finally:
+                stack.pop()
+        return guard()
 
     def _sub_str(self, v: str) -> str:
         """Replace each `$name` token inside a string; names end at any
@@ -141,9 +175,10 @@ class Configuration:
                     out.append("$")
                     i += 1
                     continue
-                val = self.get_conf_value(name)
-                if isinstance(val, str) and "$" in val:
-                    val = self._sub_str(val)
+                with self._resolving_guard(name):
+                    val = self.get_conf_value(name)
+                    if isinstance(val, str) and "$" in val:
+                        val = self._sub_str(val)
                 if not isinstance(val, (str, int, float, bool)):
                     raise TypeError(
                         f"'${name}' inside a string must resolve to a scalar, "
@@ -155,26 +190,31 @@ class Configuration:
                 i += 1
         return "".join(out)
 
-    def _substitute_tree(self, tree: Any) -> Any:
+    def _substitute_tree(self, tree: Any, _section: Optional[str] = None
+                         ) -> Any:
         """Recursively substitute `$name` through dicts/lists in place.
 
         The packed Features.features / Experiments.experiments rows are left
         untouched here: feature rows use '$' for vocab variables that Features
         resolves itself, and experiment rows are substituted per-row at
-        _init_experiments time.
+        _init_experiments time. The skip applies ONLY inside those two
+        top-level sections — an unrelated key that merely shares the name
+        (e.g. Datasets: {features: "$cols"}) still substitutes.
         """
         if isinstance(tree, dict):
             for k, v in tree.items():
-                if k in ("features", "experiments"):
+                if k in ("features", "experiments") \
+                        and _section in ("Features", "Experiments"):
                     continue
+                sec = k if _section is None else _section
                 if isinstance(v, (dict, list)):
-                    self._substitute_tree(v)
+                    self._substitute_tree(v, _section=sec)
                 else:
                     tree[k] = self._sub_value(v)
         elif isinstance(tree, list):
             for idx, v in enumerate(tree):
                 if isinstance(v, (dict, list)):
-                    self._substitute_tree(v)
+                    self._substitute_tree(v, _section=_section)
                 else:
                     tree[idx] = self._sub_value(v)
         return tree
@@ -221,6 +261,13 @@ class Configuration:
         returning the row dict (reference configuration.py:76-102 semantics)."""
         if exp_id not in self.experiments:
             raise KeyError(f"experiment {exp_id} not found; have {sorted(self.experiments)}")
+        # NOTE: toggles are CUMULATIVE across calls (reference
+        # configuration.py:76-102 parity, pinned by
+        # tests/test_config.py:test_experiments_and_toggles) — comparing
+        # experiments in one process needs reset_features() between them
+        if not hasattr(self, "_baseline_working"):
+            self._baseline_working = {f.name: f.working
+                                      for f in self.features.features}
         row = self.experiments[exp_id]
         toggles = row.get("features")
         if toggles is not None:
@@ -245,6 +292,16 @@ class Configuration:
         self.need_parse_second = (self.features.contain_deal(FeatureDeal.Image)
                                   or self.features.contain_deal(FeatureDeal.Embedding))
         return dict(row)
+
+    def reset_features(self):
+        """Restore every feature's baseline working flag (as parsed from
+        the config), undoing all accumulated experiment toggles — for
+        comparing experiments in one process."""
+        baseline = getattr(self, "_baseline_working", None)
+        if baseline:
+            for f in self.features.features:
+                f.working = baseline.get(f.name, f.working)
+            self.features.refresh()
 
     # -------------------------------------------------------------- display
     def print_features(self, scale: str = "train"):

@@ -10,6 +10,8 @@ framework types so the result can be compiled into static TPU plans
 """
 from __future__ import annotations
 
+import re as _re
+
 import csv
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Union
@@ -21,6 +23,19 @@ from recommendflow_tpu.config.proto import (
 from recommendflow_tpu.utils.str_parser import str2list
 
 AUTO_VOCAB = "__AUTO__"
+
+
+def _int_cell(group: str, field: str, raw) -> int:
+    """int() with a clear error: '$' variables are NOT resolved in numeric
+    feature-row cells (only the vocab column supports $names) — the bare
+    int() crash pointed at nothing."""
+    s = str(raw)
+    if s.startswith("$"):
+        raise ValueError(
+            f"feature '{group}': '$' variables are not supported in the "
+            f"{field} cell — inline the literal value ($names resolve only "
+            "in the vocab column)")
+    return int(s)
 
 
 @dataclass
@@ -188,7 +203,10 @@ class Features:
         self.seeds = seeds
         self.slot_map = load_slot_map(slot_map_path) if slot_map_path else {}
         self.default_max_len = default_max_len
-        self.max_len_map = dict(max_len_map or {})
+        # group names lowercase at parse time; mixed-case map keys would
+        # silently miss and truncate sequences to default_max_len
+        self.max_len_map = {str(k).lower(): v
+                            for k, v in (max_len_map or {}).items()}
 
         fsec = conf["Features"]
         fields = fsec["feature_fields"]
@@ -200,12 +218,20 @@ class Features:
     # ------------------------------------------------------------------ init
     @staticmethod
     def _init_groups(raw: Dict[str, Any]) -> Dict[str, List[Any]]:
+        def coerce(n):
+            # packed-string groups yield DIGIT STRINGS; the slot-map /
+            # ellipsis logic keys on real ints — '0,2,...,9' must behave
+            # like [0, 2, ..., 9]
+            if isinstance(n, str) and n.lstrip("-").isdigit():
+                return int(n)
+            return n
+
         out: Dict[str, List[Any]] = {}
         for k, v in raw.items():
             if isinstance(v, str):
-                out[k.lower()] = str2list(v)
+                out[k.lower()] = [coerce(n) for n in str2list(v)]
             elif isinstance(v, list):
-                out[k.lower()] = v
+                out[k.lower()] = [coerce(n) for n in v]
             else:
                 raise TypeError(f"feature_group '{k}' must be str or list, got {type(v).__name__}")
         return out
@@ -262,7 +288,8 @@ class Features:
         working = str(d["working"]).lower() == "true"
         seeds = self.seeds if deal == FeatureDeal.Hashing else None
         raw_vocab = d["vocab"]
-        dim = -1 if deal in NO_DIM_DEALS else int(d["embedding_dim"])
+        dim = -1 if deal in NO_DIM_DEALS else \
+            _int_cell(group, "embedding_dim", d["embedding_dim"])
 
         vocabs: Optional[Union[List[Any], str]] = None
         vocab_size = -1
@@ -273,7 +300,7 @@ class Features:
                     f"discrete feature '{group}' needs explicit bin "
                     f"boundaries (a list or $variable), not a bucket size")
         elif deal == FeatureDeal.Hashing:
-            vocab_size = int(raw_vocab)
+            vocab_size = _int_cell(group, "vocab (bucket size)", raw_vocab)
             if vocab_size <= 0:
                 raise ValueError(f"hashing bucket size must be > 0 for '{group}'")
         elif deal == FeatureDeal.BertEncode:
@@ -385,7 +412,7 @@ class Features:
     # `|` inside a filter value means OR (reference features.py:388-415)
     @staticmethod
     def _match(feature: Feature, name_rlike=None, field=None, tower=None, deal=None) -> bool:
-        if name_rlike and not any(p in feature.name for p in name_rlike.split("|")):
+        if name_rlike and not _re.search(name_rlike, feature.name):
             return False
         if field and not any(feature.field_name == p for p in field.split("|")):
             return False

@@ -277,3 +277,91 @@ def test_str2dayno_single_day_and_fn_resolution():
         str2fn("jnp", default_module="recommendflow_tpu.losses.classify")
     fn = str2fn("cosent_loss")
     assert callable(fn)
+
+
+def test_adjacent_dollar_tokens_and_cycles():
+    """'$a$b' must substitute BOTH tokens (was mis-read as one name); a
+    cyclic $reference errors clearly AT PARSE TIME instead of dying in
+    RecursionError."""
+    feats = {
+        "feature_group": {},
+        "feature_fields": ["group", "type", "tower", "deal", "vocab",
+                           "embedding_dim", "pooling", "working"],
+        "features": "label,float,label,numeric,null,-1,null,true"}
+    conf = Configuration(conf={
+        "Features": dict(feats),
+        "Variables": {"a": "left", "b": "right"}})
+    assert conf._sub_value("$a$b") == "leftright"
+    with pytest.raises(ValueError, match="cyclic"):
+        Configuration(conf={
+            "Features": dict(feats),
+            "Variables": {"x": "$y", "y": "$x"},
+            "Task": {"out": "$x"}})
+
+
+def test_find_key_descends_lists_and_null_stops():
+    conf = Configuration(conf={
+        "Features": {
+            "feature_group": {},
+            "feature_fields": ["group", "type", "tower", "deal", "vocab",
+                               "embedding_dim", "pooling", "working"],
+            "features": "label,float,label,numeric,null,-1,null,true"},
+        "Datasets": [{"name": "d1", "lr2": 0.01}],
+        "Train": {"seeds2": None},
+        "Deep": {"nest": {"seeds2": 42}}})
+    assert conf.get_conf_value("lr2") == 0.01          # list descent
+    # explicit null stops at the FIRST occurrence: default, not the
+    # deeper same-named key
+    assert conf.get_conf_value_or("seeds2", "dflt") == "dflt"
+
+
+def test_substitute_skips_only_packed_sections():
+    """An unrelated key merely NAMED 'features' still substitutes."""
+    conf = Configuration(conf={
+        "Features": {
+            "feature_group": {},
+            "feature_fields": ["group", "type", "tower", "deal", "vocab",
+                               "embedding_dim", "pooling", "working"],
+            "features": "label,float,label,numeric,null,-1,null,true"},
+        "Variables": {"cols": "a,b"},
+        "Datasets": {"features": "$cols"}})
+    assert conf.conf["Datasets"]["features"] == "a,b"
+
+
+def test_reset_features_undoes_toggles(demo_conf_path):
+    conf = Configuration(demo_conf_path)
+    conf.active_experiment(1)
+    assert not conf.features.contain("clk_cat_ids")
+    conf.reset_features()
+    assert conf.features.contain("clk_cat_ids")
+
+
+def test_string_int_slot_groups_and_regex_filter(tmp_path):
+    """Packed-string integer-slot groups behave like int lists; name_rlike
+    is a real regex (was substring containment)."""
+    slot_map = tmp_path / "slots.map"
+    slot_map.write_text("feat_0:str:0\nfeat_2:str:2\nfeat_9:str:9\n")
+    conf = Configuration(conf={
+        "Features": {
+            "feature_group": {"sparse": "0,2,9"},
+            "feature_fields": ["group", "type", "tower", "deal", "vocab",
+                               "embedding_dim", "pooling", "working"],
+            "features": "sparse,str,user,hashing,100,8,sum,true\n"
+                        "label,float,label,numeric,null,-1,null,true",
+            "slot_map": str(slot_map)},
+        "Variables": {"seeds": 1}})
+    names = {f.name for f in conf.features.train_features}
+    assert {"feat_0", "feat_2", "feat_9"} <= names
+    assert [f.name for f in conf.features.feature_filter(
+        name_rlike="^feat_[02]$")] == ["feat_0", "feat_2"]
+
+
+def test_dollar_in_numeric_cells_errors_clearly():
+    with pytest.raises(ValueError, match="not supported in the"):
+        Configuration(conf={
+            "Features": {
+                "feature_group": {},
+                "feature_fields": ["group", "type", "tower", "deal", "vocab",
+                                   "embedding_dim", "pooling", "working"],
+                "features": "uid,str,user,hashing,$buckets,16,sum,true"},
+            "Variables": {"seeds": 1, "buckets": 1000}})
