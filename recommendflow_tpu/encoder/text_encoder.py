@@ -37,6 +37,14 @@ class TextEncoderService:
         self.tokenizer = tokenizer
         self.max_len = max_len
         self.batch_size = batch_size
+        if model is not None and model_kwargs:
+            # silently dropping construction options when a model instance
+            # is supplied would serve the checkpoint's defaults (e.g. a
+            # from_pretrained pooling= kwarg vanishing without a trace)
+            raise TypeError(
+                f"model instance given together with construction kwargs "
+                f"{sorted(model_kwargs)} — configure the model itself (for "
+                "from_pretrained use pool_pos/out_layer)")
         model_kwargs.setdefault("max_len", max_len)
         self.model = model or TextEncoder(vocab_size=len(tokenizer.vocab),
                                           **model_kwargs)
@@ -92,9 +100,10 @@ class TextEncoderService:
                 enc_kwargs.update(pooling="pos", pool_pos=int(pool_pos))
         if out_layer is not None:
             n_layers = bert_encoder_kwargs(config_path)["num_layers"]
-            if not -n_layers < int(out_layer) < n_layers:
+            if not -n_layers <= int(out_layer) < n_layers:
                 raise ValueError(
-                    f"out_layer must be a int less than {n_layers}")
+                    f"out_layer must be an int in [-{n_layers}, "
+                    f"{n_layers})")
             enc_kwargs["out_layer"] = int(out_layer)
         if model_name.lower() not in ("base", "cosent", "sbert"):
             raise ValueError(f"unsupported model_name='{model_name}'")
@@ -112,11 +121,14 @@ class TextEncoderService:
 
     # ------------------------------------------------------------- encode
     def _encode_raw(self, texts: Sequence[str]) -> np.ndarray:
-        # dispatch every chunk before fetching any: host tokenization of
-        # chunk i+1 overlaps device compute of chunk i, and the device never
-        # idles on a per-chunk np.asarray sync (same pattern as
-        # retrieval/searcher.py:search)
+        # bounded pipeline: keep a few chunks in flight (host tokenization
+        # of chunk i+1 overlaps device compute of chunk i) but fetch the
+        # oldest once the window fills — unbounded dispatch would hold
+        # EVERY per-chunk output buffer in HBM until the final concat
+        # (60 GB of outputs for a 20M-text corpus on a 16 GB chip)
+        window = 4
         pending: List[Tuple[Any, int]] = []
+        done: List[np.ndarray] = []
         for start in range(0, len(texts), self.batch_size):
             chunk = list(texts[start:start + self.batch_size])
             # pad the chunk to the full batch for one stable jit shape
@@ -125,8 +137,11 @@ class TextEncoderService:
                 chunk + [""] * pad_n, self.max_len)
             pending.append((self._encode_fn(self.variables, tok, seg),
                             len(chunk)))
-        return np.concatenate(
-            [np.asarray(emb)[:n] for emb, n in pending], axis=0)
+            if len(pending) >= window:
+                emb, n = pending.pop(0)
+                done.append(np.asarray(emb)[:n])
+        done.extend(np.asarray(emb)[:n] for emb, n in pending)
+        return np.concatenate(done, axis=0)
 
     def warmup(self) -> None:
         """Compile the encode path before accepting traffic WITHOUT
@@ -138,10 +153,21 @@ class TextEncoderService:
         """LRU-cached batch encode (OnnxEncoder.encode parity:
         onnx_utils.py:123-137). Whitening auto-fits on the first call when
         enabled (bert_encoder.py:160-182 behavior)."""
+        if isinstance(texts, (str, bytes)):
+            # a bare string satisfies Sequence[str] and would silently
+            # encode CHARACTER BY CHARACTER
+            raise TypeError("encode() takes a list of texts — wrap the "
+                            "single text in a list")
         if len(texts) == 0:
-            dim = (self.whitening.kernel.shape[1]
-                   if self.use_whitening and self._whitening_fit
-                   else self.model.model_dim)
+            if self.use_whitening and self._whitening_fit:
+                dim = self.whitening.kernel.shape[1]
+            elif self.use_whitening and self.whitening is not None \
+                    and self.whitening.n_components:
+                # not yet fit, but the configured whitening_dim IS the
+                # width every non-empty result will have
+                dim = self.whitening.n_components
+            else:
+                dim = self.model.model_dim
             return np.zeros((0, dim), np.float32)
         # snapshot the cached rows this call needs BEFORE any insertion:
         # inserting at capacity evicts LRU entries, which may include them
@@ -222,4 +248,9 @@ class TextEncoderService:
             self.whitening = VecsWhitening.load(wpath)
             self._whitening_fit = True
             self.use_whitening = True
+        elif self.use_whitening and self._whitening_fit:
+            # statistics fit on the OLD embedding space must not whiten
+            # the new weights' embeddings — refit on the next encode
+            self.whitening = VecsWhitening(self.whitening.n_components)
+            self._whitening_fit = False
         return self

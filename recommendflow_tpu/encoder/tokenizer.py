@@ -154,6 +154,14 @@ class Tokenizer:
             self._native_handle_cached = handle
         return self._native_handle_cached
 
+    def __getstate__(self):
+        """The native handle is a bare index into a PER-PROCESS C++
+        registry: pickled across processes it would dereference a stale
+        (or out-of-range) slot — drop it and rebuild lazily on first use."""
+        state = dict(self.__dict__)
+        state.pop("_native_handle_cached", None)
+        return state
+
     def encode_batch(self, texts: Sequence[str], maxlen: int,
                      pairs: Optional[Sequence[str]] = None):
         """-> (token_ids [N, maxlen], segment_ids [N, maxlen]) padded int32

@@ -39,6 +39,13 @@ def export_model(model, variables, sample_batch: Dict[str, np.ndarray],
     # checkpoint arrays would otherwise be serialized and break deserialize
     variables = jax.tree.map(np.asarray, variables)
 
+    overlap = set(batch_keys) & set(constants)
+    if overlap:
+        raise ValueError(
+            f"constants {sorted(overlap)} also appear in sample_batch — "
+            "they would become required serving inputs whose values are "
+            "silently ignored; remove them from one side")
+
     def predict(*arrays):
         batch = dict(zip(batch_keys, arrays))
         batch.update(constants)
@@ -93,6 +100,13 @@ def export_savedmodel(model, variables, sample_batch: Dict[str, np.ndarray],
     batch_keys = sorted(sample_batch.keys())
     variables = jax.tree.map(np.asarray, variables)
 
+    overlap = set(batch_keys) & set(constants)
+    if overlap:
+        raise ValueError(
+            f"constants {sorted(overlap)} also appear in sample_batch — "
+            "they would become required serving inputs whose values are "
+            "silently ignored; remove them from one side")
+
     def predict(*arrays):
         batch = dict(zip(batch_keys, arrays))
         batch.update({k: jax.numpy.asarray(v) for k, v in constants.items()})
@@ -101,7 +115,11 @@ def export_savedmodel(model, variables, sample_batch: Dict[str, np.ndarray],
             out = {k: v for k, v in out.items() if k not in constants}
         return out
 
-    tf_fn = jax2tf.convert(predict, with_gradient=False)
+    # lower for BOTH platforms, like the rfx path: under the preset TPU
+    # backend the XlaCallModule would otherwise bind to TPU only and the
+    # pure-TF CPU serving hosts this format exists for reject it
+    tf_fn = jax2tf.convert(predict, with_gradient=False,
+                           native_serialization_platforms=("cpu", "tpu"))
     specs = [tf.TensorSpec(np.shape(sample_batch[k]),
                            np.asarray(sample_batch[k]).dtype, name=k)
              for k in batch_keys]
@@ -152,7 +170,10 @@ def load_savedmodel(path: str):
         arrays = [tf.convert_to_tensor(np.asarray(batch[k]))
                   for k in batch_keys]
         out = loaded.predict(*arrays)
-        return {k: np.asarray(v) for k, v in out.items()}
+        if isinstance(out, dict):
+            return {k: np.asarray(v) for k, v in out.items()}
+        # bare-tensor outputs (the rfx path tolerates them too)
+        return {"output": np.asarray(out)}
 
     return predict
 

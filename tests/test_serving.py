@@ -330,3 +330,46 @@ def test_warmup_does_not_fit_whitening():
         svc.encode(["hello"])
     out = svc.encode(["hello there", "there hello", "hello", "there"])
     assert svc._whitening_fit and out.shape == (4, 8)
+
+
+def test_encode_rejects_bare_string():
+    from recommendflow_tpu.encoder import TextEncoderService, Tokenizer, \
+        build_demo_vocab
+    svc = TextEncoderService(Tokenizer(build_demo_vocab(["hi"])), max_len=8,
+                             model_dim=16, num_layers=1)
+    with pytest.raises(TypeError, match="list of texts"):
+        svc.encode("hello world")
+
+
+def test_tokenizer_pickle_drops_native_handle():
+    """The native WordPiece handle indexes a PER-PROCESS registry; a
+    pickled copy must rebuild lazily instead of dereferencing a stale
+    slot."""
+    import pickle
+    from recommendflow_tpu.encoder import Tokenizer, build_demo_vocab
+    tok = Tokenizer(build_demo_vocab(["hello", "world"]))
+    tok.encode_batch(["hello"], 8)  # may cache a native handle
+    clone = pickle.loads(pickle.dumps(tok))
+    assert not hasattr(clone, "_native_handle_cached")
+    ids1, _ = tok.encode_batch(["hello world"], 8)
+    ids2, _ = clone.encode_batch(["hello world"], 8)
+    np.testing.assert_array_equal(ids1, ids2)
+
+
+def test_load_weights_resets_stale_whitening(tmp_path):
+    """Weights reloaded WITHOUT a whitening sidecar must not keep stats
+    fit on the old embedding space."""
+    from recommendflow_tpu.encoder import TextEncoderService, Tokenizer, \
+        build_demo_vocab
+    tok = Tokenizer(build_demo_vocab(["hello", "there", "world", "again"]))
+    svc = TextEncoderService(tok, max_len=8, model_dim=16, num_layers=1,
+                             use_whitening=True, whitening_dim=8)
+    svc.encode(["hello there", "world again", "hello world"])
+    assert svc._whitening_fit
+    # save WITHOUT whitening: a fresh service (never fit) writes none
+    fresh = TextEncoderService(tok, max_len=8, model_dim=16, num_layers=1,
+                               seed=7)
+    d = str(tmp_path / "w")
+    fresh.save(d)
+    svc.load_weights(d)
+    assert not svc._whitening_fit  # stale stats dropped; refits next call
