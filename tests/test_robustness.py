@@ -97,7 +97,9 @@ Task:
   x: $y
   y: $x
 """
-    with pytest.raises(RecursionError):
+    # review fix: a clear parse-time error naming the cycle replaced the
+    # former bare RecursionError
+    with pytest.raises(ValueError, match="cyclic"):
         Configuration(conf=yaml.safe_load(text))
 
 
