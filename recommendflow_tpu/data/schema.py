@@ -68,6 +68,11 @@ class FeatureSlot:
             # token/segment id sequences feed text encoders, not the tower
             # concat — they contribute no width there
             return 0
+        if self.pooling == FeaturePooling.Null:
+            # un-pooled sparse features keep the length axis: embed_batch
+            # flattens [B, H, L, D] to H*L*D (tower_dim must agree with
+            # concat_tower's actual width)
+            return self.num_hashes * self.max_len * self.dim
         return self.num_hashes * self.dim
 
     @property

@@ -55,7 +55,9 @@ def pack_factor(dim: int, dtype=jnp.float32) -> int:
     return 1
 
 
-SHARD_MULTIPLE = 256  # physical rows divisible by any mesh size up to 256
+SHARD_MULTIPLE = 256  # physical rows divisible by POWER-OF-TWO mesh sizes
+# up to 256 (TPU slices); a 3/5/6-way mesh may leave a table undivisible
+# and shard_tables will then REPLICATE it (guard in sharded_embedding.py)
 
 
 def _make_take_rows(shape: Tuple[int, ...], dtype_name: str):
@@ -63,6 +65,9 @@ def _make_take_rows(shape: Tuple[int, ...], dtype_name: str):
 
     @jax.custom_vjp
     def fn(table, flat_ids):
+        # the backward's argsort/scatter assumes 1-D ids — a [B, N] id
+        # array would silently produce wrong gradients
+        assert flat_ids.ndim == 1, "take_rows needs FLAT ids (reshape(-1))"
         return jnp.take(table, flat_ids, axis=0)
 
     def fwd(table, flat_ids):
@@ -137,9 +142,15 @@ def init_group_table(key: jax.Array, group: TableGroup, dtype=jnp.float32,
 
 
 def init_tables(schema: BatchSchema, key: jax.Array,
-                dtype=jnp.float32, scale: float = 0.05) -> Params:
+                dtype=None, scale: float = 0.05) -> Params:
     """Initialize one packed stacked array per dim group: params['dim{d}'],
-    plus a patch-projection matrix params['img_{name}'] per image slot."""
+    plus a patch-projection matrix params['img_{name}'] per image slot.
+
+    dtype defaults to schema.table_dtype — an explicit f32 here while the
+    linen model packed bf16 would build a PHYSICALLY different stored
+    shape (pack factor differs) for the same schema."""
+    if dtype is None:
+        dtype = jnp.dtype(getattr(schema, "table_dtype", "float32"))
     params: Params = {}
     for dim, group in schema.groups.items():
         key, sub = jax.random.split(key)
@@ -201,11 +212,23 @@ def pool_sequence(emb: jnp.ndarray, mask: jnp.ndarray,
     m = mask[..., None]
     if pooling == FeaturePooling.Null:
         return emb * m
-    if pooling in (FeaturePooling.First, FeaturePooling.Cls):
+    if pooling == FeaturePooling.Cls:
+        # CLS is strictly position 0 (the token's position defines it)
         return emb[..., 0, :] * m[..., 0, :]
+    L = emb.shape[-2]
+    pos = jnp.arange(L)
+    if pooling == FeaturePooling.First:
+        # first VALID position: lookup/hashing misses leave PAD holes IN
+        # PLACE (data/pipeline.py), so an OOV at position 0 must not zero
+        # a feature whose later positions are valid
+        idx = jnp.argmax(mask, axis=-1)[..., None, None]
+        out = jnp.take_along_axis(
+            emb, jnp.broadcast_to(idx, emb.shape[:-2] + (1, emb.shape[-1])), axis=-2)
+        return out[..., 0, :] * (mask.any(axis=-1))[..., None]
     if pooling == FeaturePooling.Last:
-        lengths = jnp.maximum(mask.sum(axis=-1), 1)
-        idx = (lengths - 1)[..., None, None]
+        # last VALID position (mask.sum()-1 indexed the wrong element when
+        # holes occur mid-sequence)
+        idx = jnp.max(jnp.where(mask, pos, 0), axis=-1)[..., None, None]
         out = jnp.take_along_axis(
             emb, jnp.broadcast_to(idx, emb.shape[:-2] + (1, emb.shape[-1])), axis=-2)
         return out[..., 0, :] * (mask.any(axis=-1))[..., None]

@@ -151,3 +151,39 @@ def test_lookup_jit_compiles_once(setup):
     out1 = fn(params, ids1)
     out2 = fn(params, ids2)
     assert out1.shape == out2.shape == (8, slot.num_hashes * slot.dim)
+
+
+def test_pooling_with_mid_sequence_holes():
+    """Lookup/hashing misses leave PAD holes IN PLACE: first/last must
+    mean first/last VALID, not position 0 / length-1 (review-fix pin)."""
+    e = np.arange(24, dtype=np.float32).reshape(4, 6)
+    emb = jnp.asarray(e[None])
+    mask = jnp.asarray([[False, True, False, True]])  # holes at 0 and 2
+    np.testing.assert_allclose(
+        pool_sequence(emb, mask, FeaturePooling.First)[0], e[1])
+    np.testing.assert_allclose(
+        pool_sequence(emb, mask, FeaturePooling.Last)[0], e[3])
+    # CLS stays strictly position 0 (masked)
+    np.testing.assert_allclose(
+        pool_sequence(emb, mask, FeaturePooling.Cls)[0], np.zeros(6))
+
+
+def test_null_pooling_out_dim_matches_flattened_width():
+    import yaml
+    from recommendflow_tpu.data.schema import compile_schema
+    text = """
+Features:
+  feature_group: {}
+  feature_fields: [group, type, tower, deal, vocab, embedding_dim, pooling, working]
+  features: |
+    seq,str,user,hashing,100,8,null,true
+    label,float,label,numeric,null,-1,null,true
+Variables:
+  seeds: 1
+  max_len_map: {seq: 5}
+"""
+    from recommendflow_tpu.config import Configuration
+    schema = compile_schema(Configuration(conf=yaml.safe_load(text)).features)
+    s = schema.slots["seq"]
+    assert s.out_dim == s.num_hashes * 5 * 8  # H * L * D, not H * D
+    assert schema.tower_dim("user") == s.out_dim
