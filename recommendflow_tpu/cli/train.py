@@ -110,7 +110,11 @@ def main(argv=None):
         # skips without a validation split (e.g. the pattern resolved to a
         # single file) — EarlyStopping/Plateau/best-model would be
         # silently inert; the recall evaluator's hit@K exists either way
-        monitor = f"val_hit@{max(topk)}"
+        # min(topk), not max: the evaluator clamps Ks to the corpus size and
+        # small single-file datasets (exactly this fallback's case) can drop
+        # every K > corpus; clamp_topk keeps at least min(topk), so that key
+        # is the only one guaranteed to be produced
+        monitor = f"val_hit@{min(topk)}"
         print(f"WARNING: no validation split — '{args.monitor}' is never "
               f"produced; monitoring '{monitor}' (train-set retrieval "
               f"eval) instead. Pass >= 2 files + --valid_ratio for a true "

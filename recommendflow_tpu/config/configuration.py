@@ -60,7 +60,8 @@ class Configuration:
     """
 
     def __init__(self, config_path: Optional[str] = None,
-                 conf: Optional[Dict[str, Any]] = None):
+                 conf: Optional[Dict[str, Any]] = None,
+                 vocab_reader=None):
         if conf is None:
             if config_path is None:
                 raise ValueError("give config_path or conf")
@@ -82,6 +83,7 @@ class Configuration:
             slot_map_path=slot_map_path,
             default_max_len=int(self.get_conf_value_or("default_max_len", 1) or 1),
             max_len_map=self.get_conf_value_or("max_len_map", {}) or {},
+            vocab_reader=vocab_reader,
         )
 
         self.networks: Dict[str, Any] = self.conf.get("Networks") or {}

@@ -197,9 +197,14 @@ class Features:
                  seeds: Union[int, Sequence[int], None] = None,
                  slot_map_path: Optional[str] = None,
                  default_max_len: int = 1,
-                 max_len_map: Optional[Dict[str, int]] = None):
+                 max_len_map: Optional[Dict[str, int]] = None,
+                 vocab_reader=None):
         self.conf = conf
         self.vocabs_map = dict(vocabs_map or {})
+        # injectable vocab-file reader: lets configs whose vocab paths point
+        # at unreachable stores (hdfs://) be parsed offline — tests and dry
+        # runs inject a stub; None = read the real file
+        self.vocab_reader = vocab_reader or _read_vocab_file
         self.seeds = seeds
         self.slot_map = load_slot_map(slot_map_path) if slot_map_path else {}
         self.default_max_len = default_max_len
@@ -258,7 +263,7 @@ class Features:
         if isinstance(value, str):
             if not materialize:
                 return value
-            values = _read_vocab_file(value)
+            values = self.vocab_reader(value)
             self.vocabs_map[var] = values
             return values
         raise TypeError(f"vocab '${var}' must be list or path, got {type(value).__name__}")
@@ -412,8 +417,14 @@ class Features:
     # `|` inside a filter value means OR (reference features.py:388-415)
     @staticmethod
     def _match(feature: Feature, name_rlike=None, field=None, tower=None, deal=None) -> bool:
-        if name_rlike and not _re.search(name_rlike, feature.name):
-            return False
+        if name_rlike:
+            try:
+                matched = _re.search(name_rlike, feature.name)
+            except _re.error as e:
+                raise ValueError(
+                    f"invalid name_rlike filter {name_rlike!r}: {e}") from e
+            if not matched:
+                return False
         if field and not any(feature.field_name == p for p in field.split("|")):
             return False
         if tower and not any(feature.tower == FeatureTower(p) for p in tower.split("|")):

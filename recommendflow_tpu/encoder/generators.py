@@ -35,7 +35,7 @@ def _batch_indices(n: int, batch_size: int, shuffle: bool,
 
 def pair_batches(queries: Sequence[str], docs: Sequence[str],
                  labels: Sequence[float], tokenizer: Tokenizer,
-                 batch_size: int, max_len: int,
+                 batch_size: int, max_len: int, *,
                  weights: Optional[Sequence[float]] = None,
                  shuffle: bool = True, seed: Optional[int] = None,
                  drop_remainder: bool = True) -> Iterator[dict]:
@@ -59,7 +59,7 @@ def pair_batches(queries: Sequence[str], docs: Sequence[str],
 
 def zipped_batches(queries: Sequence[str], docs: Sequence[str],
                    labels: Sequence[float], tokenizer: Tokenizer,
-                   batch_size: int, max_len: int,
+                   batch_size: int, max_len: int, *,
                    shuffle: bool = True,
                    seed: Optional[int] = None) -> Iterator[dict]:
     """Stride-2 interleaved [q0; d0; q1; d1; ...] token batches — the layout
@@ -77,7 +77,7 @@ def zipped_batches(queries: Sequence[str], docs: Sequence[str],
 
 def interact_batches(queries: Sequence[str], docs: Sequence[str],
                      labels: Sequence[float], tokenizer: Tokenizer,
-                     batch_size: int, max_len: int,
+                     batch_size: int, max_len: int, *,
                      weights: Optional[Sequence[float]] = None,
                      shuffle: bool = True,
                      seed: Optional[int] = None) -> Iterator[dict]:
@@ -100,7 +100,7 @@ def interact_batches(queries: Sequence[str], docs: Sequence[str],
 
 
 def simbert_batches(pairs: Sequence[Sequence[str]], tokenizer: Tokenizer,
-                    batch_size: int, max_len: int,
+                    batch_size: int, max_len: int, *,
                     shuffle: bool = True,
                     seed: Optional[int] = None) -> Iterator[dict]:
     """SimBERT/UniLM seq2seq batches from similar-sentence pairs (parity:

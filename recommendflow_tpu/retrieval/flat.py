@@ -15,7 +15,6 @@ matmul on the MXU, top-k via jax.lax.top_k over item blocks. Design:
   * save/load to .npz, plus whole-searcher pickling parity.
 """
 from __future__ import annotations
-from __future__ import annotations
 
 import pickle
 from typing import Any, Optional, Sequence, Union

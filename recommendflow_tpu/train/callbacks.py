@@ -144,19 +144,25 @@ class ModelCheckpoint(Callback):
         from recommendflow_tpu.train.checkpoint import save_checkpoint, save_pytree
         save_checkpoint(self.root, state, step=epoch, keep=self.keep)
         value = logs.get(self.monitor)
-        if self.save_best and value is not None:
+        if self.save_best:
             import jax
             if jax.process_count() > 1:
                 # save_pytree allgathers process-spanning shards — a
                 # COLLECTIVE. Per-host metrics can diverge (e.g. an eval fn
-                # that didn't allgather), so the improved-decision must be
-                # agreed or the non-improving hosts skip the collective and
-                # the cluster deadlocks: process 0's value decides.
+                # over per-host-sharded valid data can produce the metric on
+                # some hosts and not others), so EVERY host must enter this
+                # broadcast unconditionally — even metric-less ones — or the
+                # cluster deadlocks. Process 0 decides both presence (NaN
+                # sentinel when its local value is missing) and value.
                 import numpy as np
                 from jax.experimental import multihost_utils
-                value = float(multihost_utils.broadcast_one_to_all(
-                    np.asarray(value, np.float64)))
-            if _improved(value, self.best, self.mode, 0.0):
+                sent = np.float64("nan") if value is None else \
+                    np.asarray(value, np.float64)
+                agreed = float(
+                    multihost_utils.broadcast_one_to_all(sent))
+                value = None if math.isnan(agreed) else agreed
+            if value is not None and _improved(value, self.best, self.mode,
+                                               0.0):
                 self.best = value
                 save_pytree(os.path.join(self.root, "best"), state)
                 log.info("epoch %d: new best %s=%.6f -> %s/best",

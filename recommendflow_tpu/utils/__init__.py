@@ -3,3 +3,7 @@ from recommendflow_tpu.utils.str_parser import (
 )
 from recommendflow_tpu.utils.tables import format_table, print_table
 from recommendflow_tpu.utils.logger import get_logger
+from recommendflow_tpu.utils.dataprep import (
+    filter_illegal_chars, sample_neg_app, get_datetime, get_delta_seconds,
+    dump_csv, save_text, split_and_shuffle, df2str, mem_percentage,
+)
