@@ -68,16 +68,45 @@ def _start_ticker(every_s: float = 30.0) -> None:
     threading.Thread(target=run, daemon=True).start()
 
 
+_BW_UTIL = [0.0]  # HBM bandwidth utilization estimate, set once state exists
+
+
 def emit(per_chip: float, note: str) -> None:
     vs = (per_chip / BENCH_TARGET_EXAMPLES_PER_SEC
           if BENCH_TARGET_EXAMPLES_PER_SEC else 1.0)
-    print(json.dumps({
+    rec = {
         "metric": "train_examples_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "examples/s/chip",
         "vs_baseline": round(vs, 4),
-    }), flush=True)
+    }
+    if _BW_UTIL[0]:
+        # estimated HBM traffic per step / measured step time / nominal
+        # 819 GB/s (v5e). Traffic model: 5 table passes (scatter zero-init +
+        # row-mean read + apply 2R1W — matches the device trace in PERF.md)
+        # + 7 dense-param passes (Adam p,g,m,v R + p,m,v W). The per-op
+        # device profile (PERF.md) is the ground truth; this contextualizes
+        # the wall number against the roofline.
+        rec["bw_util"] = round(_BW_UTIL[0] * per_chip, 4)
+    print(json.dumps(rec), flush=True)
     hb(f"JSON emitted ({note}): {per_chip:.0f} ex/s/chip")
+
+
+def _bw_util_coeff(state, batch_size: int) -> float:
+    """bw_util per (example/s): traffic-per-step / batch / 819e9."""
+    import jax
+    import numpy as np
+
+    table, dense = 0, 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        nbytes = int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "table_dim" in name:
+            table += nbytes
+        else:
+            dense += nbytes
+    traffic = 5 * table + 7 * dense
+    return traffic / batch_size / 819e9
 
 
 def main():
@@ -107,6 +136,7 @@ def main():
     n_chips = len(jax.devices())
     trainer = Trainer(model, learning_rate=1e-3)
     state = trainer.init_state(trainer._put(batch))
+    _BW_UTIL[0] = _bw_util_coeff(state, batch_size)
     hb("state initialised; compiling + running first train step")
 
     # NOTE: synchronize via a scalar VALUE fetch, not block_until_ready — on
@@ -146,26 +176,32 @@ def main():
             best = eps
             emit(best, f"segment {k + 2}")
 
-    # Sustained training throughput (directive: the driver metric is the
-    # isolated step loop; fit()'s async dispatch + device-side metric
-    # accumulation sustains more — measured 93.2k vs 71.5k ex/s r1,
-    # CLAUDE.md — so make the true single-chip capability legible from the
-    # round artifacts, not buried in working notes). Driven through fit()
-    # itself on a prebuilt batch list: the production code path, minus
-    # record decoding.
+    # Sustained production-loop throughput: fit() over a prebuilt batch
+    # list (scan-8 chunked dispatch on accelerators — trainer.fit
+    # scan_steps auto). Measured the SAME way as the isolated metric —
+    # best of multiple rounds — so the two are comparable (r3 compared a
+    # best-of-5 isolated against a single sustained draw and read a
+    # spurious 19% fit() deficit; tunnel drift is ±10%+).
     if os.environ.get("BENCH_SKIP_SUSTAINED") != "1" and \
             time.perf_counter() - _T0 < budget_s:
         try:
             n_fit = 400 if on_tpu else 20
-            hb(f"measuring sustained fit() throughput over {n_fit} steps")
             batches = [batch] * n_fit
-            t0 = time.perf_counter()
-            trainer.fit(batches, epochs=1, state=state, resume_data=False,
-                        log_every=10 ** 9, verbose=False)
-            dt = time.perf_counter() - t0
-            sustained = n_fit * batch_size / dt / n_chips
-            hb(f"sustained fit({n_fit} steps): {dt:.2f}s -> "
-               f"{sustained:.0f} ex/s/chip")
+            sustained = 0.0
+            for r in range(3 if on_tpu else 1):
+                if r > 0 and time.perf_counter() - _T0 > budget_s:
+                    break
+                hb(f"sustained fit() round {r} over {n_fit} steps"
+                   + (" (compiles scan-8 first)" if r == 0 else ""))
+                t0 = time.perf_counter()
+                out = trainer.fit(batches, epochs=1, state=state,
+                                  resume_data=False, log_every=10 ** 9,
+                                  verbose=False)
+                state = out["state"]
+                dt = time.perf_counter() - t0
+                eps = n_fit * batch_size / dt / n_chips
+                hb(f"sustained round {r}: {dt:.2f}s -> {eps:.0f} ex/s/chip")
+                sustained = max(sustained, eps)
             print(json.dumps({
                 "metric": "sustained_fit_examples_per_sec_per_chip",
                 "value": round(sustained, 2),
@@ -179,6 +215,40 @@ def main():
                 emit(best, "sustained fit() pipeline")
         except Exception as e:  # sustained is best-effort extra evidence
             hb(f"sustained measurement failed (non-fatal): {e!r}")
+
+    # Records-backed end-to-end: RFB files on disk -> threaded block decode
+    # -> prefetch -> device steps. The reference's headline is "fast data
+    # IO" (README.MD:3); this is the driver-visible number for it. Epoch 0
+    # warms page cache + decode pools; epoch 1 is the measurement.
+    if os.environ.get("BENCH_SKIP_RECORDS") != "1" and \
+            time.perf_counter() - _T0 < budget_s:
+        try:
+            import tempfile
+
+            from recommendflow_tpu.data.pipeline import Dataset
+            from recommendflow_tpu.data.synthetic import generate_records
+
+            rows = 300_000 if on_tpu else 4_096
+            hb(f"records e2e: generating {rows} synthetic rows")
+            with tempfile.TemporaryDirectory() as tmp:
+                paths = generate_records(conf, tmp, num_rows=rows,
+                                         num_files=8, seed=0)
+                ds = Dataset(schema, paths, batch_size=batch_size,
+                             shuffle=True, seed=0, decode_workers=2)
+                hb(f"records e2e: fit over {len(ds)} steps x 2 epochs")
+                out = trainer.fit(ds, epochs=2, state=state,
+                                  resume_data=False, log_every=10 ** 9,
+                                  verbose=False)
+                e2e = out["history"][-1]["examples_per_sec"] / n_chips
+                hb(f"records e2e epoch throughputs: "
+                   f"{[round(h['examples_per_sec']) for h in out['history']]}")
+                print(json.dumps({
+                    "metric": "e2e_records_examples_per_sec_per_chip",
+                    "value": round(e2e, 2),
+                    "unit": "examples/s/chip",
+                }), file=sys.stderr, flush=True)
+        except Exception as e:
+            hb(f"records e2e measurement failed (non-fatal): {e!r}")
     # the driver reads the LAST stdout line — re-emit the best number so
     # nothing printed in between (however a future code path behaves) can
     # end up as the final line

@@ -16,7 +16,7 @@ Networks.class.
 from __future__ import annotations
 
 import importlib
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -89,6 +89,19 @@ class FeatureEmbedder(nn.Module):
     def tower_vector(self, batch: Batch, tower: str) -> jnp.ndarray:
         from recommendflow_tpu.ops.embedding import concat_tower
         return concat_tower(self(batch, tower), self.schema, tower)
+
+    def tower_vectors(self, batch: Batch, towers) -> List[jnp.ndarray]:
+        """All towers' vectors from ONE fused gather pass.
+
+        Per-tower tower_vector calls issue one take_rows per (tower, dim
+        group); each take_rows backward is a separate full-table scatter
+        fusion — the device trace showed two ~3.2 ms scatter passes per step
+        on the bench two-tower (PERF.md). Embedding every tower in one call
+        collapses them into one gather/scatter per dim group: -3.2 ms/step
+        device time at bench scale."""
+        from recommendflow_tpu.ops.embedding import concat_tower
+        feats = self(batch)  # tower=None: every slot, one gather per group
+        return [concat_tower(feats, self.schema, t) for t in towers]
 
 
 class RecModel(nn.Module):

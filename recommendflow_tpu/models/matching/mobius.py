@@ -37,8 +37,7 @@ class Mobius(RecModel):
         out_dim = int(self.network_conf("embedding_dim") or 128)
         units = list(self.tower_units) + [out_dim]
 
-        u_in = embedder.tower_vector(batch, "user")
-        a_in = embedder.tower_vector(batch, "ad")
+        u_in, a_in = embedder.tower_vectors(batch, ("user", "ad"))
         u_h = MLP(units, self.dropout, "relu", final_activation="linear",
                   name="user_tower")(u_in, training)
         a_h = MLP(units, self.dropout, "relu", final_activation="linear",

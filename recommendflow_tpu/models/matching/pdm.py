@@ -33,8 +33,10 @@ class Pdm(RecModel):
         # per step (gathers are the dominant per-row cost, CLAUDE.md).
         seq_slots = [s for s in schema.tower_slots("user")
                      if s.kind == "sparse" and s.max_len > 1]
-        feats = embedder(batch, tower="user",
-                         exclude=[s.name for s in seq_slots])
+        # one fused gather for BOTH towers' pooled slots (a per-tower pass
+        # costs an extra full-table backward scatter, models/base.py
+        # tower_vectors); the attention-pooled sequences stay excluded
+        feats = embedder(batch, exclude=[s.name for s in seq_slots])
         seq_vecs = []
         for slot in seq_slots:
             ids = batch[slot.name]                        # [B, H, L]
@@ -47,7 +49,8 @@ class Pdm(RecModel):
         flat = [feats[s.name] for s in schema.tower_slots("user")
                 if s.name in feats]
         u_in = jnp.concatenate(flat + seq_vecs, axis=-1)
-        a_in = embedder.tower_vector(batch, "ad")
+        from recommendflow_tpu.ops.embedding import concat_tower
+        a_in = concat_tower(feats, schema, "ad")
 
         u = l2_normalize(MLP(units, self.dropout, "relu",
                              final_activation="linear", name="user_tower")(

@@ -490,12 +490,21 @@ class Trainer:
             self._train_step = self._build_train_step()
         return self._train_step(state, self._put(batch))
 
+    @staticmethod
+    def _stack_batches(batches):
+        return {key: np.stack([b[key] for b in batches])
+                for key in batches[0]}
+
     def train_steps(self, state, batches):
         """Run len(batches) steps in ONE dispatch (lax.scan)."""
+        return self._train_steps_stacked(state, self._stack_batches(batches))
+
+    def _train_steps_stacked(self, state, stacked):
+        """Scan-K dispatch on an already-stacked [K, B, ...] batch dict
+        (fit()'s chunked hot loop stacks in the prefetch worker thread so
+        the memcpy overlaps device compute)."""
         if self._train_step_scan is None:
             self._train_step_scan = self._build_train_step_scan()
-        stacked = {key: np.stack([b[key] for b in batches])
-                   for key in batches[0]}
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(self.mesh, P(None, "dp"))  # axis0=K, axis1=batch
@@ -606,7 +615,17 @@ class Trainer:
             resume_data: bool = True,
             preempt_dir: Optional[str] = None,
             preempt_window: int = 16,
+            scan_steps: Optional[int] = None,
             verbose: bool = True) -> Dict[str, Any]:
+        """scan_steps: steps fused into one lax.scan dispatch in the hot
+        loop. None = auto (8 on accelerators — dispatch cost over remote
+        links is the production bottleneck, measured 24.6 vs 33.0 ms/step
+        interleaved on the v5e tunnel; 1 on CPU where dispatch is cheap and
+        tests want step-granular behavior). Numerically identical to
+        scan_steps=1: the scan threads the same per-step sequence, metrics
+        are means over each chunk, state.step advances per inner step so
+        resume/preemption semantics are unchanged (preemption lands on
+        chunk boundaries, <= scan_steps steps late)."""
         callbacks = list(callbacks or [])
         history = History()
         callbacks.append(history)
@@ -676,6 +695,27 @@ class Trainer:
                         "per-host batch counts differ %s; capping each "
                         "epoch at the cluster min %d to keep collectives "
                         "synchronized", counts.tolist(), epoch_batch_cap)
+        # scan-K dispatch resolution (see the docstring). Multi-process runs
+        # only chunk on explicit request: every host's dispatch sequence must
+        # be identical chunk-for-chunk, so tails are dropped and the epoch
+        # cap rounds down to a chunk multiple.
+        devs = (list(self.mesh.devices.flat) if self.mesh is not None
+                else jax.devices())
+        on_accel = any(d.platform != "cpu" for d in devs)
+        multiproc = jax.process_count() > 1
+        if scan_steps is not None:
+            k_scan = max(int(scan_steps), 1)
+        else:
+            k_scan = 8 if (on_accel and not multiproc) else 1
+        drop_tail = multiproc and k_scan > 1
+        if drop_tail and epoch_batch_cap is not None:
+            rounded = (epoch_batch_cap // k_scan) * k_scan
+            if rounded == 0:
+                k_scan, drop_tail = 1, False  # dataset smaller than a chunk
+            elif rounded != epoch_batch_cap:
+                log.info("scan_steps=%d: epoch cap %d -> %d (chunk multiple)",
+                         k_scan, epoch_batch_cap, rounded)
+                epoch_batch_cap = rounded
         for epoch in range(start_epoch, epochs):
             if psync is not None:
                 # agree on the epoch-top flags: a SIGTERM (or an
@@ -698,30 +738,43 @@ class Trainer:
             n_batches, n_examples = 0, 0
             running: Dict[str, float] = {}
             if first is not None and epoch == start_epoch:
-                epoch_iter = _chain_first(first, prefetch(it))
+                raw_iter = _chain_first(first, it)
             elif epoch == start_epoch and skip_batches and hasattr(train_ds, "iter_from"):
-                epoch_iter = prefetch(train_ds.iter_from(skip_batches, epoch=epoch))
+                raw_iter = train_ds.iter_from(skip_batches, epoch=epoch)
             elif hasattr(train_ds, "iter_from"):
                 # fold the epoch into the shuffle seed: each epoch sees a
                 # different deterministic order (reshuffle-per-epoch parity
                 # with tf.data), and resume can reproduce it
-                epoch_iter = prefetch(train_ds.iter_from(0, epoch=epoch))
+                raw_iter = train_ds.iter_from(0, epoch=epoch)
             else:
-                epoch_iter = prefetch(iter(train_ds))
-            for batch in epoch_iter:
+                raw_iter = iter(train_ds)
+            if k_scan > 1:
+                epoch_iter = prefetch(_chunk_stack(
+                    raw_iter, k_scan, self._stack_batches, drop_tail))
+            else:
+                epoch_iter = prefetch(raw_iter)
+            profiling = False
+            for item in epoch_iter:
+                if isinstance(item, tuple):
+                    kind, payload, inc, inc_ex = item
+                else:
+                    kind, payload, inc = "batch", item, 1
+                    inc_ex = _num_examples(item)
                 if profile_dir is not None and epoch == 0:
-                    # device trace over a steady-state step window
-                    if n_batches == profile_steps[0]:
+                    # device trace over a steady-state step window (>=:
+                    # chunked dispatch may jump past the exact step index)
+                    if not profiling and not trace_active \
+                            and n_batches >= profile_steps[0]:
                         jax.profiler.start_trace(profile_dir)
-                        trace_active = True
-                    elif n_batches == profile_steps[1]:
+                        trace_active = profiling = True
+                    elif trace_active and n_batches >= profile_steps[1]:
                         jax.profiler.stop_trace()
                         trace_active = False
                         log.info("profiler trace written to %s", profile_dir)
                 if epoch_batch_cap is not None:
                     done_this_epoch = n_batches + (
                         skip_batches if epoch == start_epoch else 0)
-                    if done_this_epoch >= epoch_batch_cap:
+                    if done_this_epoch + inc > epoch_batch_cap:
                         break  # cluster-min reached: stay in collective sync
                 if psync is not None:
                     if psync.should_stop():
@@ -729,18 +782,23 @@ class Trainer:
                         break
                 elif self.control.get("preempt"):
                     break
-                state, metrics = self.train_step(state, batch)
+                if kind == "chunk":
+                    state, metrics = self._train_steps_stacked(state, payload)
+                else:
+                    state, metrics = self.train_step(state, payload)
                 if psync is not None:
                     psync.push(bool(self.control.get("preempt")))
-                n_batches += 1
-                n_examples += len(next(iter(batch.values())))
-                if n_batches % log_every == 0:
+                n_batches += inc
+                n_examples += inc_ex
+                if n_batches % log_every < inc:
                     mvals = {k: float(v) for k, v in metrics.items()}
                     log.info("epoch %d step %d: %s", epoch, n_batches,
                              " ".join(f"{k}={v:.5f}" for k, v in mvals.items()))
                 for k, v in metrics.items():
                     # accumulate device-side: float() would force a sync per
-                    # step (~30 ms round-trip on tunneled platforms)
+                    # step (~30 ms round-trip on tunneled platforms); chunk
+                    # metrics are means over inc steps, so weight by inc
+                    v = v * inc if inc > 1 else v
                     running[k] = running[k] + v if k in running else v
             if trace_active:
                 # the epoch ended (or preemption broke the loop) before the
@@ -816,3 +874,28 @@ def _chain_first(first, rest):
     yield first
     for x in rest:
         yield x
+
+
+def _num_examples(batch) -> int:
+    return len(next(iter(batch.values())))
+
+
+def _chunk_stack(it, k: int, stack_fn, drop_tail: bool = False):
+    """Group consecutive batches into stacked [k, B, ...] scan chunks;
+    the tail (< k batches) falls back to single-step items so the scan jit
+    never retraces for a ragged K. Runs inside the prefetch worker thread,
+    so the np.stack memcpy overlaps device compute. Yields
+    ('chunk', stacked, k, n_examples) or ('batch', batch, 1, n_examples).
+    drop_tail: multi-process fit sets this so every host's item stream is
+    all-chunks — per-host tail singles would desynchronize the per-step
+    collectives across hosts with unequal local batch counts."""
+    buf = []
+    for b in it:
+        buf.append(b)
+        if len(buf) == k:
+            n_ex = sum(_num_examples(x) for x in buf)
+            yield ("chunk", stack_fn(buf), k, n_ex)
+            buf = []
+    if not drop_tail:
+        for b in buf:
+            yield ("batch", b, 1, _num_examples(b))

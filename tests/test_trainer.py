@@ -160,6 +160,32 @@ def test_train_steps_scan_matches_singles(world):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_fit_scan_steps_matches_single_dispatch(world):
+    """fit(scan_steps=4) == fit(scan_steps=1): same steps, same params, same
+    epoch metrics (chunk means re-weighted), tail (<k) handled by single
+    steps. CPU defaults to scan_steps=1, so the chunked hot loop needs this
+    explicit pin."""
+    conf, schema, paths, model = world
+    train = Dataset(schema, paths, batch_size=64, shuffle=False,
+                    take_batches=6)  # 6 = one chunk of 4 + 2 tail singles
+
+    def run(k):
+        t = Trainer(model, learning_rate=1e-3, seed=17)
+        out = t.fit(train, epochs=2, log_every=10 ** 9, verbose=False,
+                    scan_steps=k)
+        return out["state"], out["history"]
+
+    s1, h1 = run(1)
+    s4, h4 = run(4)
+    assert int(s1.step) == int(s4.step) == 12
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-5)
+    for e1, e4 in zip(h1, h4):
+        np.testing.assert_allclose(e1["loss"], e4["loss"], rtol=1e-4)
+
+
 def test_mid_epoch_resume(world, tmp_path):
     """Kill mid-epoch, restore, resume: the resumed run consumes exactly the
     remaining batches of the deterministic stream."""
