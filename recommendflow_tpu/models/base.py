@@ -112,6 +112,15 @@ class RecModel(nn.Module):
     conf: Configuration
     loss: Any = None          # callable or dotted name; None -> Networks.loss
 
+    # True on models whose forward reads embedding tables through exactly
+    # ONE full-batch embed_batch pass (no per-tower embeds, no extra
+    # unpooled() gathers): the trainer's split table-update path can then
+    # gather rows outside the differentiated step (table_update='split',
+    # train/trainer.py). A model with ANY other in-graph table read must
+    # keep this False — its gradient contribution would be dropped.
+    # (No type annotation: a plain class attribute, not a dataclass field.)
+    row_injection = False
+
     @property
     def schema(self) -> BatchSchema:
         if not hasattr(self, "_schema_cache"):

@@ -26,6 +26,7 @@ class Dssm(RecModel):
     """Two-tower DSSM. Networks config keys: tower_units (default
     [1024,512,256] like the reference dssm.py:25-26), dropout, activation,
     embedding_dim (final projection width, 0 = last tower unit)."""
+    row_injection = True  # single full-batch embed pass (models/base.py)
     tower_units: Optional[Sequence[int]] = None
     dropout: float = 0.3
     activation: str = "selu"

@@ -25,6 +25,7 @@ from recommendflow_tpu.ops.mlp import MLP, l2_normalize
 
 
 class Mobius(RecModel):
+    row_injection = True  # single full-batch embed pass (models/base.py)
     tower_units: Sequence[int] = (256, 128)
     relevance_threshold: float = 0.3
     mobius_weight: float = 0.5

@@ -19,6 +19,7 @@ from recommendflow_tpu.ops.mlp import MLP
 
 
 class Cold(RecModel):
+    row_injection = True  # single full-batch embed pass (models/base.py)
     hidden_units: Sequence[int] = (128, 64)
     se_reduction: int = 2
     dropout: float = 0.1

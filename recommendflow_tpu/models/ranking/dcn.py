@@ -15,6 +15,7 @@ from recommendflow_tpu.ops.mlp import MLP
 
 
 class Dcn(RecModel):
+    row_injection = True  # single full-batch embed pass (models/base.py)
     cross_layers: int = 3
     hidden_units: Optional[Sequence[int]] = None
     dropout: float = 0.2

@@ -17,6 +17,7 @@ from recommendflow_tpu.ops.mlp import MLP
 
 
 class DeepFm(RecModel):
+    row_injection = True  # single full-batch embed pass (models/base.py)
     hidden_units: Optional[Sequence[int]] = None
     dropout: float = 0.2
     use_cin: bool = False        # True -> xDeepFM

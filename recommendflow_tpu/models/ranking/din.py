@@ -29,6 +29,7 @@ from recommendflow_tpu.ops.mlp import MLP, Dice
 
 
 class Din(RecModel):
+    row_injection = True  # single full-batch embed pass (models/base.py)
     hidden_units: Optional[Sequence[int]] = None
     att_units: Optional[Sequence[int]] = None
     dropout: float = 0.2

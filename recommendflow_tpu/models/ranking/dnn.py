@@ -13,6 +13,7 @@ from recommendflow_tpu.ops.mlp import MLP
 
 
 class Dnn(RecModel):
+    row_injection = True  # single full-batch embed pass (models/base.py)
     hidden_units: Optional[Sequence[int]] = None
     dropout: float = 0.2
     activation: str = "relu"

@@ -38,6 +38,7 @@ class Esim(RecModel):
     """Networks config keys: query_token_feature / doc_token_feature (token_id
     feature names; defaults = first two token features by tower user/ad),
     vocab_size, model_dim, mlp_units."""
+    row_injection = True  # single full-batch embed pass (models/base.py)
     model_dim: int = 64
     vocab_size: int = 30000
     num_heads: int = 4

@@ -23,6 +23,7 @@ def _bce_probs(y, p):
 
 
 class Essm(RecModel):
+    row_injection = True  # single full-batch embed pass (models/base.py)
     tower_units: Sequence[int] = (128, 64)
     dropout: float = 0.1
 

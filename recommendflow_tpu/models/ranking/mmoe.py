@@ -18,6 +18,7 @@ from recommendflow_tpu.ops.mlp import MLP, ExpertsMLP
 
 
 class Mmoe(RecModel):
+    row_injection = True  # single full-batch embed pass (models/base.py)
     num_experts: int = 4
     num_tasks: int = 2
     expert_units: Sequence[int] = (128, 64)

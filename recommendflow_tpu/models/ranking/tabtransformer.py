@@ -16,6 +16,7 @@ from recommendflow_tpu.ops.transformer import TabTransformer as TabBlocks
 
 
 class TabTransformer(RecModel):
+    row_injection = True  # single full-batch embed pass (models/base.py)
     num_blocks: int = 2
     num_heads: int = 4
     hidden_units: Sequence[int] = (128, 64)

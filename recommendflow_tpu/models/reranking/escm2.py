@@ -20,6 +20,7 @@ from recommendflow_tpu.ops.mlp import MLP
 
 
 class Escm2(RecModel):
+    row_injection = True  # single full-batch embed pass (models/base.py)
     tower_units: Sequence[int] = (128, 64)
     dropout: float = 0.1
     counterfactual: str = "dr"       # 'ips' | 'dr'

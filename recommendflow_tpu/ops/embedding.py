@@ -181,24 +181,79 @@ def patch_embed(proj: jnp.ndarray, images: jnp.ndarray) -> jnp.ndarray:
 
 
 def gather_group(table: jnp.ndarray, group: TableGroup,
-                 global_ids: jnp.ndarray) -> jnp.ndarray:
+                 global_ids: jnp.ndarray,
+                 wide_rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Gather logical rows from a packed stacked table.
 
     table: [rows/P, P*dim] packed (P inferred from the stored shape, so
     bf16 tables with 256-element rows work transparently); global_ids: any
     int shape -> [..., dim], cast to f32 after the gather+select so compute
     downstream stays full-precision.
+
+    wide_rows: pre-gathered physical rows [N, P*dim] (N = global_ids.size)
+    — the split-update path (train/trainer.py) gathers OUTSIDE the
+    differentiated step so autodiff produces per-row cotangents instead of
+    a dense scattered table cotangent; values must equal
+    take_rows(table, physical_ids(...)) for a bit-identical forward.
     """
     dim = group.dim
     p = table.shape[1] // dim
     flat_ids = global_ids.reshape(-1)
+    if wide_rows is not None and wide_rows.shape != (flat_ids.shape[0],
+                                                     table.shape[1]):
+        raise ValueError(
+            f"wide_rows shape {wide_rows.shape} does not match the fused id "
+            f"layout ({flat_ids.shape[0]}, {table.shape[1]}) — the model's "
+            f"embed pass differs from the trainer's fused_group_ids plan")
     if p == 1:
-        rows = take_rows(table, flat_ids)
+        rows = wide_rows if wide_rows is not None \
+            else take_rows(table, flat_ids)
         return rows.reshape(global_ids.shape + (dim,)).astype(jnp.float32)
-    wide = take_rows(table, flat_ids // p)                   # [N, P*dim]
+    wide = wide_rows if wide_rows is not None \
+        else take_rows(table, flat_ids // p)                 # [N, P*dim]
     seg = jax.nn.one_hot(flat_ids % p, p, dtype=table.dtype)  # [N, P]
     out = jnp.einsum("npd,np->nd", wide.reshape(-1, p, dim), seg)
     return out.reshape(global_ids.shape + (dim,)).astype(jnp.float32)
+
+
+def rows_key(dim: int) -> str:
+    """Reserved batch key carrying pre-gathered physical rows for a dim
+    group (split-update path)."""
+    return f"__rows_dim{dim}__"
+
+
+def _fused_ids(schema: BatchSchema, group_slots, batch):
+    """The exact fused id layout embed_batch gathers with: per-slot global
+    ids flattened to [B, H*L] and concatenated. One definition shared with
+    fused_group_ids so the trainer's outside-gather cannot drift from the
+    model's in-graph plan."""
+    gids = [_global_ids(schema, s, batch[s.name]).reshape(
+        batch[s.name].shape[0], -1) for s in group_slots]    # [B, H*L]
+    return [g.shape[1] for g in gids], jnp.concatenate(gids, axis=1)
+
+
+def fused_group_ids(schema: BatchSchema, batch: Dict[str, jnp.ndarray],
+                    tower: Optional[str] = None,
+                    exclude: Sequence[str] = ()) -> Dict[int, jnp.ndarray]:
+    """{dim: fused global ids [B, sum(H*L)]} for every sparse dim group —
+    the id plan embed_batch executes. The split-update trainer gathers rows
+    for these ids outside the differentiated function."""
+    slots = schema.tower_slots(tower) if tower else \
+        [schema.slots[n] for n in schema.order]
+    by_dim: Dict[int, List[FeatureSlot]] = {}
+    for slot in slots:
+        if slot.name not in exclude and slot.kind == "sparse":
+            by_dim.setdefault(slot.dim, []).append(slot)
+    return {dim: _fused_ids(schema, group_slots, batch)[1]
+            for dim, group_slots in by_dim.items()}
+
+
+def physical_ids(table: jnp.ndarray, dim: int,
+                 fused: jnp.ndarray) -> jnp.ndarray:
+    """Flat physical (packed) row indices for a fused global-id array."""
+    p = table.shape[1] // dim
+    flat = fused.reshape(-1)
+    return flat // p if p > 1 else flat
 
 
 def pool_sequence(emb: jnp.ndarray, mask: jnp.ndarray,
@@ -297,11 +352,9 @@ def embed_batch(params: Params, schema: BatchSchema,
     for dim, group_slots in by_dim.items():
         group = schema.groups[dim]
         table = params[f"dim{dim}"]
-        gids = [_global_ids(schema, s, batch[s.name]).reshape(
-            batch[s.name].shape[0], -1) for s in group_slots]    # [B, H*L]
-        sizes = [g.shape[1] for g in gids]
-        fused = jnp.concatenate(gids, axis=1)                    # [B, sum(HL)]
-        emb = gather_group(table, group, fused)                  # [B, sum, dim]
+        sizes, fused = _fused_ids(schema, group_slots, batch)    # [B, sum(HL)]
+        emb = gather_group(table, group, fused,                  # [B, sum, dim]
+                           wide_rows=batch.get(rows_key(dim)))
         offset = 0
         for s, size in zip(group_slots, sizes):
             ids = batch[s.name]

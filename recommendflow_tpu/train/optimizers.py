@@ -181,3 +181,63 @@ def sparse_rowwise_adagrad_update(p: jnp.ndarray, acc: jnp.ndarray,
     p_new = (p_rows - lr * g * jax.lax.rsqrt(acc_new + eps)).astype(p.dtype)
     return (p.at[sids].set(p_new, indices_are_sorted=True),
             acc.at[sids].set(acc_new, indices_are_sorted=True))
+
+
+def split_table_update(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
+                       g: jnp.ndarray, *, lr: float, eps: float = 1e-10,
+                       strategy: str = "dense"):
+    """Row-wise Adagrad from SPARSE per-row gradients (the split path:
+    train/trainer.py gathers rows outside the differentiated step, so
+    autodiff emits [N, W] row cotangents and no dense scattered table
+    cotangent ever exists — the ~8.4 ms zero-init+scatter pass the ranking
+    step's device trace showed, PERF.md).
+
+    p [R, W], acc [R, 1] f32, ids [N] physical rows (duplicates allowed,
+    any order), g [N, W] row grads -> (p', acc').
+
+    strategy='dense': scatter-add g into a dense [R, W] (sorted) and run
+    the fused dense update — bit-identical to the dense-cotangent pipeline;
+    streaming-bound (~5 table passes). Wins at high touched fractions
+    (recall's 5.5%).
+    strategy='sparse': sorted segment-sum to per-unique-row sums, then
+    scatter-ADD the update delta — per-touched-row-bound (~92 ns/row).
+    Wins at low touched fractions (ranking's ~2% stored rows).
+    Both square the SUM of duplicate grads (dense scatter-add semantics).
+    """
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    s = ids[order]
+    gs = jnp.take(g, order, axis=0)
+
+    if strategy == "dense":
+        gd = jnp.zeros_like(p).at[s].add(gs.astype(p.dtype),
+                                         indices_are_sorted=True)
+        g32 = gd.astype(jnp.float32)
+        acc2 = acc + jnp.mean(g32 * g32, axis=1, keepdims=True)
+        p2 = (p.astype(jnp.float32)
+              - lr * g32 * jax.lax.rsqrt(acc2 + eps)).astype(p.dtype)
+        return p2, acc2
+
+    if strategy != "sparse":
+        raise ValueError(f"unknown split strategy {strategy!r}")
+    gs = gs.astype(jnp.float32)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    seg = jnp.cumsum(first) - 1                       # [N] segment index
+    summed = jax.ops.segment_sum(gs, seg, num_segments=n,
+                                 indices_are_sorted=True)      # [N, W]
+    k = seg[-1] + 1                                   # real segment count
+    valid = jnp.arange(n) < k
+    # segment k's id; padding segments clamp to the LAST real uid so the
+    # index array stays sorted — their deltas are zeroed, and duplicate
+    # indices are safe under ADD semantics
+    uid = jax.ops.segment_max(s, seg, num_segments=n,
+                              indices_are_sorted=True)
+    uid = jnp.where(valid, uid, s[-1])
+    d_acc = jnp.where(valid[:, None],
+                      jnp.mean(summed * summed, axis=1, keepdims=True), 0.0)
+    acc2 = acc.at[uid].add(d_acc, indices_are_sorted=True)
+    acc_rows = jnp.take(acc2, uid, axis=0)            # [N, 1] post-update
+    upd = -lr * summed * jax.lax.rsqrt(acc_rows + eps)
+    upd = jnp.where(valid[:, None], upd, 0.0)
+    p2 = p.at[uid].add(upd.astype(p.dtype), indices_are_sorted=True)
+    return p2, acc2

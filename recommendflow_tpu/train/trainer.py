@@ -213,18 +213,28 @@ class Trainer:
         # expert parallelism: place ExpertsMLP params P('ep', ...) so each
         # chip holds+runs E/|ep| experts (mesh must have an 'ep' axis)
         self.shard_experts = shard_experts
-        # 'dense' | 'sparse' | 'auto': how embedding-table rows get their
-        # row-wise Adagrad step. 'sparse' updates only the rows a batch
-        # touches (train/optimizers.py:sparse_rowwise_adagrad_update);
-        # 'auto' picks per table by the measured cost model (3 full-table
-        # HBM passes vs ~162 ns/touched row). Requires the default
-        # optimizer, an unsharded table, and a model exposing .schema —
-        # falls back to 'dense' otherwise.
-        if table_update not in ("dense", "sparse", "auto"):
-            raise ValueError(f"table_update must be dense|sparse|auto, "
+        # 'dense' | 'sparse' | 'split' | 'auto': how embedding-table rows
+        # get their row-wise Adagrad step.
+        # 'sparse' updates only the rows a batch touches, gathering them
+        # from the dense cotangent (train/optimizers.py:
+        # sparse_rowwise_adagrad_update).
+        # 'split' gathers table rows OUTSIDE the differentiated step so
+        # autodiff yields [N, W] row cotangents directly — no dense
+        # scattered table cotangent is ever materialized (the device trace
+        # showed that zero-init+scatter pass costing 8.4 ms/step on the
+        # ranking bench, PERF.md) — then applies a per-table
+        # dense-scatter or sorted sparse-ADD update by cost model
+        # (train/optimizers.py:split_table_update). Needs a model that
+        # embeds every sparse slot in ONE embed_batch pass
+        # (model.row_injection = True) and unsharded tables.
+        # 'auto' prefers 'split' when the model supports it, else the
+        # legacy dense-vs-sparse cost model.
+        if table_update not in ("dense", "sparse", "auto", "split"):
+            raise ValueError(f"table_update must be dense|sparse|split|auto, "
                              f"got '{table_update}'")
         self.table_update = table_update
         self._sparse_dims: Dict[int, Any] = {}
+        self._split_dims: Dict[int, str] = {}  # dim -> update strategy
         self.seed = seed
         self.control: Dict[str, Any] = {"stop": False, "lr_scale": 1.0}
         self._train_step = None
@@ -341,10 +351,19 @@ class Trainer:
         ~250 GB/s; sparse = ~162 ns per touched row (3 gathers + 2 sorted
         scatter-SETs). 'auto' picks sparse when dense costs more."""
         self._sparse_dims = {}
+        self._split_dims = {}
         schema = getattr(self.model, "schema", None)
         if (self.table_update == "dense" or not self._default_tx
                 or schema is None):
             return None
+        if self.table_update in ("auto", "split") \
+                and getattr(self.model, "row_injection", False) \
+                and not self.shard_tables:
+            return self._plan_split_updates(params, sample_batch, schema)
+        if self.table_update == "split":
+            log.warning("table_update='split' needs model.row_injection and "
+                        "unsharded tables; falling back to the legacy "
+                        "dense/sparse cost model")
         # shard_tables composes: the touched-row gather/scatter runs on the
         # row-sharded table under GSPMD (each partition masks the updates
         # that fall in its row range — the sorted-scatter hint survives
@@ -381,6 +400,61 @@ class Trainer:
         log.info("sparse table updates for dims %s (touched-row cost < "
                  "3 dense passes)", sorted(self._sparse_dims))
         return acc
+
+    def _plan_split_updates(self, params, sample_batch, schema):
+        """Split-path planning: every table dim present in the batch gets a
+        frozen optax label + an accumulator, and a per-table update strategy
+        from the device-measured cost model (PERF.md): the dense pipeline is
+        ~5 table passes at ~494 GB/s effective; the sorted sparse-ADD path
+        costs ~92 ns per touched row + ~2.5 ms fixed prep."""
+        n_ids: Dict[int, int] = {}
+        for name in schema.order:
+            slot = schema.slots[name]
+            if slot.kind == "sparse" and name in sample_batch:
+                n_ids[slot.dim] = n_ids.get(slot.dim, 0) + \
+                    int(np.prod(sample_batch[name].shape))
+        acc = {}
+        from recommendflow_tpu.train.optimizers import (
+            ADAGRAD_INIT_ACCUMULATOR, default_table_lr,
+            make_partitioned_optimizer)
+        for dim, (path, leaf) in self._table_leaves(params).items():
+            if dim not in n_ids:
+                continue
+            dense_cost = 5.0 * leaf.size * leaf.dtype.itemsize / 494e9
+            sparse_cost = n_ids[dim] * 92e-9 + 2.5e-3
+            self._split_dims[dim] = \
+                "sparse" if sparse_cost < dense_cost else "dense"
+            acc[f"dim{dim}"] = jnp.full((leaf.shape[0], 1),
+                                        ADAGRAD_INIT_ACCUMULATOR,
+                                        jnp.float32)
+        if not self._split_dims:
+            return None
+        self._table_lr = default_table_lr(self.base_lr)
+        self.tx = make_partitioned_optimizer(
+            self._lr_or_schedule, table_learning_rate=self._table_lr,
+            frozen_table_dims=set(self._split_dims))
+        log.info("split table updates: %s (rows gathered outside the "
+                 "differentiated step; no dense table cotangent)",
+                 {f"dim{d}": s for d, s in sorted(self._split_dims.items())})
+        return acc
+
+    def _apply_split_table_updates(self, state: TrainState, row_grads, phys):
+        """Apply the per-dim split updates from sparse row cotangents."""
+        from recommendflow_tpu.train.optimizers import split_table_update
+        leaves = self._table_leaves(state.params)
+        new_params = state.params
+        new_acc = dict(state.table_acc)
+        for dim, strategy in self._split_dims.items():
+            if dim not in phys:
+                continue
+            path, p_leaf = leaves[dim]
+            key = f"dim{dim}"
+            p_new, a_new = split_table_update(
+                p_leaf, state.table_acc[key], phys[dim], row_grads[dim],
+                lr=self._table_lr, strategy=strategy)
+            new_acc[key] = a_new
+            new_params = _set_path(new_params, path, p_new)
+        return state.replace(params=new_params, table_acc=new_acc)
 
     def _apply_sparse_table_updates(self, state: TrainState, grads, batch):
         """Replace the (frozen-by-optax) sparse tables' rows in-place."""
@@ -419,8 +493,27 @@ class Trainer:
         step_rng = jax.random.fold_in(state.rng, state.step)
         mutable = [k for k in self._variables(state) if k != "params"]
 
-        def loss_fn(params):
-            out = state.apply_fn(self._variables(state, params), batch,
+        phys, rows = {}, {}
+        if self._split_dims:
+            # gather each split table's rows OUTSIDE the differentiated
+            # function: autodiff then produces [N, W] row cotangents and no
+            # dense scattered table cotangent ever exists (PERF.md)
+            from recommendflow_tpu.ops.embedding import (
+                fused_group_ids, physical_ids, take_rows)
+            gids = fused_group_ids(self.model.schema, batch)
+            for dim, (_path, table) in self._table_leaves(state.params).items():
+                if dim in self._split_dims and dim in gids:
+                    pid = physical_ids(table, dim, gids[dim])
+                    phys[dim] = pid
+                    rows[dim] = take_rows(table, pid)
+
+        def loss_fn(params, rows_in):
+            b = batch
+            if rows_in:
+                from recommendflow_tpu.ops.embedding import rows_key
+                b = dict(batch)
+                b.update({rows_key(d): r for d, r in rows_in.items()})
+            out = state.apply_fn(self._variables(state, params), b,
                                  training=True,
                                  rngs={"dropout": step_rng},
                                  mutable=mutable if mutable else False)
@@ -430,13 +523,23 @@ class Trainer:
                 (loss, aux), new_state = out, {}
             return loss, (aux, new_state)
 
-        grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (aux, new_model_state)), grads = grads_fn(state.params)
+        if self._split_dims:
+            grads_fn = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                          has_aux=True)
+            (loss, (aux, new_model_state)), (grads, row_grads) = \
+                grads_fn(state.params, rows)
+        else:
+            grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (aux, new_model_state)), grads = \
+                grads_fn(state.params, {})
+            row_grads = None
         state = state.apply_gradients(grads=grads)
         if self._sparse_dims:
             # tables on the sparse path got a zero optax update above (a
             # no-op add XLA elides); write their touched rows here
             state = self._apply_sparse_table_updates(state, grads, batch)
+        if self._split_dims:
+            state = self._apply_split_table_updates(state, row_grads, phys)
         if "batch_stats" in new_model_state:
             state = state.replace(batch_stats=new_model_state["batch_stats"])
         extra_mut = {k: v for k, v in new_model_state.items()

@@ -160,6 +160,63 @@ def test_train_steps_scan_matches_singles(world):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_split_table_update_matches_dense(world):
+    """table_update='split' (rows gathered outside the differentiated step,
+    sparse row cotangents, per-table dense/sparse strategies) must train
+    identically to the dense-cotangent pipeline."""
+    conf, schema, paths, model = world
+    assert model.row_injection  # Dssm embeds all slots in one pass
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=4)
+    batches = list(ds)
+
+    def run(mode, **kw):
+        t = Trainer(model, learning_rate=1e-3, table_update=mode, seed=5)
+        s = t.init_state(batches[0])
+        losses = []
+        for b in batches:
+            s, m = t.train_step(s, b)
+            losses.append(float(m["loss"]))
+        return t, losses, jax.device_get(s.params)
+
+    t_dense, dense_losses, dense_params = run("dense")
+    t_split, split_losses, split_params = run("split")
+    assert t_split._split_dims, "split plan did not engage"
+    np.testing.assert_allclose(split_losses, dense_losses, rtol=1e-5)
+    keystr = jax.tree_util.keystr
+    da = {keystr(k): v for k, v in
+          jax.tree_util.tree_leaves_with_path(dense_params)}
+    sa = {keystr(k): v for k, v in
+          jax.tree_util.tree_leaves_with_path(split_params)}
+    assert da.keys() == sa.keys()
+    for k in da:
+        np.testing.assert_allclose(np.asarray(da[k], np.float32),
+                                   np.asarray(sa[k], np.float32),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_split_sparse_strategy_matches_dense_strategy():
+    """split_table_update strategy='sparse' == strategy='dense' on f32
+    tables with heavy duplicate ids (duplicate grads must be SUMMED before
+    squaring, exactly like the dense scatter-add)."""
+    from recommendflow_tpu.train.optimizers import split_table_update
+    rng = np.random.RandomState(0)
+    R, W, N = 64, 8, 40
+    p = jnp.asarray(rng.randn(R, W), jnp.float32)
+    acc = jnp.full((R, 1), 0.1, jnp.float32)
+    ids = jnp.asarray(rng.randint(0, 16, N), jnp.int32)  # many duplicates
+    g = jnp.asarray(rng.randn(N, W), jnp.float32)
+    pd, ad = split_table_update(p, acc, ids, g, lr=0.05, strategy="dense")
+    ps, as_ = split_table_update(p, acc, ids, g, lr=0.05, strategy="sparse")
+    np.testing.assert_allclose(np.asarray(ad), np.asarray(as_),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pd), np.asarray(ps),
+                               rtol=1e-5, atol=1e-6)
+    # untouched rows unchanged
+    untouched = np.setdiff1d(np.arange(R), np.asarray(ids))
+    np.testing.assert_array_equal(np.asarray(ps)[untouched],
+                                  np.asarray(p)[untouched])
+
+
 def test_fit_scan_steps_matches_single_dispatch(world):
     """fit(scan_steps=4) == fit(scan_steps=1): same steps, same params, same
     epoch metrics (chunk means re-weighted), tail (<k) handled by single
