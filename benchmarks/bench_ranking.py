@@ -73,8 +73,8 @@ def main():
     ap.add_argument("--zipf", type=float, default=0.0,
                     help="draw ids Zipf(a)-distributed (real CTR ids are "
                     "Zipfian; 0 = uniform)")
-    ap.add_argument("--table_update", default="dense",
-                    choices=["dense", "sparse", "auto"])
+    ap.add_argument("--table_update", default="auto",
+                    choices=["dense", "sparse", "auto", "split"])
     args = ap.parse_args()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
