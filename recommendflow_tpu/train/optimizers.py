@@ -202,7 +202,14 @@ def split_table_update(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
     strategy='sparse': sorted segment-sum to per-unique-row sums, then
     scatter-ADD the update delta — per-touched-row-bound (~92 ns/row).
     Wins at low touched fractions (ranking's ~2% stored rows).
-    Both square the SUM of duplicate grads (dense scatter-add semantics).
+    strategy='sparse_set': same segment-sum, but gather the touched rows
+    (12 ns/row), compute the updated values, and scatter-SET them with
+    sorted+unique indices (63 ns/row measured vs 80-108 for ADD,
+    benchmarks/micro_scatter.py). Padding segments route to row index R
+    (out of bounds) and are dropped (mode='drop'), which keeps the index
+    vector sorted AND unique so the fast scatter path applies.
+    All strategies square the SUM of duplicate grads (dense scatter-add
+    semantics) and produce identical updates up to dtype rounding.
     """
     n = ids.shape[0]
     order = jnp.argsort(ids)
@@ -218,7 +225,7 @@ def split_table_update(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
               - lr * g32 * jax.lax.rsqrt(acc2 + eps)).astype(p.dtype)
         return p2, acc2
 
-    if strategy != "sparse":
+    if strategy not in ("sparse", "sparse_set"):
         raise ValueError(f"unknown split strategy {strategy!r}")
     gs = gs.astype(jnp.float32)
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
@@ -227,11 +234,27 @@ def split_table_update(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
                                  indices_are_sorted=True)      # [N, W]
     k = seg[-1] + 1                                   # real segment count
     valid = jnp.arange(n) < k
+    uid = jax.ops.segment_max(s, seg, num_segments=n,
+                              indices_are_sorted=True)
+
+    if strategy == "sparse_set":
+        # padding segments -> out-of-bounds row R: dropped by the scatter,
+        # keeps uid sorted AND unique (fast SET path, ~63 ns/row)
+        uid = jnp.where(valid, uid, p.shape[0])
+        d_acc = jnp.mean(summed * summed, axis=1, keepdims=True)
+        acc_new = jnp.take(acc, uid, axis=0, mode="clip") + d_acc
+        acc2 = acc.at[uid].set(acc_new, indices_are_sorted=True,
+                               unique_indices=True, mode="drop")
+        upd = -lr * summed * jax.lax.rsqrt(acc_new + eps)
+        p_new = (jnp.take(p, uid, axis=0, mode="clip").astype(jnp.float32)
+                 + upd).astype(p.dtype)
+        p2 = p.at[uid].set(p_new, indices_are_sorted=True,
+                           unique_indices=True, mode="drop")
+        return p2, acc2
+
     # segment k's id; padding segments clamp to the LAST real uid so the
     # index array stays sorted — their deltas are zeroed, and duplicate
     # indices are safe under ADD semantics
-    uid = jax.ops.segment_max(s, seg, num_segments=n,
-                              indices_are_sorted=True)
     uid = jnp.where(valid, uid, s[-1])
     d_acc = jnp.where(valid[:, None],
                       jnp.mean(summed * summed, axis=1, keepdims=True), 0.0)

@@ -421,9 +421,13 @@ class Trainer:
             if dim not in n_ids:
                 continue
             dense_cost = 5.0 * leaf.size * leaf.dtype.itemsize / 494e9
-            sparse_cost = n_ids[dim] * 92e-9 + 2.5e-3
+            # sparse_set: sorted+unique scatter-SET of computed rows
+            # (63 ns/row vs 80-108 for ADD) — measured 1.5 ms/step faster
+            # than the ADD path at the ranking workload (106k rows,
+            # benchmarks/micro_split_update.py: 14.1 vs 15.6 ms/iter)
+            sparse_cost = n_ids[dim] * 78e-9 + 2.5e-3
             self._split_dims[dim] = \
-                "sparse" if sparse_cost < dense_cost else "dense"
+                "sparse_set" if sparse_cost < dense_cost else "dense"
             acc[f"dim{dim}"] = jnp.full((leaf.shape[0], 1),
                                         ADAGRAD_INIT_ACCUMULATOR,
                                         jnp.float32)

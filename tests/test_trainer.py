@@ -194,10 +194,14 @@ def test_split_table_update_matches_dense(world):
                                    rtol=2e-4, atol=2e-5, err_msg=k)
 
 
-def test_split_sparse_strategy_matches_dense_strategy():
-    """split_table_update strategy='sparse' == strategy='dense' on f32
-    tables with heavy duplicate ids (duplicate grads must be SUMMED before
-    squaring, exactly like the dense scatter-add)."""
+@pytest.mark.parametrize("strategy", ["sparse", "sparse_set"])
+def test_split_sparse_strategy_matches_dense_strategy(strategy):
+    """split_table_update strategy='sparse'/'sparse_set' == strategy='dense'
+    on f32 tables with heavy duplicate ids (duplicate grads must be SUMMED
+    before squaring, exactly like the dense scatter-add). sparse_set routes
+    padding segments out of bounds (mode='drop') so its scatter indices are
+    sorted AND unique — the fast SET path; verified bit-equal on device
+    too (benchmarks/micro_split_update.py session)."""
     from recommendflow_tpu.train.optimizers import split_table_update
     rng = np.random.RandomState(0)
     R, W, N = 64, 8, 40
@@ -206,7 +210,7 @@ def test_split_sparse_strategy_matches_dense_strategy():
     ids = jnp.asarray(rng.randint(0, 16, N), jnp.int32)  # many duplicates
     g = jnp.asarray(rng.randn(N, W), jnp.float32)
     pd, ad = split_table_update(p, acc, ids, g, lr=0.05, strategy="dense")
-    ps, as_ = split_table_update(p, acc, ids, g, lr=0.05, strategy="sparse")
+    ps, as_ = split_table_update(p, acc, ids, g, lr=0.05, strategy=strategy)
     np.testing.assert_allclose(np.asarray(ad), np.asarray(as_),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(pd), np.asarray(ps),
@@ -215,6 +219,14 @@ def test_split_sparse_strategy_matches_dense_strategy():
     untouched = np.setdiff1d(np.arange(R), np.asarray(ids))
     np.testing.assert_array_equal(np.asarray(ps)[untouched],
                                   np.asarray(p)[untouched])
+    # single-unique-row edge (k == 1: every non-first segment is padding)
+    ids1 = jnp.full((N,), R - 1, jnp.int32)
+    pd1, ad1 = split_table_update(p, acc, ids1, g, lr=0.05, strategy="dense")
+    ps1, as1 = split_table_update(p, acc, ids1, g, lr=0.05, strategy=strategy)
+    np.testing.assert_allclose(np.asarray(pd1), np.asarray(ps1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ad1), np.asarray(as1),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_fit_scan_steps_matches_single_dispatch(world):
