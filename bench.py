@@ -92,8 +92,10 @@ def emit(per_chip: float, note: str) -> None:
     hb(f"JSON emitted ({note}): {per_chip:.0f} ex/s/chip")
 
 
-def _bw_util_coeff(state, batch_size: int) -> float:
-    """bw_util per (example/s): traffic-per-step / batch / 819e9."""
+def _bw_util_coeff(state, batch_size: int, n_chips: int = 1) -> float:
+    """bw_util per (example/s/CHIP): with replicated params each chip
+    streams the full traffic per step while processing batch/n_chips
+    examples, so util = traffic * eps_per_chip * n_chips / batch / 819e9."""
     import jax
     import numpy as np
 
@@ -106,7 +108,7 @@ def _bw_util_coeff(state, batch_size: int) -> float:
         else:
             dense += nbytes
     traffic = 5 * table + 7 * dense
-    return traffic / batch_size / 819e9
+    return traffic * n_chips / batch_size / 819e9
 
 
 def main():
@@ -136,7 +138,7 @@ def main():
     n_chips = len(jax.devices())
     trainer = Trainer(model, learning_rate=1e-3)
     state = trainer.init_state(trainer._put(batch))
-    _BW_UTIL[0] = _bw_util_coeff(state, batch_size)
+    _BW_UTIL[0] = _bw_util_coeff(state, batch_size, n_chips)
     hb("state initialised; compiling + running first train step")
 
     # NOTE: synchronize via a scalar VALUE fetch, not block_until_ready — on

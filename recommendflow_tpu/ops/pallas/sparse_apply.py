@@ -145,27 +145,28 @@ def _compact_sorted(p, ids, g, maxn: int, block_rows: int):
     16-aligned per-block window starts, and a scalar bool that is True
     when some block's rows exceed its maxn window (caller must fall back).
     """
+    from recommendflow_tpu.train.optimizers import segment_row_grads
+
     r = p.shape[0]
     n = ids.shape[0]
     order = jnp.argsort(ids)
     s = ids[order]
     gs = jnp.take(g, order, axis=0).astype(jnp.float32)
-    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    seg = jnp.cumsum(first) - 1
-    summed = jax.ops.segment_sum(gs, seg, num_segments=n,
-                                 indices_are_sorted=True)
-    k = seg[-1] + 1
-    valid = jnp.arange(n) < k
-    uid = jax.ops.segment_max(s, seg, num_segments=n,
-                              indices_are_sorted=True)
-    uid = jnp.where(valid, uid, r).astype(jnp.int32)   # padding -> R
-    gs_bf = jnp.where(valid[:, None], summed, 0.0).astype(p.dtype)
+    # shared compaction (padding segments: zero grad rows + distinct
+    # out-of-bounds uids >= R, which self-mask in the kernel's
+    # local-offset compare)
+    summed, uid, valid = segment_row_grads(s, gs, num_rows=r)
+    gs_bf = summed.astype(p.dtype)
 
     g_blocks = r // block_rows
     bounds = jnp.arange(g_blocks + 1, dtype=jnp.int32) * block_rows
     edges = jnp.searchsorted(uid, bounds).astype(jnp.int32)  # [G+1]
-    starts = jnp.minimum((edges[:-1] // _ALIGN) * _ALIGN,
-                         jnp.int32(max(n - maxn, 0)))
+    # BOTH the alignment round-down AND the end-of-array clamp must land on
+    # an _ALIGN multiple, or the kernel's pl.multiple_of promise is a lie
+    # (Mosaic would DMA a misaligned window = silently wrong gradients —
+    # the interpret-blind failure class CLAUDE.md warns about)
+    clamp = (max(n - maxn, 0) // _ALIGN) * _ALIGN
+    starts = jnp.minimum((edges[:-1] // _ALIGN) * _ALIGN, jnp.int32(clamp))
     overflow = jnp.any(edges[1:] - starts > maxn)
     # broadcast uid across the DMA lane width: a [N] int32 slice at a
     # dynamic offset is not a legal TPU DMA shape; [N, 128] tiles are

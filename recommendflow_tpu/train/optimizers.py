@@ -183,6 +183,31 @@ def sparse_rowwise_adagrad_update(p: jnp.ndarray, acc: jnp.ndarray,
             acc.at[sids].set(acc_new, indices_are_sorted=True))
 
 
+def segment_row_grads(s: jnp.ndarray, gs32: jnp.ndarray, *, num_rows: int):
+    """Combine duplicate SORTED row gradients into per-unique-row sums.
+
+    s [N] sorted int ids, gs32 [N, W] f32 grads in the same order ->
+    (summed [N, W] f32 — padding segments hold zero rows, uid [N] int32 —
+    real segments hold the row id, padding segments hold DISTINCT
+    out-of-bounds ids num_rows + i so the vector stays sorted and truly
+    unique, valid [N] bool). Single source of truth for the compaction
+    shared by split_table_update's sparse strategies and the Pallas
+    sparse-apply kernel (ops/pallas/sparse_apply.py) — their correctness
+    contract is 'same update as strategy=dense', so the duplicate-combining
+    step must not fork."""
+    n = s.shape[0]
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    seg = jnp.cumsum(first) - 1                       # [N] segment index
+    summed = jax.ops.segment_sum(gs32, seg, num_segments=n,
+                                 indices_are_sorted=True)      # [N, W]
+    k = seg[-1] + 1                                   # real segment count
+    valid = jnp.arange(n) < k
+    uid = jax.ops.segment_max(s, seg, num_segments=n,
+                              indices_are_sorted=True)
+    uid = jnp.where(valid, uid, num_rows + jnp.arange(n)).astype(jnp.int32)
+    return summed, uid, valid
+
+
 def split_table_update(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
                        g: jnp.ndarray, *, lr: float, eps: float = 1e-10,
                        strategy: str = "dense"):
@@ -205,13 +230,12 @@ def split_table_update(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
     strategy='sparse_set': same segment-sum, but gather the touched rows
     (12 ns/row), compute the updated values, and scatter-SET them with
     sorted+unique indices (63 ns/row measured vs 80-108 for ADD,
-    benchmarks/micro_scatter.py). Padding segments route to row index R
-    (out of bounds) and are dropped (mode='drop'), which keeps the index
-    vector sorted AND unique so the fast scatter path applies.
+    benchmarks/micro_scatter.py). Padding segments route to DISTINCT
+    out-of-bounds rows and are dropped (mode='drop'), keeping the index
+    vector sorted AND truly unique so the fast scatter path applies.
     All strategies square the SUM of duplicate grads (dense scatter-add
     semantics) and produce identical updates up to dtype rounding.
     """
-    n = ids.shape[0]
     order = jnp.argsort(ids)
     s = ids[order]
     gs = jnp.take(g, order, axis=0)
@@ -227,20 +251,10 @@ def split_table_update(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
 
     if strategy not in ("sparse", "sparse_set"):
         raise ValueError(f"unknown split strategy {strategy!r}")
-    gs = gs.astype(jnp.float32)
-    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    seg = jnp.cumsum(first) - 1                       # [N] segment index
-    summed = jax.ops.segment_sum(gs, seg, num_segments=n,
-                                 indices_are_sorted=True)      # [N, W]
-    k = seg[-1] + 1                                   # real segment count
-    valid = jnp.arange(n) < k
-    uid = jax.ops.segment_max(s, seg, num_segments=n,
-                              indices_are_sorted=True)
+    summed, uid, valid = segment_row_grads(s, gs.astype(jnp.float32),
+                                           num_rows=p.shape[0])
 
     if strategy == "sparse_set":
-        # padding segments -> out-of-bounds row R: dropped by the scatter,
-        # keeps uid sorted AND unique (fast SET path, ~63 ns/row)
-        uid = jnp.where(valid, uid, p.shape[0])
         d_acc = jnp.mean(summed * summed, axis=1, keepdims=True)
         acc_new = jnp.take(acc, uid, axis=0, mode="clip") + d_acc
         acc2 = acc.at[uid].set(acc_new, indices_are_sorted=True,
@@ -252,9 +266,8 @@ def split_table_update(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
                            unique_indices=True, mode="drop")
         return p2, acc2
 
-    # segment k's id; padding segments clamp to the LAST real uid so the
-    # index array stays sorted — their deltas are zeroed, and duplicate
-    # indices are safe under ADD semantics
+    # ADD semantics: clamp padding segments back IN bounds to the LAST real
+    # uid — still sorted, duplicates safe under ADD, deltas zeroed below
     uid = jnp.where(valid, uid, s[-1])
     d_acc = jnp.where(valid[:, None],
                       jnp.mean(summed * summed, axis=1, keepdims=True), 0.0)

@@ -404,9 +404,11 @@ class Trainer:
     def _plan_split_updates(self, params, sample_batch, schema):
         """Split-path planning: every table dim present in the batch gets a
         frozen optax label + an accumulator, and a per-table update strategy
-        from the device-measured cost model (PERF.md): the dense pipeline is
-        ~5 table passes at ~494 GB/s effective; the sorted sparse-ADD path
-        costs ~92 ns per touched row + ~2.5 ms fixed prep."""
+        from the device-measured cost model (PERF.md §3/§3b): the dense
+        pipeline is ~5 table passes at ~494 GB/s effective; the sorted
+        sparse_set path (scatter-SET of computed rows with sorted+unique
+        indices) costs ~78 ns per touched row + ~2.5 ms fixed prep — the
+        78e-9 below and this note must move together."""
         n_ids: Dict[int, int] = {}
         for name in schema.order:
             slot = schema.slots[name]

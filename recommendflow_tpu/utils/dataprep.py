@@ -140,10 +140,14 @@ def df2str(df) -> str:
             return f"{v:.5f}"
         return v
 
-    rows = [["INDEX"] + list(df.columns)]
-    for idx, line in df.to_dict("index").items():
-        rows.append([str(idx)] + [_cell(c, v) for c, v in line.items()])
-    return format_table(rows[1:], headers=rows[0])
+    cols = list(df.columns)
+    rows = []
+    # itertuples, not to_dict("index"): the latter raises on duplicate
+    # indices (e.g. concat output with overlapping RangeIndexes)
+    for tup in df.itertuples(index=True, name=None):
+        rows.append([str(tup[0])]
+                    + [_cell(c, v) for c, v in zip(cols, tup[1:])])
+    return format_table(rows, headers=["INDEX"] + cols)
 
 
 def mem_percentage() -> str:
