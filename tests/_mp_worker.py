@@ -118,6 +118,23 @@ def main():
         f"proc {idx}: unequal-count fit trained " \
         f"{int(r_uneq['state'].step) - step_before} steps, want cluster-min 3"
 
+    # CHUNKED multi-host fit (explicit scan_steps=2 -> drop_tail): every
+    # host's dispatch sequence must be identical chunk-for-chunk, so the
+    # cluster-min epoch cap (3) rounds DOWN to a chunk multiple (2) and
+    # the per-host tails are dropped — without this the shorter host's
+    # tail singles would desynchronize the per-step collectives
+    uneq2 = [{k: v[idx * half:(idx + 1) * half] for k, v in
+              synthetic_batch(schema, B, seed=400 + s).items()}
+             for s in range(3 + idx)]
+    state_c = r_uneq["state"]
+    step_before = int(state_c.step)
+    r_chunk = trainer.fit(_ListDataset(uneq2), epochs=1, state=state_c,
+                          resume_data=False, verbose=False, scan_steps=2)
+    assert int(r_chunk["state"].step) - step_before == 2, \
+        f"proc {idx}: chunked unequal-count fit trained " \
+        f"{int(r_chunk['state'].step) - step_before} steps, want 2 " \
+        f"(cluster-min 3 rounded to the scan_steps=2 chunk multiple)"
+
     # sharded retrieval across PROCESSES: corpus rows split over all 8
     # devices (4 per process), per-shard tournament + cross-process
     # all_gather merge; every process must see the identical global top-k
