@@ -395,6 +395,38 @@ def test_sparse_table_update_under_mesh(world):
     np.testing.assert_allclose(sparse_mesh, dense, rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_split_update_under_mesh(world):
+    """table_update='split' must be exact under a dp mesh (the multi-chip
+    production path): rows gather OUTSIDE the differentiated step from the
+    dp-sharded batch, tables stay replicated, and the sparse_set strategy's
+    sorted-unique scatter-SET with out-of-bounds-dropped padding must
+    survive GSPMD partitioning — forced here because the demo tables'
+    cost model picks dense."""
+    conf, schema, paths, model = world
+    assert model.row_injection
+    ds = Dataset(schema, paths, batch_size=128, shuffle=False, take_batches=3)
+    batches = list(ds)
+
+    def run(mode, mesh, force=None):
+        t = Trainer(model, learning_rate=1e-3, table_update=mode,
+                    mesh=mesh, seed=3)
+        state = t.init_state(batches[0])
+        if force:
+            assert t._split_dims, "split plan did not engage"
+            t._split_dims = {d: force for d in t._split_dims}
+        losses = []
+        for b in batches:
+            state, m = t.train_step(state, b)
+            losses.append(float(m["loss"]))
+        return losses
+
+    dense = run("dense", None)
+    np.testing.assert_allclose(run("split", make_mesh()), dense, rtol=1e-4)
+    np.testing.assert_allclose(run("split", make_mesh(), force="sparse_set"),
+                               dense, rtol=1e-4)
+
+
 BIG_TABLE_CONF = """
 Features:
   feature_group: {}
