@@ -395,6 +395,23 @@ def test_sparse_table_update_under_mesh(world):
     np.testing.assert_allclose(sparse_mesh, dense, rtol=1e-4)
 
 
+@pytest.mark.parametrize("scan", [1, 2])
+def test_fit_profiler_window_writes_trace(world, tmp_path, scan):
+    """fit(profile_dir=...) must open the trace at the start step, close it
+    at the stop step, and write an xplane capture — including under
+    chunked dispatch where n_batches jumps past the exact indices (the >=
+    windowing; the trace must also not restart after it stopped)."""
+    import glob as _glob
+    conf, schema, paths, model = world
+    ds = Dataset(schema, paths, batch_size=64, shuffle=False, take_batches=6)
+    t = Trainer(model, learning_rate=1e-3, seed=7)
+    out = t.fit(ds, epochs=1, verbose=False, scan_steps=scan,
+                profile_dir=str(tmp_path), profile_steps=(2, 4))
+    assert out["history"], "fit did not complete"
+    assert _glob.glob(os.path.join(str(tmp_path), "**", "*.xplane.pb"),
+                      recursive=True), "no xplane capture written"
+
+
 @pytest.mark.slow
 def test_split_update_under_mesh(world):
     """table_update='split' must be exact under a dp mesh (the multi-chip
