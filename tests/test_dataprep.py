@@ -93,3 +93,12 @@ def test_df2str_renders_box_table():
 def test_mem_percentage():
     v = mem_percentage()
     assert v.endswith("%") and 0.0 <= float(v[:-1]) <= 100.0
+
+
+def test_df2str_duplicate_index():
+    # concat output with overlapping RangeIndexes must render, not raise
+    # (to_dict('index') would demand a unique index)
+    import pandas as pd
+    a = pd.DataFrame({"x": [1.0, 2.0]})
+    s = df2str(pd.concat([a, a]))
+    assert s.count("1.00000") == 2 and s.count("2.00000") == 2
