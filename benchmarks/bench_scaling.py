@@ -95,7 +95,16 @@ def _run_cluster(nprocs: int, devices: int, steps: int, batch: int,
          out_dir], env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(nprocs)]
-    outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
+    # kill the EXACT Popen handles on any failure: a hung worker left
+    # running would burn the 2-core host and poison concurrent TPU timing
+    try:
+        outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
+    except Exception:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+        raise
     for p, out in zip(procs, outs):
         if p.returncode != 0:
             raise RuntimeError(f"worker failed:\n{out[-3000:]}")

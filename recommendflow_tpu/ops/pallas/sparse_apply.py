@@ -140,10 +140,13 @@ def sparse_adagrad_apply(p: jnp.ndarray, acc: jnp.ndarray,
 def _compact_sorted(p, ids, g, maxn: int, block_rows: int):
     """Sort + segment-sum duplicate rows; build the kernel's window plan.
 
-    Returns (uid2d, gs_bf, starts, overflow): sorted unique row ids
-    broadcast to DMA lanes (padding rows carry R), bf16 summed grads,
-    16-aligned per-block window starts, and a scalar bool that is True
-    when some block's rows exceed its maxn window (caller must fall back).
+    Returns (uid2d, gs32, starts, overflow): sorted unique row ids
+    broadcast to DMA lanes (padding rows carry R), f32 summed grads
+    (kept f32 so the kernel squares the SAME values the XLA dense
+    pipeline squares — the grad-window DMA bytes are negligible next to
+    the table pass), 16-aligned per-block window starts, and a scalar
+    bool that is True when some block's rows exceed its maxn window
+    (caller must fall back).
     """
     from recommendflow_tpu.train.optimizers import segment_row_grads
 
@@ -156,7 +159,7 @@ def _compact_sorted(p, ids, g, maxn: int, block_rows: int):
     # out-of-bounds uids >= R, which self-mask in the kernel's
     # local-offset compare)
     summed, uid, valid = segment_row_grads(s, gs, num_rows=r)
-    gs_bf = summed.astype(p.dtype)
+    gs32 = summed  # stays f32: the accumulator must square unrounded sums
 
     g_blocks = r // block_rows
     bounds = jnp.arange(g_blocks + 1, dtype=jnp.int32) * block_rows
@@ -171,7 +174,7 @@ def _compact_sorted(p, ids, g, maxn: int, block_rows: int):
     # broadcast uid across the DMA lane width: a [N] int32 slice at a
     # dynamic offset is not a legal TPU DMA shape; [N, 128] tiles are
     uid2d = jnp.broadcast_to(uid[:, None], (n, 128))
-    return uid2d, gs_bf, starts, overflow
+    return uid2d, gs32, starts, overflow
 
 
 def split_update_pallas(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
@@ -190,7 +193,7 @@ def split_update_pallas(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
         return split_table_update(p, acc, ids, g, lr=lr, eps=eps,
                                   strategy="dense")
 
-    uid2d, gs_bf, starts, overflow = _compact_sorted(
+    uid2d, gs32, starts, overflow = _compact_sorted(
         p, ids, g, maxn, block_rows)
 
     def dense_path(_):
@@ -199,7 +202,7 @@ def split_update_pallas(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
 
     def pallas_path(_):
         return tuple(sparse_adagrad_apply(
-            p, acc, uid2d, gs_bf, starts, lr=lr, eps=eps,
+            p, acc, uid2d, gs32, starts, lr=lr, eps=eps,
             block_rows=block_rows, maxn=maxn, interpret=interpret))
 
     return lax.cond(overflow, dense_path, pallas_path, None)
