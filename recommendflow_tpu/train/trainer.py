@@ -257,6 +257,13 @@ class Trainer:
         extra = {k: v for k, v in variables.items()
                  if k not in ("params", "batch_stats")}
         table_acc = self._plan_table_updates(params, sample_batch)
+        if self._split_dims:
+            # fail fast on the silent-grad-drop footgun (VERDICT r4 #3): a
+            # model misflagged row_injection=True would otherwise train
+            # with part of its table gradients dropped and never error
+            self._validate_row_injection(
+                {"params": params, "batch_stats": batch_stats, **extra},
+                sample_batch)
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=self.tx,
             batch_stats=batch_stats, extra_vars=flax_core.freeze(extra),
@@ -443,6 +450,90 @@ class Trainer:
                  "differentiated step; no dense table cotangent)",
                  {f"dim{d}": s for d, s in sorted(self._split_dims.items())})
         return acc
+
+    def _validate_row_injection(self, variables, sample_batch) -> None:
+        """Static one-time guard for the split path (VERDICT r4 #3).
+
+        Under table_update='split' the optax labels FREEZE every split
+        table, so only gradients flowing through the injected rows reach
+        the update. A model flagged `row_injection = True` whose graph
+        reads a split table anywhere else (a per-tower embed, an
+        `unpooled()` gather — the Pdm/Que2Search shape) would train with
+        those reads' gradients silently zeroed: it converges worse and
+        never errors. Here we abstract-trace the training-mode apply with
+        rows injected (host-side tracing only — no compile, no device
+        work beyond a PRNG key) and require every split table param to be
+        an UNUSED jaxpr input: with `wide_rows` present, `gather_group`
+        touches the table for shape/dtype metadata only, so any surviving
+        use is a read outside the injected pass."""
+        import re as _re
+
+        from jax.extend import core as jcore
+
+        from recommendflow_tpu.ops.embedding import rows_key
+
+        params = variables["params"]
+        schema = self.model.schema
+        leaves = self._table_leaves(params)
+        per_ex: Dict[int, int] = {}
+        for name in schema.order:
+            slot = schema.slots[name]
+            if slot.kind == "sparse" and name in sample_batch \
+                    and slot.dim in self._split_dims:
+                per_ex[slot.dim] = per_ex.get(slot.dim, 0) + int(
+                    np.prod(sample_batch[name].shape[1:]))
+        b = 2
+        tiny = {k: jax.ShapeDtypeStruct((b,) + tuple(v.shape[1:]), v.dtype)
+                for k, v in sample_batch.items()}
+        rows = {d: jax.ShapeDtypeStruct((b * n, leaves[d][1].shape[1]),
+                                        leaves[d][1].dtype)
+                for d, n in per_ex.items()}
+        p_structs = jax.tree.map(
+            lambda leaf: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype), params)
+        others = {k: v for k, v in variables.items()
+                  if k != "params" and v}
+        mutable = list(others.keys())
+        rng = jax.random.PRNGKey(0)
+
+        def fwd(params_in, rows_in, batch_in):
+            bb = dict(batch_in)
+            bb.update({rows_key(d): r for d, r in rows_in.items()})
+            out = self.model.apply({"params": params_in, **others}, bb,
+                                   training=True, rngs={"dropout": rng},
+                                   mutable=mutable if mutable else False)
+            (loss, _aux) = out[0] if mutable else out
+            return loss
+
+        closed = jax.make_jaxpr(fwd)(p_structs, rows, tiny)
+        # invars follow the tree-flatten order of (params, rows, batch),
+        # so each split table's invar position is its index within the
+        # params prefix
+        p_flat = jax.tree_util.tree_flatten_with_path(p_structs)[0]
+        dim_at: Dict[int, int] = {}
+        for i, (path, _leaf) in enumerate(p_flat):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            m = _re.search(r"table_dim(\d+)$", name)
+            if m and int(m.group(1)) in self._split_dims:
+                dim_at[i] = int(m.group(1))
+        used = set()
+        for eqn in closed.jaxpr.eqns:
+            used.update(v for v in eqn.invars
+                        if not isinstance(v, jcore.Literal))
+        used.update(v for v in closed.jaxpr.outvars
+                    if not isinstance(v, jcore.Literal))
+        offending = sorted(dim for i, dim in dim_at.items()
+                           if closed.jaxpr.invars[i] in used)
+        if offending:
+            raise ValueError(
+                f"{type(self.model).__name__} sets row_injection=True but "
+                f"its training graph still reads table(s) "
+                f"{[f'dim{d}' for d in offending]} outside the injected "
+                f"embed pass — under table_update='split'/'auto' those "
+                f"reads' gradients would be SILENTLY DROPPED (the split "
+                f"planner freezes table params). Either route every table "
+                f"read through the single embed_batch pass, or set "
+                f"row_injection = False on the model (the trainer then "
+                f"uses the dense/sparse cost-model path).")
 
     def _apply_split_table_updates(self, state: TrainState, row_grads, phys):
         """Apply the per-dim split updates from sparse row cotangents."""

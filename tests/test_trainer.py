@@ -194,6 +194,49 @@ def test_split_table_update_matches_dense(world):
                                    rtol=2e-4, atol=2e-5, err_msg=k)
 
 
+def test_misflagged_row_injection_fails_fast(world):
+    """VERDICT r4 #3 guard: a model flagged row_injection=True whose graph
+    reads a table OUTSIDE the injected embed pass (the Que2Search/
+    Pdm-unpooled shape) must raise at init_state — under the split path
+    those reads' gradients would be silently dropped (frozen optax
+    labels) and the model would just converge worse."""
+    import flax.linen as nn
+
+    from recommendflow_tpu.models.base import FeatureEmbedder, RecModel
+
+    conf, schema, paths, _ = world
+    ds = Dataset(schema, paths, batch_size=64, shuffle=False, take_batches=1)
+    batch = next(iter(ds))
+
+    class Misflagged(RecModel):
+        row_injection = True  # WRONG: unpooled() below reads dim16 directly
+
+        @nn.compact
+        def __call__(self, b, training=False):
+            emb = FeatureEmbedder(self.schema, name="embedder")
+            u, a = emb.tower_vectors(b, ("user", "ad"))
+            # the footgun: a SECOND table read bypassing the injected rows
+            extra = emb.unpooled(b, "clk_item_ids")        # [B, H, L, d]
+            u = u + jnp.sum(extra, axis=(1, 2, 3))[:, None]
+            if training:
+                return jnp.mean(jnp.sum(u, 1) * jnp.sum(a, 1)), {}
+            return {"user": u, "ad": a, "label": b["label"]}
+
+    t = Trainer(Misflagged(conf=conf), learning_rate=1e-3,
+                table_update="split")
+    with pytest.raises(ValueError, match="row_injection"):
+        t.init_state(batch)
+    # the same guard must PASS a correctly-flagged model (every table read
+    # through the one embed_batch pass)
+    good, _ = build_network(conf.networks["class"],
+                            {"conf": conf, "tower_units": [32]})
+    tg = Trainer(good, learning_rate=1e-3, table_update="split")
+    sg = tg.init_state(batch)
+    assert tg._split_dims
+    sg, m = tg.train_step(sg, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
 @pytest.mark.parametrize("strategy", ["sparse", "sparse_set"])
 def test_split_sparse_strategy_matches_dense_strategy(strategy):
     """split_table_update strategy='sparse'/'sparse_set' == strategy='dense'
