@@ -49,10 +49,13 @@ def field_stack(features: Dict[str, jnp.ndarray], schema: BatchSchema,
         if s.dim != dim or s.name not in features:
             continue
         emb = features[s.name]                        # [B, H*dim]
+        # [B, H, dim] view + one concat instead of an F-way slice+stack:
+        # value-identical ([b, h] row == emb[b, h*dim:(h+1)*dim]), but the
+        # concat keeps the field axis contiguous in the row-major layout
+        fields.append(emb.reshape(emb.shape[0], s.num_hashes, dim))
         for h in range(s.num_hashes):
-            fields.append(emb[:, h * dim:(h + 1) * dim])
             names.append(f"{s.name}#{h}" if s.num_hashes > 1 else s.name)
-    return jnp.stack(fields, axis=1), names
+    return jnp.concatenate(fields, axis=1), names
 
 
 def get_labels(batch: Dict[str, jnp.ndarray], schema: BatchSchema,

@@ -74,8 +74,11 @@ def _make_take_rows(shape: Tuple[int, ...], dtype_name: str):
         return jnp.take(table, flat_ids, axis=0), flat_ids
 
     def bwd(flat_ids, g):
-        order = jnp.argsort(flat_ids)
-        dtable = jnp.zeros(shape, dtype).at[flat_ids[order]].add(
+        # one sort gives both sorted keys and the permutation (argsort +
+        # flat_ids[order] would re-derive the keys with an extra gather)
+        s, order = jax.lax.sort_key_val(
+            flat_ids, jnp.arange(flat_ids.shape[0], dtype=jnp.int32))
+        dtable = jnp.zeros(shape, dtype).at[s].add(
             g[order].astype(dtype), indices_are_sorted=True)
         return dtable, None
 

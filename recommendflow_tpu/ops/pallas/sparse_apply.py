@@ -152,8 +152,7 @@ def _compact_sorted(p, ids, g, maxn: int, block_rows: int):
 
     r = p.shape[0]
     n = ids.shape[0]
-    order = jnp.argsort(ids)
-    s = ids[order]
+    s, order = lax.sort_key_val(ids, jnp.arange(n, dtype=jnp.int32))
     gs = jnp.take(g, order, axis=0).astype(jnp.float32)
     # shared compaction (padding segments: zero grad rows + distinct
     # out-of-bounds uids >= R, which self-mask in the kernel's

@@ -198,12 +198,28 @@ def segment_row_grads(s: jnp.ndarray, gs32: jnp.ndarray, *, num_rows: int):
     n = s.shape[0]
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     seg = jnp.cumsum(first) - 1                       # [N] segment index
-    summed = jax.ops.segment_sum(gs32, seg, num_segments=n,
-                                 indices_are_sorted=True)      # [N, W]
     k = seg[-1] + 1                                   # real segment count
     valid = jnp.arange(n) < k
-    uid = jax.ops.segment_max(s, seg, num_segments=n,
-                              indices_are_sorted=True)
+    if num_rows < (1 << 24):
+        # ride the id compaction on the SAME per-row scatter pass: the
+        # first occurrence of each segment contributes its id, duplicates
+        # contribute 0, so the segment sum IS the id — exact in f32 (one
+        # nonzero term, ids < 2^24). A separate segment_max costs a second
+        # full per-row scatter (0.93 ms at the ranking shapes; with this
+        # fusion the whole update runs 24.70 -> 23.12 ms/iter device,
+        # bit-identical — benchmarks/micro_sort_machinery.py).
+        idcol = jnp.where(first, s, 0).astype(jnp.float32)[:, None]
+        out = jax.ops.segment_sum(jnp.concatenate([idcol, gs32], axis=1),
+                                  seg, num_segments=n,
+                                  indices_are_sorted=True)     # [N, 1+W]
+        summed = out[:, 1:]
+        uid = out[:, 0].astype(jnp.int32)
+    else:
+        # beyond f32-exact integer range: the two-pass legacy form
+        summed = jax.ops.segment_sum(gs32, seg, num_segments=n,
+                                     indices_are_sorted=True)  # [N, W]
+        uid = jax.ops.segment_max(s, seg, num_segments=n,
+                                  indices_are_sorted=True)
     uid = jnp.where(valid, uid, num_rows + jnp.arange(n)).astype(jnp.int32)
     return summed, uid, valid
 
@@ -236,8 +252,12 @@ def split_table_update(p: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
     All strategies square the SUM of duplicate grads (dense scatter-add
     semantics) and produce identical updates up to dtype rounding.
     """
-    order = jnp.argsort(ids)
-    s = ids[order]
+    # ONE sort yields both the sorted ids and the permutation: argsort
+    # followed by ids[order] re-derives the sorted keys with a second
+    # 106k-element gather (0.78 ms/step at the ranking shapes,
+    # benchmarks/micro_sort_machinery.py)
+    s, order = jax.lax.sort_key_val(
+        ids, jnp.arange(ids.shape[0], dtype=jnp.int32))
     gs = jnp.take(g, order, axis=0)
 
     if strategy == "dense":
