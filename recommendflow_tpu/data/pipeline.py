@@ -505,26 +505,33 @@ def make_dataset(conf: Configuration,
                  host_id: int = 0,
                  num_hosts: int = 1,
                  repeat: int = 1,
-                 drop_remainder: bool = True
+                 drop_remainder: bool = True,
+                 decode_workers: Optional[int] = None
                  ) -> Tuple[Dataset, Optional[Dataset]]:
     """Build (train, valid) Datasets from a config + data pattern.
 
     Parity surface: load_tfrecord_dayno_patten_split (dataloader.py:416-479)
     — dayno substitution, file split, debug truncation — with per-host
-    sharding added for multi-host TPU input.
+    sharding added for multi-host TPU input. decode_workers defaults to
+    the config's `thread_num` (the reference's tf.data reader-thread knob,
+    dataloader.py:541-578).
     """
     schema = compile_schema(conf.features)
+    if decode_workers is None:
+        decode_workers = int(conf.get_conf_value_or("thread_num", 0) or 0)
     files = resolve_paths(data_pattern, dayno=dayno, seed=seed)
     files = shard_for_host(files, host_id, num_hosts)
     train_files, valid_files = split_files(files, valid_ratio, seed=seed)
     take = 10 if debug else None
     train = Dataset(schema, train_files, batch_size, shuffle=shuffle, seed=seed,
                     take_batches=take, repeat=repeat,
-                    drop_remainder=drop_remainder)
+                    drop_remainder=drop_remainder,
+                    decode_workers=decode_workers)
     valid = None
     if valid_files:
         valid = Dataset(schema, valid_files, batch_size, shuffle=False, seed=seed,
-                        take_batches=take, drop_remainder=drop_remainder)
+                        take_batches=take, drop_remainder=drop_remainder,
+                        decode_workers=decode_workers)
     return train, valid
 
 
