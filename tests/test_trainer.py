@@ -272,6 +272,30 @@ def test_split_sparse_strategy_matches_dense_strategy(strategy):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_segment_row_grads_fused_uid_matches_legacy():
+    """The fused path (uid rides the segment-sum as a masked-id f32 column,
+    num_rows < 2^24) must agree exactly with the legacy two-pass
+    segment_max form (num_rows >= 2^24 triggers it) on the overlapping id
+    range — same sums, same compacted ids, same valid mask."""
+    from recommendflow_tpu.train.optimizers import segment_row_grads
+    rng = np.random.RandomState(3)
+    N, W = 64, 8
+    s = jnp.asarray(np.sort(rng.randint(0, 40, N)), jnp.int32)
+    gs = jnp.asarray(rng.randn(N, W), jnp.float32)
+    fused = segment_row_grads(s, gs, num_rows=1000)          # < 2^24 path
+    legacy = segment_row_grads(s, gs, num_rows=(1 << 24))    # >= 2^24 path
+    np.testing.assert_array_equal(np.asarray(fused[0]), np.asarray(legacy[0]))
+    np.testing.assert_array_equal(np.asarray(fused[2]), np.asarray(legacy[2]))
+    valid = np.asarray(fused[2])
+    # real segments: identical compacted ids; padding differs only by the
+    # num_rows offset each path adds
+    np.testing.assert_array_equal(np.asarray(fused[1])[valid],
+                                  np.asarray(legacy[1])[valid])
+    pad = ~valid
+    np.testing.assert_array_equal(np.asarray(fused[1])[pad] - 1000,
+                                  np.asarray(legacy[1])[pad] - (1 << 24))
+
+
 def test_fit_scan_steps_matches_single_dispatch(world):
     """fit(scan_steps=4) == fit(scan_steps=1): same steps, same params, same
     epoch metrics (chunk means re-weighted), tail (<k) handled by single
