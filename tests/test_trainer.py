@@ -235,6 +235,19 @@ def test_misflagged_row_injection_fails_fast(world):
     assert tg._split_dims
     sg, m = tg.train_step(sg, batch)
     assert np.isfinite(float(m["loss"]))
+    # ... including a model with EXTRA variable collections (the logQ
+    # 'freq' stream) — the validator must thread them through apply
+    import copy
+    conf2 = copy.deepcopy(conf)
+    conf2.networks["logq_feature"] = "item_id"
+    conf2.networks["logq_buckets"] = 128
+    lq, _ = build_network(conf2.networks["class"],
+                          {"conf": conf2, "tower_units": [32]})
+    tl = Trainer(lq, learning_rate=1e-3, table_update="split")
+    sl = tl.init_state(batch)
+    assert tl._split_dims
+    sl, m = tl.train_step(sl, batch)
+    assert np.isfinite(float(m["loss"]))
 
 
 @pytest.mark.parametrize("strategy", ["sparse", "sparse_set"])
