@@ -15,6 +15,9 @@ from recommendflow_tpu.utils.tables import print_args
 
 
 def main(argv=None):
+    from recommendflow_tpu.utils.compilation_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # warm-process compiles -> seconds
     p = argparse.ArgumentParser(description="Encode texts to embeddings")
     p.add_argument("--vocab", required=True, help="vocab.txt path")
     p.add_argument("--input", default="-", help="text file (one per line) or -")

@@ -16,6 +16,9 @@ from recommendflow_tpu.utils.tables import print_args, print_table
 
 
 def main(argv=None):
+    from recommendflow_tpu.utils.compilation_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # warm-process compiles -> seconds
     p = argparse.ArgumentParser(description="Evaluate a checkpoint")
     p.add_argument("conf")
     p.add_argument("--data", required=True)

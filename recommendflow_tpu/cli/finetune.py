@@ -38,6 +38,9 @@ def main(argv=None):
 
     from recommendflow_tpu.parallel import init_distributed
     init_distributed()  # no-op single-host; must precede jax backend use
+    from recommendflow_tpu.utils.compilation_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # warm-process compiles -> seconds
     import jax
 
     from recommendflow_tpu.config import Configuration

@@ -15,6 +15,9 @@ from recommendflow_tpu.utils.tables import print_args
 
 
 def main(argv=None):
+    from recommendflow_tpu.utils.compilation_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # warm-process compiles -> seconds
     p = argparse.ArgumentParser(description="Batch predict embeddings/scores")
     p.add_argument("conf", help="yaml config path")
     p.add_argument("--data", required=True, help="record pattern")

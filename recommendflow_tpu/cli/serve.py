@@ -19,6 +19,9 @@ from recommendflow_tpu.utils.tables import print_args
 
 
 def main(argv=None):
+    from recommendflow_tpu.utils.compilation_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()  # warm-process compiles -> seconds
     p = argparse.ArgumentParser(description="HTTP serving for encoder/model")
     p.add_argument("--vocab", default=None, help="vocab.txt -> enables /encode")
     p.add_argument("--weights", default=None, help="encoder weights dir")

@@ -61,6 +61,8 @@ def main(argv=None):
     init_distributed()  # no-op single-host; MUST precede any jax backend
     # touch or a multi-host launch degrades to N independent jobs racing
     # shared checkpoint writes
+    from recommendflow_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()  # warm-process compiles: 20-40s -> seconds
     import jax
 
     from recommendflow_tpu.config import Configuration

@@ -246,7 +246,13 @@ class Trainer:
     def init_state(self, sample_batch: Dict[str, jnp.ndarray]) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
         init_rng, state_rng = jax.random.split(rng)
-        variables = self.model.init(init_rng, sample_batch, training=False)
+        # jit the init: eagerly, flax dispatches every table/layer init as
+        # a separate device op — ~0.3 s each over tunneled platforms, 68 s
+        # total for the 386M-param bench model. One compiled program runs
+        # it in ~2 s (and the persistent compilation cache makes warm
+        # processes skip the compile: 68 -> 4 s measured end-to-end).
+        variables = jax.jit(self.model.init, static_argnames=("training",))(
+            init_rng, sample_batch, training=False)
         params = variables["params"]
         # Networks.pretrained grafts (BERT-checkpoint import): replace the
         # named encoder subtrees with converted pretrained weights before
