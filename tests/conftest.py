@@ -18,6 +18,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE: the persistent compilation cache (utils/compilation_cache.py) is
+# NOT enabled here — measured no win on CPU (suite time is tracing +
+# Python, not backend compile; cached artifacts totalled 208 KB).
+
 import pytest  # noqa: E402
 
 
