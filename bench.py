@@ -263,21 +263,36 @@ def main():
 
     # Records corpus: the content for EVERY subsequent segment (docstring
     # hazard 2 — synthetic uniform ids measure the tunnel link, not the
-    # framework) and the from-disk e2e evidence.
-    rec_batches, ds, tmpdir = [batch], None, None
+    # framework) and the from-disk e2e evidence. Deterministic (seed 0),
+    # so the files are CACHED across runs keyed by the generator code +
+    # conf + parameters (generation costs ~24 s of budget; reuse is free).
+    rec_batches, ds = [batch], None
     if os.environ.get("BENCH_SKIP_RECORDS") != "1":
         try:
-            import tempfile
+            import glob
+            import hashlib
 
+            import recommendflow_tpu.data.synthetic as _synmod
             from recommendflow_tpu.data.pipeline import Dataset
             from recommendflow_tpu.data.synthetic import generate_records
 
             rows = 300_000 if on_tpu else 4_096
-            hb(f"generating {rows} synthetic rows of record files")
-            tmpdir = tempfile.mkdtemp(prefix="bench_records_")
-            paths = generate_records(conf, tmpdir, num_rows=rows,
-                                     num_files=8, num_users=100_000,
-                                     num_items=20_000, seed=0)
+            gen_kw = dict(num_rows=rows, num_files=8, num_users=100_000,
+                          num_items=20_000, seed=0)
+            key = hashlib.sha1(
+                open(os.path.join(here, "conf", conf_name), "rb").read()
+                + open(_synmod.__file__, "rb").read()
+                + repr(sorted(gen_kw.items())).encode()).hexdigest()[:16]
+            rec_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                   "recommendflow_tpu", "bench_records",
+                                   key)
+            paths = sorted(glob.glob(os.path.join(rec_dir, "*.rfb")))
+            if len(paths) == gen_kw["num_files"]:
+                hb(f"reusing cached record files ({rec_dir})")
+            else:
+                hb(f"generating {rows} synthetic rows of record files")
+                os.makedirs(rec_dir, exist_ok=True)
+                paths = generate_records(conf, rec_dir, **gen_kw)
             ds = Dataset(schema, paths, batch_size=batch_size,
                          shuffle=True, seed=0, decode_workers=2)
             rec_batches = list(ds)
@@ -351,7 +366,7 @@ def main():
     if (on_tpu and ds is not None
             and os.environ.get("BENCH_SKIP_BATCH_SWEEP") != "1"):
         from recommendflow_tpu.data.pipeline import Dataset
-        for big, gate in ((2048, 150), (4096, 240)):
+        for big, gate in ((2048, 150), (4096, 200)):
             if left() < gate:
                 hb(f"skipping batch-{big} bonus ({left():.0f}s left < "
                    f"{gate}s cold-compile gate)")
@@ -393,9 +408,6 @@ def main():
             except Exception as e:
                 hb(f"batch-{big} sweep failed (non-fatal): {e!r}")
 
-    if tmpdir is not None:
-        import shutil
-        shutil.rmtree(tmpdir, ignore_errors=True)
     # the driver reads the LAST stdout line — re-emit the best number so
     # nothing printed in between (however a future code path behaves) can
     # end up as the final line
