@@ -403,7 +403,8 @@ def main():
                         "unit": "examples/s/chip",
                         "device_sustained_ref": {"1024": 99646,
                                                  "2048": 137720,
-                                                 "4096": 160095},
+                                                 "4096": 160095,
+                                                 "8192": 190771},
                     }), file=sys.stderr, flush=True)
             except Exception as e:
                 hb(f"batch-{big} sweep failed (non-fatal): {e!r}")
