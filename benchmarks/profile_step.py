@@ -22,7 +22,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def trace_loop(tag, fn, n, sync):
+def trace_loop(tag, fn, n, sync, steps_per_dispatch: int = 1):
+    """steps_per_dispatch: inner train steps per fn() call (scan-K
+    dispatches run K steps each — without this the report divides device
+    time by dispatches and labels it 'per-step')."""
     import jax
     d = f"/tmp/recflow_prof/{tag}"
     fn()  # warm outside the trace
@@ -36,9 +39,11 @@ def trace_loop(tag, fn, n, sync):
     jax.profiler.stop_trace()
     from recommendflow_tpu.utils.xplane import format_report, parse_trace
     rep = parse_trace(d)
-    print(f"\n===== {tag}: {n} dispatches, wall {wall * 1e3:.1f} ms "
-          f"({wall / n * 1e3:.2f} ms/dispatch) =====")
-    print(format_report(rep, steps=n))
+    total_steps = n * steps_per_dispatch
+    print(f"\n===== {tag}: {n} dispatches x {steps_per_dispatch} steps, "
+          f"wall {wall * 1e3:.1f} ms ({wall / n * 1e3:.2f} ms/dispatch) "
+          f"=====")
+    print(format_report(rep, steps=total_steps))
     return rep
 
 
@@ -94,7 +99,8 @@ def main():
                 state_box[0], [batch] * args.scan)
 
         trace_loop(f"{args.model}_scan{args.scan}", scan_step,
-                   max(args.steps // 2, 2), sync)
+                   max(args.steps // 2, 2), sync,
+                   steps_per_dispatch=args.scan)
 
 
 if __name__ == "__main__":
