@@ -36,6 +36,21 @@ def _code_networks_keys():
     return keys
 
 
+def test_documented_cli_flags_exist():
+    """Every `--flag` in CONFIG.md's Trainer-knobs table must be a real
+    cli/train.py argument (finetune/predict share the core set)."""
+    doc = open(os.path.join(REPO, "docs", "CONFIG.md")).read()
+    sect = doc.split("## Trainer knobs")[1].split("## Legacy JSON")[0]
+    doc_flags = set(re.findall(r"`--([a-z_0-9]+)`", sect))
+    train_src = open(os.path.join(PKG, "cli", "train.py")).read()
+    code_flags = set(re.findall(r"""add_argument\(\s*["']--([a-z_0-9]+)""",
+                                train_src))
+    missing = doc_flags - code_flags
+    assert not missing, (
+        f"docs/CONFIG.md documents train-CLI flags that do not exist: "
+        f"{sorted(missing)}")
+
+
 def test_documented_networks_keys_match_consumers():
     doc = _doc_networks_keys()
     code = _code_networks_keys()
