@@ -253,21 +253,16 @@ def main():
             }), file=sys.stderr, flush=True)
         return sustained
 
-    # Insurance line FIRST: the very first segment after tunnel idle can read
-    # ~2x slow (CLAUDE.md tunnel-drift note), but a possibly-low number beats
-    # the null result of a run killed mid-refinement. Later segments print
-    # improved lines; the driver reads the last one.
-    dt = segment([batch])
-    best = steps * batch_size / dt / n_chips
-    emit(best, f"segment 1, {dt:.2f}s — cold synthetic, may read low")
-
-    # Records corpus: the content for EVERY subsequent segment (docstring
+    # Records corpus: the content for EVERY measurement segment (docstring
     # hazard 2 — synthetic uniform ids measure the tunnel link, not the
     # framework) and the from-disk e2e evidence. Deterministic (seed 0),
     # so the files are CACHED across runs keyed by the generator code +
     # conf + parameters (generation costs ~24 s of budget; reuse is free).
-    rec_batches, ds = [batch], None
-    if os.environ.get("BENCH_SKIP_RECORDS") != "1":
+    def load_records(allow_generate: bool):
+        """(rec_batches, ds) from the persistent corpus cache; generation
+        only when allowed (the pre-insurance peek must stay fast)."""
+        if os.environ.get("BENCH_SKIP_RECORDS") == "1":
+            return None, None
         try:
             import glob
             import hashlib
@@ -289,18 +284,40 @@ def main():
             paths = sorted(glob.glob(os.path.join(rec_dir, "*.rfb")))
             if len(paths) == gen_kw["num_files"]:
                 hb(f"reusing cached record files ({rec_dir})")
-            else:
+            elif allow_generate:
                 hb(f"generating {rows} synthetic rows of record files")
                 os.makedirs(rec_dir, exist_ok=True)
                 paths = generate_records(conf, rec_dir, **gen_kw)
-            ds = Dataset(schema, paths, batch_size=batch_size,
-                         shuffle=True, seed=0, decode_workers=2)
-            rec_batches = list(ds)
-            hb(f"decoded {len(rec_batches)} record batches into memory")
+            else:
+                return None, None
+            d = Dataset(schema, paths, batch_size=batch_size,
+                        shuffle=True, seed=0, decode_workers=2)
+            rb = list(d)
+            hb(f"decoded {len(rb)} record batches into memory")
+            return rb, d
         except Exception as e:
-            hb(f"records generation failed (non-fatal, synthetic content "
+            hb(f"records load failed (non-fatal, synthetic content "
                f"fallback): {e!r}")
-            rec_batches, ds = [batch], None
+            return None, None
+
+    # Insurance line FIRST: the very first segment after tunnel idle can
+    # read ~2x slow (CLAUDE.md tunnel-drift note), but a possibly-low
+    # number beats the null result of a run killed mid-refinement. A warm
+    # corpus cache (decode ~0.5 s) upgrades even the insurance line to
+    # records content; a cache miss emits the synthetic line first so the
+    # ~24 s generation can never delay the first JSON.
+    rec_batches, ds = load_records(allow_generate=False)
+    if rec_batches is not None:
+        dt = segment(rec_batches)
+        best = steps * batch_size / dt / n_chips
+        emit(best, f"segment 1, {dt:.2f}s — records content, may read cold")
+    else:
+        dt = segment([batch])
+        best = steps * batch_size / dt / n_chips
+        emit(best, f"segment 1, {dt:.2f}s — cold synthetic, may read low")
+        rec_batches, ds = load_records(allow_generate=True)
+    if rec_batches is None:
+        rec_batches, ds = [batch], None
 
     isolated_round("records-isolated", 3 if on_tpu else 1, rec_batches)
 
