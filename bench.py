@@ -435,7 +435,8 @@ def main():
     if (on_tpu and not skip_sustained and rec_batches is not None
             and len(rec_batches) > 1):
         r = 0
-        while left() > 30 and r < 40:
+        while left() > 30 and r < 120:   # budget-bounded; slow phases last
+            # minutes, so sample the whole window
             t0 = time.perf_counter()
             out = trainer.fit(rec_batches, epochs=1, state=state,
                               resume_data=False, log_every=10 ** 9,
